@@ -1,0 +1,58 @@
+"""Vectorized bit-packing primitives.
+
+The moral analogue of parquet's PLAIN/bit-packed encodings that the
+reference enables via ``withDictionaryEncoding`` (reference:
+eel-core/src/main/scala/io/eels/component/parquet/RowParquetWriterFn.scala:42-50);
+here implemented as pure numpy so it runs inside Arrow UDF batches with no
+per-row Python.
+
+``pack_uints``/``unpack_uints`` pack an array of uint64 values into
+``width`` bits each, MSB-first, via ``np.unpackbits``/``np.packbits`` —
+every step is a whole-array numpy op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent ``max_value`` (0 -> width 0: all values equal)."""
+    if max_value < 0:
+        raise ValueError("bit_width expects a non-negative value")
+    return int(max_value).bit_length()
+
+
+def pack_uints(values: np.ndarray, width: int) -> bytes:
+    """Pack uint64 ``values`` into ``width``-bit big-endian fields.
+
+    width == 0 encodes a constant column: the payload is empty.
+    """
+    if width == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    # Big-endian byte view -> per-value 64 bit columns -> keep low `width` bits.
+    as_bytes = v.astype(">u8").view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(as_bytes, axis=1)[:, 64 - width :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_uints(payload: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_uints`; returns uint64 array of length ``n``."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=n * width)
+    out = np.zeros((n, 64), dtype=np.uint8)
+    out[:, 64 - width :] = bits.reshape(n, width)
+    return np.packbits(out, axis=1).view(">u8").ravel().astype(np.uint64)
+
+
+def pack_bools(mask: np.ndarray) -> bytes:
+    """Bitmap for a boolean array (also used for null bitmaps)."""
+    return np.packbits(np.ascontiguousarray(mask, dtype=np.uint8)).tobytes()
+
+
+def unpack_bools(payload: bytes, n: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=n).astype(bool)

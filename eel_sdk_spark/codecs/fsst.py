@@ -1,0 +1,127 @@
+"""FSST-style symbol-table compression for text columns.
+
+Like FSST (Boncz, Neumann, Mühleisen: "FSST: Fast Random Access String
+Compression", VLDB 2020), we learn a small table of frequent multi-byte
+symbols from a sample and replace occurrences with single codes. The
+construction here is byte-pair-merge based (BPE) because pair-merge is
+expressible as whole-array numpy ops — the north rule forbids per-row
+Python, and a longest-match trie encoder cannot be vectorized in numpy.
+
+Train: iteratively merge the most frequent adjacent code pair on a bounded
+sample (greedy-left overlap resolution, fully vectorized). Encode: replay
+the learned merges over the concatenated column bytes, then bit-pack the
+final code stream (codes < 256 + n_merges). Decode: expand each code to its
+byte expansion via one object-array gather + join.
+
+The reference has no text codec at all (strings go to parquet dictionary
+pages, RowParquetWriterFn.scala:44); this is a from-scratch addition
+mandated by the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import for_
+from .base import Encoded
+from .bitpack import bit_width, pack_uints, unpack_uints
+
+NAME = "fsst"
+
+MAX_MERGES = 240  # final code space fits in 9 bits at 256, caps at 496 codes
+SAMPLE_CAP = 1 << 18  # train on at most 256 KiB
+MIN_PAIR_COUNT = 8  # stop when the best pair is this rare in the sample
+
+
+def _apply_merge(codes: np.ndarray, a: int, b: int, new: int) -> np.ndarray:
+    m = np.flatnonzero((codes[:-1] == a) & (codes[1:] == b))
+    if m.size == 0:
+        return codes
+    if a == b:
+        # greedy-left within runs of overlapping matches: keep even offsets
+        rs = np.diff(m, prepend=m[0] - 2) != 1
+        run_starts = m[rs]
+        run_id = np.cumsum(rs) - 1
+        offset = m - run_starts[run_id]
+        m = m[offset % 2 == 0]
+    codes[m] = new
+    keep = np.ones(codes.size, dtype=bool)
+    keep[m + 1] = False
+    return codes[keep]
+
+
+def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
+    """Learn merge rules from a byte sample. Returns ordered (a, b) pairs."""
+    if len(sample) > SAMPLE_CAP:
+        sample = sample[:SAMPLE_CAP]
+    codes = np.frombuffer(sample, dtype=np.uint8).astype(np.int32)
+    merges: list[tuple[int, int]] = []
+    for i in range(max_merges):
+        if codes.size < 2:
+            break
+        pairs = codes[:-1].astype(np.int64) * 0x10000 + codes[1:]
+        uniq, counts = np.unique(pairs, return_counts=True)
+        j = int(np.argmax(counts))
+        if counts[j] < MIN_PAIR_COUNT:
+            break
+        best = int(uniq[j])
+        a, b = best >> 16, best & 0xFFFF
+        merges.append((a, b))
+        codes = _apply_merge(codes, a, b, 256 + i)
+    return merges
+
+
+def _expansions(merges: list[tuple[int, int]]) -> np.ndarray:
+    """code -> bytes expansion table as an object ndarray for fast gather."""
+    syms: list[bytes] = [bytes([i]) for i in range(256)]
+    for a, b in merges:
+        syms.append(syms[a] + syms[b])
+    return np.array(syms, dtype=object)
+
+
+def encode(lengths: np.ndarray, data: bytes,
+           merges: list[tuple[int, int]] | None = None) -> Encoded:
+    """lengths/data: the bytes_view of a non-null string column."""
+    if merges is None:
+        merges = train(data)
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    for i, (a, b) in enumerate(merges):
+        codes = _apply_merge(codes, a, b, 256 + i)
+    width = bit_width(255 + len(merges))
+    payload = pack_uints(codes.astype(np.uint64), width)
+    lens_enc = for_.encode(lengths.astype(np.int64))
+    merge_arr = np.array(merges, dtype=np.uint16).tobytes() if merges else b""
+    return Encoded(
+        NAME,
+        payload,
+        {"n": len(lengths), "nc": codes.size, "w": width,
+         "nm": len(merges), "lp": lens_enc.params},
+        {"merges": merge_arr, "lens": lens_enc.payload},
+    )
+
+
+def decode(payload: bytes, params: dict, tables: dict) -> tuple[np.ndarray, bytes]:
+    """Returns (lengths, data) matching bytes_view."""
+    nm = params["nm"]
+    merges = (
+        [tuple(p) for p in np.frombuffer(tables["merges"], dtype=np.uint16)
+         .reshape(nm, 2).astype(int)]
+        if nm else []
+    )
+    codes = unpack_uints(payload, params["w"], params["nc"]).astype(np.int64)
+    table = _expansions(merges)
+    data = b"".join(table[codes]) if codes.size else b""
+    lengths = for_.decode(tables["lens"], params["lp"], {})
+    return lengths, data
+
+
+def estimate_ratio(sample: bytes, merges: list[tuple[int, int]]) -> float:
+    """Estimated encoded-bits-per-original-byte on a sample (selector hook)."""
+    if not sample:
+        return 1.0
+    codes = np.frombuffer(sample[:SAMPLE_CAP], dtype=np.uint8).astype(np.int32)
+    n0 = codes.size
+    for i, (a, b) in enumerate(merges):
+        codes = _apply_merge(codes, a, b, 256 + i)
+    width = bit_width(255 + len(merges))
+    return (codes.size * width) / (n0 * 8.0)

@@ -1,0 +1,92 @@
+"""Codec auto-selection: the engine's only "planner".
+
+Per (partition, column, batch) the selector computes bounded-cost stats
+(:mod:`eel_sdk_spark.stats`) and picks the codec minimizing *estimated
+encoded bytes* — dictionary, RLE, FSST, bit-packed FOR/delta, or the
+plain/raw fallbacks — mirroring in user-space what the reference delegates
+to parquet writer knobs (dictionary toggle RowParquetWriterFn.scala:44,
+ORC SPEED/COMPRESSION strategy OrcSink.scala:15-33). Estimated sizes use
+the kernels' own cost hooks so the model and the encoders cannot drift
+apart structurally.
+
+The decision is recorded per block (CODEC column in the blocks table) so
+decisions are auditable in the encode_metrics output.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from . import stats as stats_mod
+from .codecs import dictionary, for_, rle
+from .codecs.bitpack import bit_width
+
+# Below this distinct-fraction a dictionary is considered for strings.
+DICT_CARD_FRACTION = 0.5
+# FSST only pays off for text with skewed symbol distributions.
+FSST_MIN_BYTES = 1 << 14
+
+
+def choose(values: pa.Array, kind: str, st: dict | None = None) -> str:
+    """Pick a codec name for a non-null Arrow array of the given kind."""
+    st = st or stats_mod.chunk_stats(values, kind)
+    n = st.get("n", 0)
+    if n == 0:
+        return "plain" if kind == "other" else _empty_default(kind)
+    if kind == "int":
+        return _choose_int(st)
+    if kind == "float":
+        return "rawf"
+    if kind == "bytes":
+        return _choose_bytes(st)
+    return "plain"
+
+
+def _empty_default(kind: str) -> str:
+    return {"int": "for", "float": "rawf", "bytes": "raw"}.get(kind, "plain")
+
+
+def _choose_int(st: dict) -> str:
+    n = st["n"]
+    est_for = for_.estimate_bytes(n, st["range"], st.get("delta_range"))
+    n_runs = st["n_runs"]
+    est_rle = rle.estimate_bytes(n_runs, st["range"], n)
+    # dict pays off when few distinct values but a wide range
+    card = st.get("card_sample", n)
+    sample_n = st.get("sample_n", n)
+    est_dict = float("inf")
+    if card < sample_n * 0.5:
+        card_full = _scale_card(card, sample_n, n)
+        est_dict = (n * bit_width(max(card_full - 1, 0)) + 7) // 8 + card_full * 8 + 96
+    best = min(est_for, est_rle, est_dict)
+    if best == est_rle and n_runs < n // 4:
+        return "rle"
+    if best == est_dict:
+        return "dict"
+    return "for"
+
+
+def _choose_bytes(st: dict) -> str:
+    n = st["n"]
+    card = st.get("card_sample", n)
+    sample_n = st.get("sample_n", n)
+    avg_len = st.get("avg_len", 0.0)
+    if sample_n and card < sample_n * DICT_CARD_FRACTION:
+        # low cardinality: dict; runs of identical values make it stronger
+        return "dict"
+    total_bytes_est = avg_len * n
+    if total_bytes_est >= FSST_MIN_BYTES and st.get("byte_skew", 0.0) > 0.75:
+        # highly skewed symbol distribution (natural-language text):
+        # FSST symbol table + zstd cascade wins over raw+zstd
+        return "fsst"
+    return "raw"
+
+
+def _scale_card(card_sample: int, sample_n: int, n: int) -> int:
+    """Crude cardinality scale-up: linear until half the sample is distinct."""
+    if sample_n == 0:
+        return 0
+    frac = card_sample / sample_n
+    if frac >= 0.5:
+        return max(int(frac * n), card_sample)
+    return card_sample if sample_n == n else min(int(card_sample * 1.5) + 16, n)

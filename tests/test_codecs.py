@@ -1,0 +1,180 @@
+"""Kernel-level round-trip tests on adversarial arrays (no Spark needed).
+
+Patterned on the reference's per-component round-trip suites
+(eel-core/src/test/scala/io/eels/component/parquet/ParquetComponentTest.scala):
+write -> read back -> exact equality. Adversarial slices per FIXTURES.md §1:
+empty, all-null, single-value, max-cardinality, non-ASCII, embedded NULs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from eel_sdk_spark import blocks
+from eel_sdk_spark.codecs import (
+    bitpack,
+    decode_column,
+    encode_column,
+    for_,
+    fsst,
+    rle,
+)
+
+rng = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- bitpack
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 31, 33, 64])
+def test_bitpack_roundtrip(width):
+    n = 257
+    if width == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    else:
+        vals = rng.integers(0, 2 ** min(width, 63), size=n, dtype=np.uint64)
+        if width == 64:
+            vals[0] = np.uint64(2**64 - 1)
+        vals[1] = np.uint64((1 << width) - 1)
+    buf = bitpack.pack_uints(vals, width)
+    out = bitpack.unpack_uints(buf, width, n)
+    np.testing.assert_array_equal(vals, out)
+
+
+# ---------------------------------------------------------------- for / rle
+INT_CASES = [
+    np.array([], dtype=np.int64),
+    np.array([7], dtype=np.int64),
+    np.full(1000, -3, dtype=np.int64),
+    np.arange(10_000, dtype=np.int64),                    # delta-friendly
+    rng.integers(-(2**62), 2**62, 5000).astype(np.int64),  # wide range
+    np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0], dtype=np.int64),
+    np.repeat(np.array([5, -1, 5, 9], dtype=np.int64), [100, 1, 3000, 7]),
+]
+
+
+@pytest.mark.parametrize("vals", INT_CASES)
+def test_for_roundtrip(vals):
+    enc = for_.encode(vals)
+    out = for_.decode(enc.payload, enc.params, enc.tables)
+    np.testing.assert_array_equal(vals, out)
+
+
+@pytest.mark.parametrize("vals", INT_CASES)
+def test_rle_roundtrip(vals):
+    enc = rle.encode(vals)
+    out = rle.decode(enc.payload, enc.params, enc.tables)
+    np.testing.assert_array_equal(vals, out)
+
+
+def test_for_sorted_uses_delta():
+    enc = for_.encode(np.arange(1_000_000, 2_000_000, dtype=np.int64))
+    assert enc.params["mode"] == "delta"
+    assert len(enc.payload) < 1000  # constant delta packs to ~0 bits
+
+
+def test_rle_compresses_runs():
+    vals = np.repeat(np.arange(10, dtype=np.int64), 10_000)
+    enc = rle.encode(vals)
+    assert len(enc.payload) < 400
+
+
+# ---------------------------------------------------------------- fsst
+def test_fsst_roundtrip_text():
+    docs = [f"the quick brown fox {i} jumps over the lazy dog" for i in range(200)]
+    data = "".join(docs).encode()
+    lengths = np.array([len(d.encode()) for d in docs], dtype=np.int64)
+    enc = fsst.encode(lengths, data)
+    lens2, data2 = fsst.decode(enc.payload, enc.params, enc.tables)
+    assert data2 == data
+    np.testing.assert_array_equal(lengths, lens2)
+    assert len(enc.payload) < len(data) * 0.7  # actually compresses
+
+
+def test_fsst_roundtrip_binary_and_empty():
+    raws = [b"", b"\x00\xff\x00seq", "héllo wörld".encode() * 3, b"\x00" * 50]
+    data = b"".join(raws)
+    lengths = np.array([len(r) for r in raws], dtype=np.int64)
+    enc = fsst.encode(lengths, data)
+    lens2, data2 = fsst.decode(enc.payload, enc.params, enc.tables)
+    assert data2 == data
+    np.testing.assert_array_equal(lengths, lens2)
+
+
+# ---------------------------------------------------------------- header
+def test_header_roundtrip():
+    params = {"codec": "for", "n": 3, "nested": {"a": [1, 2]}}
+    tables = {"dict": b"\x00\x01binary\xff", "nulls": b""}
+    buf = blocks.pack_header(params, tables)
+    p2, t2 = blocks.unpack_header(buf)
+    assert p2 == params
+    assert t2 == tables
+
+
+# ------------------------------------------------------- column round-trips
+TS = pa.timestamp("us", tz="UTC")
+COLUMN_CASES = [
+    pa.array([], type=pa.int64()),
+    pa.array([None, None, None], type=pa.int64()),
+    pa.array([1, None, 3, None, 5], type=pa.int64()),
+    pa.array(rng.integers(0, 50, 10_000), type=pa.int32()),
+    pa.array([True, False, None, True] * 100),
+    pa.array(rng.normal(size=1000), type=pa.float64()),
+    pa.array([1.5, None, float("nan"), float("inf")], type=pa.float32()),
+    pa.array(["en"] * 500 + ["de"] * 20 + [None, "fr"]),
+    pa.array([f"https://example-{i}.com/p/{i*7}" for i in range(2000)]),
+    pa.array([b"\x00\xff", None, b"", b"x" * 1000], type=pa.binary()),
+    pa.array(["多语言文本", "多语言文本", None, "héllo"], type=pa.large_string()),
+    pa.array(
+        [dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+         + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 86400, 500)],
+        type=TS),
+    pa.array([None, dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)], type=TS),
+    pa.array([dt.date(2020, 1, 1), None, dt.date(1970, 1, 1)]),
+    pa.array([[1, 2], None, [3]], type=pa.list_(pa.int64())),   # nested -> plain
+    pa.array([{"a": 1}, {"a": None}], type=pa.struct([("a", pa.int64())])),
+]
+
+
+def assert_arrays_equal(a: pa.Array, b: pa.Array):
+    """Bit-exact comparison with IEEE-NaN treated as equal to itself."""
+    assert a.type == b.type
+    assert len(a) == len(b)
+    if pa.types.is_floating(a.type):
+        np.testing.assert_array_equal(np.asarray(a.is_null()), np.asarray(b.is_null()))
+        av = np.asarray(a.fill_null(0.0))
+        bv = np.asarray(b.fill_null(0.0))
+        np.testing.assert_array_equal(av.view(np.uint8), bv.view(np.uint8))
+    else:
+        assert a.equals(b)
+
+
+@pytest.mark.parametrize("arr", COLUMN_CASES, ids=range(len(COLUMN_CASES)))
+def test_column_roundtrip(arr):
+    header, payload, info = encode_column(arr)
+    out = decode_column(header, payload)
+    assert_arrays_equal(out, arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+
+
+@pytest.mark.parametrize("codec", ["for", "rle", "dict", "plain"])
+def test_column_forced_codec_int(codec):
+    arr = pa.array([5, 5, 5, 9, None, 9, 123456], type=pa.int64())
+    header, payload, _ = encode_column(arr, codec=codec)
+    assert decode_column(header, payload).equals(arr)
+
+
+@pytest.mark.parametrize("codec", ["dict", "fsst", "raw", "plain"])
+def test_column_forced_codec_bytes(codec):
+    arr = pa.array(["aa", None, "bb", "aa", "the the the", ""], type=pa.string())
+    header, payload, _ = encode_column(arr, codec=codec)
+    assert decode_column(header, payload).equals(arr)
+
+
+def test_selected_codecs_are_sensible():
+    _, _, info_lang = encode_column(pa.array(["en"] * 900 + ["de"] * 100))
+    assert info_lang["codec"] in ("dict",)
+    _, _, info_sorted_ts = encode_column(
+        pa.array(np.arange(10_000) * 1000, type=pa.int64()))
+    assert info_sorted_ts["codec"] == "for"

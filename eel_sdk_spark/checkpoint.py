@@ -1,0 +1,109 @@
+"""Per-partition lineage + idempotent resume for the encode pipeline.
+
+Every encode run commits, in ONE atomic manifest commit (table.py), both
+its new block files and the set of logical part_ids they cover, plus
+per-part metrics (rows, raw/encoded bytes, codec mix) and an input
+fingerprint. A restarted run reads the committed part_ids from the current
+snapshot and anti-filters them from the input — work is either committed
+and skipped or uncommitted and redone, never half-visible.
+
+This is the reference's staged-commit idea (eel-hive/.../HiveSinkWriter.scala:78-101
+writes to .staging then renames per-file) upgraded to snapshot semantics;
+part_ids are content-derived (xxhash64 of the key column, encode.py), so
+resume is valid across different cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .encode import BLOCK_SCHEMA_DDL, encode_df
+from .table import ManifestTable, Snapshot
+
+
+def input_fingerprint(df: DataFrame, key: str) -> str:
+    """Order-independent content fingerprint: sum + xor-ish of key hashes."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(F.col(key))).alias("s"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}"
+
+
+def committed_part_ids(tbl: ManifestTable) -> set[int]:
+    snap = tbl.current()
+    if snap is None:
+        return set()
+    done: set[int] = set()
+    for run in snap.properties.get("runs", []):
+        done.update(run["part_ids"])
+    return done
+
+
+def encode_with_checkpoint(
+    spark: SparkSession,
+    df: DataFrame,
+    tbl: ManifestTable,
+    key: str = "url",
+    n_parts: int | None = None,
+    salt: int = 1,
+    run_id: str = "run",
+    fail_after_commit_parts: int | None = None,
+) -> dict:
+    """Encode ``df`` into ``tbl``, skipping parts already committed.
+
+    ``fail_after_commit_parts`` artificially stops after committing only
+    the first K parts — the hook the kill-and-resume test uses.
+    Returns run metrics (also persisted in the manifest).
+    """
+    n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
+    done = committed_part_ids(tbl)
+
+    from .encode import PART_COL, with_part_id
+    tagged = with_part_id(df, key, n_parts, salt)
+    if done:
+        tagged = tagged.filter(~F.col(PART_COL).isin(*done))
+    if fail_after_commit_parts is not None:
+        remaining = sorted(
+            r[0] for r in tagged.select(PART_COL).distinct().collect())
+        keep = set(remaining[:fail_after_commit_parts])
+        tagged = tagged.filter(F.col(PART_COL).isin(*keep))
+
+    blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt)
+
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    files = ManifestTable.list_written_files(job_dir)
+
+    written = spark.read.parquet(job_dir) if files else None
+    if written is None or written.isEmpty():
+        return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
+                "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+
+    first_col = written.select(F.min("col")).first()[0]
+    per_part = written.groupBy("part_id").agg(F.count("*")).collect()
+    totals = written.agg(
+        F.sum(F.when(F.col("col") == first_col, F.col("n_values"))
+              .otherwise(0)).alias("rows"),
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"),
+    ).collect()[0]
+    codec_mix = {f"{r['col']}:{r['codec']}": r["cnt"] for r in
+                 written.groupBy("col", "codec").agg(
+                     F.count("*").alias("cnt")).collect()}
+
+    run = {
+        "run_id": run_id,
+        "part_ids": sorted(int(r["part_id"]) for r in per_part),
+        "n_rows": int(totals["rows"] or 0),
+        "raw_bytes": int(totals["raw"] or 0),
+        "enc_bytes": int(totals["enc"] or 0),
+        "codec_mix": codec_mix,
+        "fingerprint": input_fingerprint(df, key),
+        "n_parts": n_parts,
+        "salt": salt,
+        "key": key,
+    }
+    snap = tbl.current()
+    runs = (snap.properties.get("runs", []) if snap else []) + [run]
+    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": runs}, mode="append")
+    return run

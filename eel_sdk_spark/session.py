@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the engine's Arrow-batched pipeline.
+
+Local-mode defaults match the sandbox (local[32], single JVM); on a real
+cluster the same builder is used minus the master override — partitioning
+decisions elsewhere never assume local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size = our encode block size. 32k rows of ~1-2 KB web pages
+# ≈ 32-64 MB per block: large enough to amortize symbol tables, small
+# enough to fit executor memory at 100 TB scale.
+ARROW_BATCH_ROWS = 32 * 1024
+
+
+def get_spark(app: str = "eel_sdk_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("EEL_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,83 @@
+"""Manifest table atomicity + kill-and-resume idempotency.
+
+North rule: "every stage checkpoints per-partition lineage + encode
+metrics so runs resume idempotently". Models the reference's staged
+commit (HiveSinkWriter.scala:78-101) upgraded to snapshot isolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.checkpoint import committed_part_ids, encode_with_checkpoint
+from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+from eel_sdk_spark.encode import decode_blocks_df
+from eel_sdk_spark.table import ManifestTable
+
+N = 4000
+PARTS = 8
+
+
+def test_manifest_commit_append_and_read(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path), "t1")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    s1 = tbl.write_df(df, "id bigint, v bigint")
+    assert s1.snapshot_id == 1
+    assert tbl.read(spark).count() == 100
+    s2 = tbl.write_df(spark.range(50).withColumn("v", F.lit(0)),
+                      "id bigint, v bigint")
+    assert s2.parent_id == 1
+    assert tbl.read(spark).count() == 150
+    # time travel to snapshot 1
+    assert tbl.read(spark, snapshot_id=1).count() == 100
+
+
+def test_uncommitted_write_is_invisible(spark, tmp_path):
+    tbl = ManifestTable(str(tmp_path), "t2")
+    df = spark.range(10)
+    # simulate a crash: data files written, commit never happened
+    df.write.mode("overwrite").parquet(tbl.new_data_path())
+    assert tbl.current() is None
+
+
+def test_kill_and_resume_idempotent(spark, tmp_path):
+    df = webtext_df(spark, N, parts=4).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "blocks")
+
+    # run 1 "dies" after committing only 3 of 8 parts
+    r1 = encode_with_checkpoint(spark, df, tbl, n_parts=PARTS, run_id="r1",
+                                fail_after_commit_parts=3)
+    assert len(r1["part_ids"]) == 3
+    assert committed_part_ids(tbl) == set(r1["part_ids"])
+
+    # run 2 resumes: only the remaining parts are encoded
+    r2 = encode_with_checkpoint(spark, df, tbl, n_parts=PARTS, run_id="r2")
+    assert set(r1["part_ids"]).isdisjoint(r2["part_ids"])
+    assert len(r1["part_ids"]) + len(r2["part_ids"]) == PARTS
+
+    # run 3 is a no-op: everything committed
+    r3 = encode_with_checkpoint(spark, df, tbl, n_parts=PARTS, run_id="r3")
+    assert r3["part_ids"] == []
+
+    # decoded union equals the input exactly (no dupes, no gaps)
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == N
+    assert decoded.select("url").distinct().count() == N
+    bad = (decoded.alias("d").join(df.alias("o"), "url")
+           .filter(~F.col("d.text").eqNullSafe(F.col("o.text"))).count())
+    assert bad == 0
+    df.unpersist()
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    df = webtext_df(spark, 1000, parts=2)
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    run = encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="m1")
+    assert run["n_rows"] == 1000
+    assert run["enc_bytes"] > 0
+    assert run["raw_bytes"] > run["enc_bytes"]
+    assert run["codec_mix"]
+    snap = tbl.current()
+    assert snap.properties["runs"][0]["run_id"] == "m1"
+    assert snap.properties["runs"][0]["fingerprint"]

@@ -1,0 +1,115 @@
+"""End-to-end encode -> decode bit-identity on the webtext corpus.
+
+The north-rule correctness gate (BASELINE.json input_hint): decoded columns
+bit-identical, byte-identical extracted text per url. Patterned on the
+reference's write->read-back component suites (ParquetComponentTest etc.).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df, webtext_table
+from eel_sdk_spark.encode import decode_blocks_df, encode_df
+
+N_ROWS = 8000
+
+
+def _mismatches(decoded, original, cols):
+    cond = None
+    for c in cols:
+        eq = F.col(f"d.{c}").eqNullSafe(F.col(f"o.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    j = decoded.alias("d").join(original.alias("o"), "url", "full")
+    return j.filter(~cond).count()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = webtext_df(spark, N_ROWS, parts=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_roundtrip_bit_identical(spark, corpus):
+    blocks = encode_df(corpus, key="url", n_parts=8).cache()
+    try:
+        decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+        assert decoded.count() == N_ROWS
+        assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+    finally:
+        blocks.unpersist()
+
+
+def test_text_byte_identical_per_url(spark, corpus):
+    """The per-row invariant: byte-identical extracted text per url."""
+    blocks = encode_df(corpus, key="url", n_parts=8)
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+    bad = (
+        decoded.select("url", F.encode(F.coalesce("text", F.lit("\x00NULL")),
+                                       "utf-8").alias("tb"))
+        .alias("d")
+        .join(corpus.select(
+            "url", F.encode(F.coalesce("text", F.lit("\x00NULL")),
+                            "utf-8").alias("tb")).alias("o"), "url")
+        .filter(~F.col("d.tb").eqNullSafe(F.col("o.tb")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_compression_beats_reference(spark, corpus, tmp_path):
+    """Total encoded bytes <= reference encoder output (parquet snappy+dict,
+    eel's ParquetSink defaults: RowParquetWriterFn.scala:42-50,
+    reference.conf:55)."""
+    import os
+
+    ref_dir = str(tmp_path / "ref_parquet")
+    (corpus.write.mode("overwrite")
+     .option("compression", "snappy")
+     .option("parquet.enable.dictionary", "true")
+     .parquet(ref_dir))
+    ref_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(ref_dir) for f in fs if f.endswith(".parquet"))
+
+    blocks = encode_df(corpus, key="url", n_parts=8)
+    enc_bytes = blocks.agg(F.sum("enc_bytes")).first()[0]
+    assert enc_bytes <= ref_bytes, f"encoded {enc_bytes} > reference {ref_bytes}"
+
+
+def test_adversarial_partitions(spark):
+    """Empty / all-null / single-value / max-cardinality slices round-trip."""
+    tbl = pa.table({
+        "url": pa.array([f"u{i}" for i in range(1000)]),
+        "warc_ts": pa.array([None] * 1000, type=pa.timestamp("us", tz="UTC")),
+        "html": pa.array([b"x"] * 1000, type=pa.binary()),
+        "text": pa.array([f"t{i}" for i in range(1000)]),  # max cardinality
+        "lang": pa.array(["en"] * 1000),                    # single value
+    })
+    df = spark.createDataFrame(tbl.to_pandas())
+    df = df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    blocks = encode_df(df, key="url", n_parts=4)
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+    assert decoded.count() == 1000
+    assert _mismatches(decoded, df, ["warc_ts", "html", "text", "lang"]) == 0
+
+
+def test_empty_input(spark):
+    df = webtext_df(spark, 0, parts=2)
+    blocks = encode_df(df, key="url", n_parts=2)
+    assert blocks.count() == 0
+
+
+def test_local_corpus_matches_distributed(spark):
+    """Generation is id-deterministic: same rows on any partitioning."""
+    local = webtext_table(500)
+    dist = webtext_df(spark, 500, parts=7).orderBy("url").toPandas()
+    lp = local.to_pandas().sort_values("url").reset_index(drop=True)
+    dist = dist.sort_values("url").reset_index(drop=True)
+    assert (lp["url"] == dist["url"]).all()
+    assert (lp["text"].fillna("") == dist["text"].fillna("")).all()
+    assert (lp["html"] == dist["html"]).all()

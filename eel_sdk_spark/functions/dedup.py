@@ -1,0 +1,214 @@
+"""Deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the part that matters at 10^12 docs):
+- exact dedup is one hash-shuffle groupBy on a fingerprint — never on the
+  raw text (shuffling 100 TB of text to dedup it is the classic mistake);
+- MinHash/LSH banding turns all-pairs O(n²) into groupBy on band keys:
+  only same-bucket candidates are pair-joined;
+- the MinHash hash family is md5-based so the DuckDB oracle can replay it
+  exactly (Spark xxhash64 has no DuckDB twin);
+- SimHash packs 64 bit-counters per doc via one explode + groupBy-sum,
+  then hamming-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+# -- exact ----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per exact text. One shuffle on the
+    md5 fingerprint (16 bytes), not the document body."""
+    fp = F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp")
+    reps = (df.select(fp, F.col(id_col))
+            .groupBy("fp").agg(F.min(id_col).alias(id_col)))
+    return df.join(reps, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fingerprint groups with >1 member (audit view of duplicates)."""
+    return (df.select(F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp"),
+                      F.col(id_col))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+# -- minhash + LSH --------------------------------------------------------
+
+def _minhash_token_hash(tok: Column, seed: int) -> Column:
+    """md5-based hash family: h_i(t) = md5('<i>:' || t), compared as hex
+    strings (lexicographic min == deterministic minhash). DuckDB-replayable."""
+    return F.md5(F.encode(F.concat(F.lit(f"{seed}:"), tok), "utf-8"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = 8) -> DataFrame:
+    """One row per doc: sig_0..sig_{n-1} columns (min token hash per seed).
+
+    Plan shape: explode tokens -> ONE groupBy(id) computing all n mins as
+    map-side-combinable aggs (not n passes)."""
+    toks = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                      .alias("tok")))
+    aggs = [F.min(_minhash_token_hash(F.col("tok"), i)).alias(f"sig_{i}")
+            for i in range(n_hashes)]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int = 8,
+              band_size: int = 2) -> DataFrame:
+    """(id, band_idx, band_key): band_key = md5 of concatenated sigs."""
+    out = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"sig_{i}")
+                for i in range(b * band_size, (b + 1) * band_size)]
+        key = F.md5(F.encode(F.concat_ws("|", *cols), "utf-8"))
+        out.append(sigs.select(F.col(id_col), F.lit(b).alias("band"),
+                               key.alias("band_key")))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                            n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Near-dup candidate pairs (a < b) sharing at least one LSH band.
+    The join is per-bucket (band, band_key) — the only all-pairs blow-up
+    possible is inside one bucket, which salting/band-size controls."""
+    bands = lsh_bands(minhash_signatures(df, text_col, id_col, n_hashes),
+                      id_col, n_hashes, band_size)
+    a = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("a"))
+    b = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("b"))
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+# -- n-gram jaccard -------------------------------------------------------
+
+def ngram_set(col: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram strings of a text column (JVM array ops)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1)  # noqa: E731
+                                        for k in range(n)])
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from minhash LSH: LSH
+    prunes, Jaccard verifies — the standard two-phase web-dedup shape."""
+    cands = minhash_candidate_pairs(df, text_col, id_col)
+    grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("g"))
+    ga = grams.select(F.col(id_col).alias("a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col(id_col).alias("b"), F.col("g").alias("gb"))
+    joined = cands.join(ga, "a").join(gb, "b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (joined.select("a", "b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# -- simhash --------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per token take xxhash64, add ±1 per bit position,
+    sign of the sum is the output bit. One explode + one groupBy: the
+    bit-counter matrix is built with JVM array ops (no Python).
+
+    Output: (id, simhash bigint)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    contribs = F.array(*[
+        F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+               F.lit(1)).otherwise(F.lit(-1))
+        for b in range(bits)])
+    summed = (toks.select(F.col(id_col), contribs.alias("c"))
+              .groupBy(id_col)
+              .agg(F.array(*[F.sum(F.element_at("c", b + 1))
+                             for b in range(bits)]).alias("s")))
+    acc = F.lit(0).cast("long")
+    for b in range(bits - 1):  # skip the sign bit to stay in signed range
+        acc = acc + F.when(F.element_at("s", b + 1) > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return summed.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Hamming-ball candidate join via 4-way band buckets (Charikar trick):
+    pairs within hamming distance d <= 3 must agree on >= 1 of 4 16-bit
+    bands; verify with bit_count on the xor."""
+    sh = simhash(df, text_col, id_col)
+    bandcols = [(F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)))
+                .alias(f"b{i}") for i in range(4)]
+    banded = sh.select(id_col, "simhash", *bandcols)
+    pairs = None
+    for i in range(4):
+        a = banded.select(F.col(id_col).alias("a"),
+                          F.col("simhash").alias("sa"), F.col(f"b{i}").alias("k"))
+        b = banded.select(F.col(id_col).alias("b"),
+                          F.col("simhash").alias("sb"), F.col(f"b{i}").alias("k"))
+        p = a.join(b, "k").filter(F.col("a") < F.col("b")).drop("k")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (pairs.distinct()
+            .select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# -- embedding near-dup ---------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns — JVM higher-order
+    functions (zip_with + aggregate), no UDF. Elements are cast to double
+    first so results are IEEE-double identical to the DuckDB oracle."""
+    a = F.transform(a, lambda x: x.cast("double"))
+    b = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        n_planes: int = 8) -> DataFrame:
+    """Near-duplicate vectors: random-hyperplane LSH bucket join + exact
+    cosine verify. Planes are derived deterministically from xxhash64 of
+    (plane, dim) so the bucketing is reproducible across runs/cluster sizes."""
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    sign_bits = []
+    for p in range(n_planes):
+        # pseudo-random ±1 plane component per dimension
+        comp = F.transform(dim_idx, lambda i, p=p: F.when(
+            F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0)))
+        dot = F.aggregate(F.zip_with(F.col(vec_col), comp, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        sign_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = sign_bits[0]
+    for s in sign_bits[1:]:
+        bucket = bucket + s
+    withb = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = withb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    return (pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4)
+                         .alias("cos"))
+            .filter(F.col("cos") >= threshold))

@@ -1,0 +1,110 @@
+"""Text analysis for web-scale corpora: tokenization, quality scoring,
+language id, fingerprinting.
+
+Everything here is a *Column expression builder* — pure JVM-side
+``pyspark.sql.functions`` compositions (whole-stage codegen, no Python in
+the hot path). Each builder has a DuckDB-SQL twin in ``__spark_entry__``'s
+oracles; the expressions are written against the ANSI subset both engines
+share (split/filter lambdas, regexp_replace, md5) so results match bit-for-
+bit on strings and to 4 decimals on ratios.
+
+The reference has no scalar-function library at all (SURVEY.md §2.7: users
+write Scala lambdas in ``map``) — this module is the engine's superset
+replacement, per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "at", "this")
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empty strings removed (split-on-space semantics,
+    identical to DuckDB ``list_filter(string_split(t, ' '), x -> x <> '')``)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are basic punctuation."""
+    removed = F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    return F.when(F.length(col) > 0,
+                  (F.length(col) - removed) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, some stopwords
+    (looks like language), not punctuation soup. Deterministic arithmetic
+    shared with the DuckDB oracle."""
+    n_tok = token_count(col)
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
+    return F.round((len_term + stop_term + punct_term) / 3.0, 4)
+
+
+# language id: char-class + stopword n-gram heuristic ----------------------
+
+_LANG_MARKERS = [
+    ("zh", r"[一-鿿]"),
+    ("ja", r"[぀-ヿ]"),
+    ("ru", r"[Ѐ-ӿ]"),
+]
+_LANG_STOPWORDS = [
+    ("de", (" der ", " die ", " und ", " nicht ")),
+    ("fr", (" le ", " la ", " les ", " est ")),
+    ("es", (" el ", " los ", " que ", " una ")),
+]
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language id. Script ranges first, then stopword evidence,
+    default 'en'. Mirrors classic n-gram LID at the cheapest useful tier."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    expr = F.lit("en")
+    for lang, words in reversed(_LANG_STOPWORDS):
+        hits = None
+        for w in words:
+            h = F.when(padded.contains(w), 1).otherwise(0)
+            hits = h if hits is None else hits + h
+        expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
+    for lang, pattern in reversed(_LANG_MARKERS):
+        expr = F.when(F.regexp_count(col, F.lit(pattern)) > 0,
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Stable 64-bit-equivalent content fingerprint (hex prefix of md5) —
+    the oracle-checkable fingerprint."""
+    return F.substring(F.md5(F.encode(col, "utf-8")), 1, 16)
+
+
+def fingerprint_rolling(col: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min rolling-hash over ``window``-grams.
+    Built from JVM ops: substring n-grams via sequence + transform, hash
+    each gram with xxhash64, take the min. (No DuckDB twin — xxhash64 is
+    Spark-specific; checked rows-only.)"""
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: col.substr(i, F.lit(window)))
+    return F.array_min(F.transform(grams, F.xxhash64))

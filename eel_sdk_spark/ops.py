@@ -1,0 +1,313 @@
+"""The eel DataStream operator surface, re-expressed on Spark DataFrames.
+
+Every public method mirrors an operator of the reference's lazy stream
+algebra (eel-core/src/main/scala/io/eels/datastream/DataStream.scala —
+cites per method) but compiles to a declarative DataFrame op so Catalyst
+gets pushdown/pruning/join-planning for free (SURVEY.md §4: the reference
+hand-plumbs these). Operators the reference lacks (outer joins, sort,
+distinct, window ranks, rollup/cube) are included as free upgrades —
+`how=` parameters and thin passthroughs.
+
+Order-dependent operators (drop/takeWhile/sample-every-k/concat-zip) need
+an explicit ordering to be well-defined on a distributed engine; they take
+an ``order_by`` argument and are implemented with window functions instead
+of relying on stream arrival order (the reference's single-JVM semantics,
+DataStream.scala:200-238, cannot scale and is under-defined under
+parallel parts anyway).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class DataStream:
+    """Fluent wrapper; ``.df`` exposes the underlying DataFrame at any point."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def from_df(df: DataFrame) -> "DataStream":
+        return DataStream(df)
+
+    # -- schema ops (DataStream.scala:450-513, 590-599, 95-106) -----------
+    def projection(self, *cols: str) -> "DataStream":
+        """DataStream.scala:705-733 (projection / projectionExpression)."""
+        return DataStream(self.df.select(*cols))
+
+    def remove_field(self, *names: str) -> "DataStream":
+        """DataStream.scala:464-513 (removeField/dropField variants)."""
+        return DataStream(self.df.drop(*names))
+
+    def remove_fields_regex(self, pattern: str) -> "DataStream":
+        """StructType.removeFields(regex) — schema.scala:241-245."""
+        import re
+
+        keep = [c for c in self.df.columns if not re.fullmatch(pattern, c)]
+        return DataStream(self.df.select(*keep))
+
+    def rename_field(self, old: str, new: str) -> "DataStream":
+        """DataStream.scala:450-459."""
+        return DataStream(self.df.withColumnRenamed(old, new))
+
+    def add_field(self, name: str, col: Column,
+                  error_if_exists: bool = False) -> "DataStream":
+        """DataStream.scala:774-854 (addField w/ constant, fn or expression)."""
+        if error_if_exists and name in self.df.columns:
+            raise ValueError(f"field {name!r} already exists")
+        return DataStream(self.df.withColumn(name, col))
+
+    def replace_field_type(self, name: str, new_type: str) -> "DataStream":
+        """DataStream.scala:868-885 — here with a real cast of the values."""
+        return DataStream(self.df.withColumn(name, F.col(name).cast(new_type)))
+
+    def align(self, columns: Sequence[str]) -> "DataStream":
+        """DataStream.scala:110-135: reorder to target schema, drop extras,
+        error on missing (the analyzer raises for us)."""
+        return DataStream(self.df.select(*columns))
+
+    def with_lower_case_schema(self) -> "DataStream":
+        """DataStream.scala:95-106."""
+        return DataStream(self.df.toDF(*[c.lower() for c in self.df.columns]))
+
+    def strip_chars_from_field_names(self, chars: str) -> "DataStream":
+        """DataStream.scala:590-599."""
+        table = str.maketrans("", "", chars)
+        return DataStream(self.df.toDF(*[c.translate(table)
+                                         for c in self.df.columns]))
+
+    # -- row transforms ----------------------------------------------------
+    def map_field(self, name: str, fn: Callable[[Column], Column]) -> "DataStream":
+        """DataStream.scala:49-65 (mapField; NB the reference's version is
+        a no-op bug — it reassigns the old value; we implement the intent)."""
+        return DataStream(self.df.withColumn(name, fn(F.col(name))))
+
+    def update_field(self, name: str, from_value, target) -> "DataStream":
+        """DataStream.scala:630-645: conditional substitution in one column."""
+        return DataStream(self.df.withColumn(
+            name, F.when(F.col(name) == F.lit(from_value),
+                         F.lit(target)).otherwise(F.col(name))))
+
+    def replace_everywhere(self, from_value, target) -> "DataStream":
+        """DataStream.scala:651-657: substitution across all columns."""
+        df = self.df
+        for c, t in df.dtypes:
+            df = df.withColumn(c, F.when(F.col(c) == F.lit(from_value),
+                                         F.lit(target).cast(t))
+                               .otherwise(F.col(c)))
+        return DataStream(df)
+
+    def replace_null_values(self, default) -> "DataStream":
+        """DataStream.scala:755-772."""
+        return DataStream(self.df.na.fill(default))
+
+    def drop_null_rows(self) -> "DataStream":
+        """DataStream.scala:462."""
+        return DataStream(self.df.na.drop("any"))
+
+    def explode_field(self, name: str, out: str | None = None) -> "DataStream":
+        """DataStream.scala:856-865 (explode Row=>Seq[Row], array case)."""
+        return DataStream(self.df.withColumn(out or name, F.explode(F.col(name))))
+
+    # -- filters (DataStream.scala:67-108) --------------------------------
+    def filter(self, predicate: Column) -> "DataStream":
+        return DataStream(self.df.filter(predicate))
+
+    def filter_not(self, predicate: Column) -> "DataStream":
+        """DataStream.scala:108."""
+        return DataStream(self.df.filter(~predicate))
+
+    # -- joins (DataStream.scala:417-448, 258-283, 373-415) ---------------
+    def join(self, key: str, other: "DataStream", how: str = "inner",
+             broadcast: bool = True) -> "DataStream":
+        """DataStream.scala:417-448: single-key broadcast hash join; the
+        reference materializes the right side into a hash map ("always use
+        the smallest datastream as the parameter") — here ``F.broadcast``
+        declares the same intent and Catalyst builds the hash map per
+        executor. ``how`` is a free upgrade (reference: inner only)."""
+        right = F.broadcast(other.df) if broadcast else other.df
+        return DataStream(self.df.join(right, on=key, how=how))
+
+    def cartesian(self, other: "DataStream") -> "DataStream":
+        """DataStream.scala:258-283."""
+        return DataStream(self.df.crossJoin(other.df))
+
+    def concat_zip(self, other: "DataStream", order_left: str,
+                   order_right: str) -> "DataStream":
+        """DataStream.scala:373-415: positional zip of two streams. Needs an
+        explicit order on a distributed engine: row_number on each side +
+        equi-join on the index."""
+        wl = Window.orderBy(order_left)
+        wr = Window.orderBy(order_right)
+        left = self.df.withColumn("__zip", F.row_number().over(wl))
+        right = other.df.withColumn("__zip", F.row_number().over(wr))
+        return DataStream(left.join(right, "__zip").drop("__zip"))
+
+    # -- set ops (DataStream.scala:684-753) -------------------------------
+    def union(self, other: "DataStream") -> "DataStream":
+        """DataStream.scala:684-703 (++/union: sequential concatenation)."""
+        return DataStream(self.df.unionByName(other.df))
+
+    def subtract(self, other: "DataStream") -> "DataStream":
+        """DataStream.scala:735-743 ('substract' [sic]): lhs rows not in rhs."""
+        return DataStream(self.df.exceptAll(other.df))
+
+    def intersection(self, other: "DataStream") -> "DataStream":
+        """DataStream.scala:745-753."""
+        return DataStream(self.df.intersectAll(other.df))
+
+    def distinct(self) -> "DataStream":
+        """Absent in the reference (SURVEY §2.5) — free upgrade."""
+        return DataStream(self.df.distinct())
+
+    # -- ordering-dependent ops, made deterministic ------------------------
+    def take(self, n: int, order_by: str | Column | None = None) -> "DataStream":
+        """DataStream.scala:165-198: limit w/ upstream cancellation; Spark's
+        limit short-circuits the scan the same way (CollectLimitExec)."""
+        df = self.df.orderBy(order_by) if order_by is not None else self.df
+        return DataStream(df.limit(n))
+
+    def drop_rows(self, n: int, order_by: str | Column) -> "DataStream":
+        """DataStream.scala:200-212 (drop first n in stream order)."""
+        w = Window.orderBy(order_by)
+        return DataStream(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > n).drop("__rn"))
+
+    def take_while(self, predicate: Column, order_by: str | Column) -> "DataStream":
+        """DataStream.scala:137-163: longest prefix satisfying predicate =
+        rows before the first failing row (min failing rank via window)."""
+        w = Window.orderBy(order_by)
+        df = (self.df.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__bad",
+                          F.min(F.when(~predicate, F.col("__rn")))
+                          .over(w.rowsBetween(Window.unboundedPreceding,
+                                              Window.unboundedFollowing))))
+        return DataStream(
+            df.filter(F.col("__bad").isNull() | (F.col("__rn") < F.col("__bad")))
+            .drop("__rn", "__bad"))
+
+    def drop_while(self, predicate: Column, order_by: str | Column) -> "DataStream":
+        """DataStream.scala:214-238."""
+        w = Window.orderBy(order_by)
+        df = (self.df.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__bad",
+                          F.min(F.when(~predicate, F.col("__rn")))
+                          .over(w.rowsBetween(Window.unboundedPreceding,
+                                              Window.unboundedFollowing))))
+        return DataStream(
+            df.filter(F.col("__bad").isNotNull()
+                      & (F.col("__rn") >= F.col("__bad"))).drop("__rn", "__bad"))
+
+    def sample_every_k(self, k: int, order_by: str | Column) -> "DataStream":
+        """DataStream.scala:665-678: keep every k-th row (exact, counter
+        based) — row_number % k == 0 under the explicit order."""
+        w = Window.orderBy(order_by)
+        return DataStream(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") % k == 0).drop("__rn"))
+
+    # -- arg-extrema (DataStream.scala:515-551) ---------------------------
+    def min_by(self, of: str, by: str) -> "DataStream":
+        return DataStream(self.df.agg(F.min_by(of, by).alias(of)))
+
+    def max_by(self, of: str, by: str) -> "DataStream":
+        return DataStream(self.df.agg(F.max_by(of, by).alias(of)))
+
+    # -- grouping (DataStream.scala:240-256, GroupedDataStream.scala) -----
+    def group_by(self, *cols: str) -> "GroupedDataStream":
+        """DataStream.scala:247-249. The reference keys groups on the
+        lower-cased string-concat of values (collision-prone); Spark groups
+        on the typed values."""
+        return GroupedDataStream(self.df, list(cols))
+
+    def aggregated(self) -> "GroupedDataStream":
+        """DataStream.scala:240-245: whole-dataset single group."""
+        return GroupedDataStream(self.df, [])
+
+    # -- actions (DataStream.scala:890-943, 1018-1021) --------------------
+    def collect(self):
+        return self.df.collect()
+
+    def size(self) -> int:
+        """DataStream.scala:910-922."""
+        return self.df.count()
+
+    def exists(self, predicate: Column) -> bool:
+        """DataStream.scala:927-934 — early-terminating via limit(1)."""
+        return len(self.df.filter(predicate).take(1)) > 0
+
+    def find(self, predicate: Column):
+        """DataStream.scala:936-943."""
+        rows = self.df.filter(predicate).take(1)
+        return rows[0] if rows else None
+
+    def head(self):
+        return self.df.head()
+
+    def iterator(self):
+        """DataStream.scala:285-300."""
+        return self.df.toLocalIterator()
+
+    # -- sinks (SinkAction.scala:12-101: N parallel writers) --------------
+    def to_parquet(self, path: str, parallelism: int | None = None, **opts):
+        df = self.df.repartition(parallelism) if parallelism else self.df
+        df.write.mode("overwrite").options(**opts).parquet(path)
+
+    def to_csv(self, path: str, parallelism: int | None = None, **opts):
+        df = self.df.repartition(parallelism) if parallelism else self.df
+        df.write.mode("overwrite").options(**opts).csv(path)
+
+    def to_json(self, path: str, parallelism: int | None = None, **opts):
+        df = self.df.repartition(parallelism) if parallelism else self.df
+        df.write.mode("overwrite").options(**opts).json(path)
+
+    def to_orc(self, path: str, parallelism: int | None = None, **opts):
+        df = self.df.repartition(parallelism) if parallelism else self.df
+        df.write.mode("overwrite").options(**opts).orc(path)
+
+
+class GroupedDataStream:
+    """GroupedDataStream (GroupedDataStream.scala:11-90): groupBy + a vector
+    of aggregations. The reference's evaluator is unimplemented (`???`,
+    :62) — its contract survives only in ignored tests; Spark's hash
+    aggregate provides working semantics (map-side partial agg included)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self.df = df
+        self.keys = keys
+        self._aggs: list[Column] = []
+
+    def sum(self, field: str) -> "GroupedDataStream":
+        self._aggs.append(F.sum(field).alias(f"sum_{field}"))
+        return self
+
+    def count(self, field: str | None = None) -> "GroupedDataStream":
+        self._aggs.append(F.count(field or "*").alias("count"))
+        return self
+
+    def avg(self, field: str) -> "GroupedDataStream":
+        self._aggs.append(F.avg(field).alias(f"avg_{field}"))
+        return self
+
+    def min(self, field: str) -> "GroupedDataStream":
+        self._aggs.append(F.min(field).alias(f"min_{field}"))
+        return self
+
+    def max(self, field: str) -> "GroupedDataStream":
+        self._aggs.append(F.max(field).alias(f"max_{field}"))
+        return self
+
+    def agg(self, *cols: Column) -> "GroupedDataStream":
+        self._aggs.extend(cols)
+        return self
+
+    def to_datastream(self) -> DataStream:
+        if self.keys:
+            return DataStream(self.df.groupBy(*self.keys).agg(*self._aggs))
+        return DataStream(self.df.agg(*self._aggs))

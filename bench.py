@@ -1,0 +1,125 @@
+"""Per-round benchmark harness (driver contract: ONE JSON line to stdout).
+
+Sections:
+1. encode — the engine's headline metric: webtext corpus encode at
+   local[$SPARK_GRAFT_CPUS], both profiles, median-of-N warm runs
+   (jobs/encode_bench.py in-process).
+2. queries — representative operator queries at $SPARK_GRAFT_SF_DIR.
+3. scaling — the north-rule N->4N evidence: the same encode job at
+   local[2] and local[8] in subprocesses (fresh JVMs; a shared memory
+   bus contends >8-way, see jobs/encode_bench.py docstring), efficiency
+   = (T_N * N) / (T_4N * 4N). Skip with EEL_BENCH_SCALING=0.
+
+Output schema: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ENC_ROWS = int(os.environ.get("EEL_BENCH_ROWS", "200000"))
+SCALE_ROWS = int(os.environ.get("EEL_BENCH_SCALE_ROWS", "50000"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+BENCH_QUERIES = [
+    "tpch_q1", "broadcast_join_agg", "join_multi", "topk_per_group",
+    "window_running", "dedup_exact", "minhash_pairs", "text_quality",
+    "ann_brute", "events_window", "sessionization", "rollup",
+]
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        fn(spark, SF_DIR).count()  # warm (scans get page-cached)
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_scaling() -> dict:
+    results = {}
+    for cpus in (2, 8):
+        cmd = [sys.executable, "-m", "jobs.encode_bench",
+               "--cpus", str(cpus), "--rows", str(SCALE_ROWS),
+               "--profile", "compression", "--parts", "64",
+               "--repeat", "4", "--no-decode", "--no-ref"]
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                              timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    # min-of-N: the sandbox box is noisy (co-tenant interference measured
+    # up to 4x on identical runs); min isolates the machine's capability
+    t_n = min(results[2]["encode_sec_all"])
+    t_4n = min(results[8]["encode_sec_all"])
+    eff = (t_n * 2) / (t_4n * 8)
+    return {
+        "pair": "local[2] -> local[8]",
+        "rows": SCALE_ROWS,
+        "t_n_sec": t_n,
+        "t_4n_sec": t_4n,
+        "throughput_n_rps": results[2]["rows_per_sec"],
+        "throughput_4n_rps": results[8]["rows_per_sec"],
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+
+
+def main() -> None:
+    t_start = time.monotonic()
+    from jobs.encode_bench import run as bench_run
+
+    enc_speed = bench_run(CPUS, ENC_ROWS, with_decode=True, profile="speed",
+                          parts=64, repeat=3)
+    enc_comp = bench_run(CPUS, SCALE_ROWS, with_decode=False,
+                         profile="compression", parts=64, repeat=1)
+
+    from eel_sdk_spark.session import get_spark
+
+    spark = get_spark(app="bench-queries", cpus=CPUS)
+    try:
+        queries = run_queries(spark)
+    finally:
+        spark.stop()
+
+    scaling = None
+    if os.environ.get("EEL_BENCH_SCALING", "1") != "0":
+        scaling = run_scaling()
+
+    queries_full = dict(queries)
+    queries_full["encode_speed"] = enc_speed["encode_sec"]
+    queries_full["encode_compression"] = enc_comp["encode_sec"]
+    queries_full["decode"] = enc_speed["decode_sec"]
+
+    total = round(sum(v for v in queries_full.values() if v), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries_full,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "encode": {
+            "speed": enc_speed,
+            "compression": enc_comp,
+        },
+        "scaling": scaling,
+        "wall_sec": round(time.monotonic() - t_start, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,8 +54,14 @@ def _decompress_tables(params: dict, tables: dict) -> None:
                                         asbytes=True)
 
 
-def encode_values(values: pa.Array, kind: str, codec: str) -> Encoded:
-    """Encode a non-null Arrow array with an explicit codec."""
+def encode_values(values: pa.Array, kind: str, codec: str,
+                  ctx: dict | None = None, ctx_key: str = "") -> Encoded:
+    """Encode a non-null Arrow array with an explicit codec.
+
+    ``ctx`` is a per-partition mutable cache: FSST symbol tables are
+    trained once per (partition, column) and reused for later blocks —
+    amortizing training the way parquet reuses a dictionary per row group.
+    """
     if codec == "plain":
         return plain.encode_arrow(values)
     if kind == "int":
@@ -74,7 +80,13 @@ def encode_values(values: pa.Array, kind: str, codec: str) -> Encoded:
             return dictionary.encode_bytes(values)
         if codec == "fsst":
             lengths, data = bytes_view(values)
-            return fsst.encode(lengths, data)
+            merges = None
+            if ctx is not None:
+                merges = ctx.get(("fsst", ctx_key))
+                if merges is None:
+                    merges = fsst.train(data)
+                    ctx[("fsst", ctx_key)] = merges
+            return fsst.encode(lengths, data, merges=merges)
         if codec == "raw":
             lengths, data = bytes_view(values)
             return plain.encode_raw_bytes(lengths, data)
@@ -108,8 +120,15 @@ def decode_values(codec: str, kind: str, payload: bytes, params: dict,
     raise ValueError(f"codec {codec!r} not applicable to kind {kind!r}")
 
 
-def encode_column(arr: pa.Array, codec: str | None = None) -> tuple[bytes, bytes, dict]:
-    """One column chunk -> (header, payload, info). info feeds metrics."""
+def encode_column(arr: pa.Array, codec: str | None = None,
+                  profile: str = "speed", ctx: dict | None = None,
+                  ctx_key: str = "") -> tuple[bytes, bytes, dict]:
+    """One column chunk -> (header, payload, info). info feeds metrics.
+
+    ``profile``: 'speed' (default) optimizes GB/s, 'compression' minimizes
+    bytes (FSST for text) — the engine's analogue of ORC's
+    SPEED/COMPRESSION EncodingStrategy (eel-orc/.../OrcSink.scala:15-33).
+    """
     from .. import selector  # late import: selector uses kernel cost hooks
 
     if isinstance(arr, pa.ChunkedArray):
@@ -122,9 +141,10 @@ def encode_column(arr: pa.Array, codec: str | None = None) -> tuple[bytes, bytes
     if kind == "other":
         codec = "plain"
     if codec is None:
-        codec = selector.choose(values, kind)
+        codec = selector.choose(values, kind, profile=profile)
     # plain (Arrow IPC) carries nulls inline: feed it the full array
-    enc = encode_values(arr if codec == "plain" else values, kind, codec)
+    enc = encode_values(arr if codec == "plain" else values, kind, codec,
+                        ctx=ctx, ctx_key=ctx_key)
     enc = cascade_compress(enc)
     _compress_tables(enc)
 

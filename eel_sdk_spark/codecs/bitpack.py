@@ -23,19 +23,32 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def _container(width: int) -> tuple[int, str]:
+    """Smallest big-endian container dtype covering ``width`` bits."""
+    if width <= 8:
+        return 1, ">u1"
+    if width <= 16:
+        return 2, ">u2"
+    if width <= 32:
+        return 4, ">u4"
+    return 8, ">u8"
+
+
 def pack_uints(values: np.ndarray, width: int) -> bytes:
     """Pack uint64 ``values`` into ``width``-bit big-endian fields.
 
-    width == 0 encodes a constant column: the payload is empty.
+    width == 0 encodes a constant column: the payload is empty. Values are
+    staged through the smallest containing dtype so the transient bit
+    matrix is width-proportional, not 64-bit (8x memory/time for codes).
     """
     if width == 0:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
+    nb, dt = _container(width)
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    # Big-endian byte view -> per-value 64 bit columns -> keep low `width` bits.
-    as_bytes = v.astype(">u8").view(np.uint8).reshape(-1, 8)
-    bits = np.unpackbits(as_bytes, axis=1)[:, 64 - width :]
+    as_bytes = v.astype(dt).view(np.uint8).reshape(-1, nb)
+    bits = np.unpackbits(as_bytes, axis=1)[:, nb * 8 - width:]
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -43,10 +56,11 @@ def unpack_uints(payload: bytes, width: int, n: int) -> np.ndarray:
     """Inverse of :func:`pack_uints`; returns uint64 array of length ``n``."""
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
+    nb, dt = _container(width)
     bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=n * width)
-    out = np.zeros((n, 64), dtype=np.uint8)
-    out[:, 64 - width :] = bits.reshape(n, width)
-    return np.packbits(out, axis=1).view(">u8").ravel().astype(np.uint64)
+    out = np.zeros((n, nb * 8), dtype=np.uint8)
+    out[:, nb * 8 - width:] = bits.reshape(n, width)
+    return np.packbits(out, axis=1).view(dt).ravel().astype(np.uint64)
 
 
 def pack_bools(mask: np.ndarray) -> bytes:

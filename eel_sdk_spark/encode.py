@@ -19,6 +19,7 @@ writer-per-partition hotspot, eel-hive/.../HiveSinkWriter.scala:138-148).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,11 +34,11 @@ PART_COL = "__eel_part"
 BLOCK_SCHEMA_DDL = (
     "part_id int, block_seq int, col string, codec string, "
     "n_values bigint, n_nulls bigint, header binary, payload binary, "
-    "raw_bytes bigint, enc_bytes bigint"
+    "raw_bytes bigint, enc_bytes bigint, encode_ms double"
 )
 
 BLOCK_FIELDS = ["part_id", "block_seq", "col", "codec", "n_values", "n_nulls",
-                "header", "payload", "raw_bytes", "enc_bytes"]
+                "header", "payload", "raw_bytes", "enc_bytes", "encode_ms"]
 
 
 def with_part_id(df: DataFrame, key: str, n_parts: int,
@@ -63,8 +64,9 @@ def _split_by_part(batch: pa.RecordBatch) -> Iterator[tuple[int, pa.RecordBatch]
 
 def _encode_batches(batches: Iterator[pa.RecordBatch],
                     codec_overrides: dict[str, str | None],
-                    ) -> Iterator[pa.RecordBatch]:
+                    profile: str = "speed") -> Iterator[pa.RecordBatch]:
     seq: dict[int, int] = {}
+    ctx: dict = {}  # per-partition codec context (cached FSST tables etc.)
     for batch in batches:
         for part_id, sub in _split_by_part(batch):
             block_seq = seq.get(part_id, 0)
@@ -74,8 +76,11 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 if name == PART_COL:
                     continue
                 arr = sub.column(name)
+                t0 = time.monotonic()
                 header, payload, info = encode_column(
-                    arr, codec=codec_overrides.get(name))
+                    arr, codec=codec_overrides.get(name), profile=profile,
+                    ctx=ctx, ctx_key=name)
+                rows["encode_ms"].append((time.monotonic() - t0) * 1000.0)
                 rows["part_id"].append(part_id)
                 rows["block_seq"].append(block_seq)
                 rows["col"].append(name)
@@ -98,6 +103,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                     pa.array(rows["payload"], type=pa.binary()),
                     pa.array(rows["raw_bytes"], type=pa.int64()),
                     pa.array(rows["enc_bytes"], type=pa.int64()),
+                    pa.array(rows["encode_ms"], type=pa.float64()),
                 ],
                 names=BLOCK_FIELDS,
             )
@@ -105,7 +111,8 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
 
 def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               salt: int = 1,
-              codec_overrides: dict[str, str] | None = None) -> DataFrame:
+              codec_overrides: dict[str, str] | None = None,
+              profile: str = "speed") -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
     The physical plan is: project + hash (JVM) -> shuffle on part_id ->
@@ -121,7 +128,7 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
         .sortWithinPartitions(PART_COL)
     )
     return prepared.mapInArrow(
-        lambda it: _encode_batches(it, overrides), BLOCK_SCHEMA_DDL)
+        lambda it: _encode_batches(it, overrides, profile), BLOCK_SCHEMA_DDL)
 
 
 def decode_blocks_df(blocks: DataFrame, schema_ddl: str) -> DataFrame:

@@ -34,11 +34,41 @@ PART_COL = "__eel_part"
 BLOCK_SCHEMA_DDL = (
     "part_id int, block_seq int, col string, codec string, "
     "n_values bigint, n_nulls bigint, header binary, payload binary, "
-    "raw_bytes bigint, enc_bytes bigint, encode_ms double"
+    "raw_bytes bigint, enc_bytes bigint, encode_ms double, "
+    "min_i bigint, max_i bigint, min_s string, max_s string"
 )
 
 BLOCK_FIELDS = ["part_id", "block_seq", "col", "codec", "n_values", "n_nulls",
-                "header", "payload", "raw_bytes", "enc_bytes", "encode_ms"]
+                "header", "payload", "raw_bytes", "enc_bytes", "encode_ms",
+                "min_i", "max_i", "min_s", "max_s"]
+
+STATS_STR_LEN = 64  # string min/max truncated like parquet column stats
+
+
+def _block_stats(arr: pa.Array, kind: str):
+    """(min_i, max_i, min_s, max_s) for the block header row — the engine's
+    analogue of parquet row-group / ORC stripe statistics that the
+    reference's predicates skip on (ParquetPredicateBuilder.scala:16-119,
+    OrcBatchIterator.scala:38-41). Decode-side block skipping filters on
+    these columns with plain JVM expressions."""
+    import pyarrow.compute as pc
+
+    from .codecs.base import int_view
+
+    if arr.null_count == len(arr) or len(arr) == 0:
+        return None, None, None, None
+    values = arr.drop_null() if arr.null_count else arr
+    if kind == "int":
+        iv = int_view(values)
+        return int(iv.min()), int(iv.max()), None, None
+    if kind == "bytes" and (pa.types.is_string(arr.type)
+                            or pa.types.is_large_string(arr.type)):
+        mm = pc.min_max(values)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        # a truncated max is not a valid upper bound — omit stats instead
+        if len(lo) <= STATS_STR_LEN and len(hi) <= STATS_STR_LEN:
+            return None, None, lo, hi
+    return None, None, None, None
 
 
 def with_part_id(df: DataFrame, key: str, n_parts: int,
@@ -81,6 +111,11 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                     arr, codec=codec_overrides.get(name), profile=profile,
                     ctx=ctx, ctx_key=name)
                 rows["encode_ms"].append((time.monotonic() - t0) * 1000.0)
+                mn_i, mx_i, mn_s, mx_s = _block_stats(arr, info["kind"])
+                rows["min_i"].append(mn_i)
+                rows["max_i"].append(mx_i)
+                rows["min_s"].append(mn_s)
+                rows["max_s"].append(mx_s)
                 rows["part_id"].append(part_id)
                 rows["block_seq"].append(block_seq)
                 rows["col"].append(name)
@@ -104,6 +139,10 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                     pa.array(rows["raw_bytes"], type=pa.int64()),
                     pa.array(rows["enc_bytes"], type=pa.int64()),
                     pa.array(rows["encode_ms"], type=pa.float64()),
+                    pa.array(rows["min_i"], type=pa.int64()),
+                    pa.array(rows["max_i"], type=pa.int64()),
+                    pa.array(rows["min_s"], type=pa.string()),
+                    pa.array(rows["max_s"], type=pa.string()),
                 ],
                 names=BLOCK_FIELDS,
             )
@@ -131,9 +170,43 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
         lambda it: _encode_batches(it, overrides, profile), BLOCK_SCHEMA_DDL)
 
 
-def decode_blocks_df(blocks: DataFrame, schema_ddl: str) -> DataFrame:
+def prune_block_groups(blocks: DataFrame, col: str,
+                       lower=None, upper=None,
+                       lower_s: str | None = None,
+                       upper_s: str | None = None) -> DataFrame:
+    """Block-group skipping on header stats — the decode-side analogue of
+    the reference's stats-based row-group dropping (UserDefinedPredicate
+    ``canDrop(GroupStats(min,max))``, Predicate.scala:14-24,
+    ParquetPredicateBuilder.scala:96-119).
+
+    Keeps only (part_id, block_seq) groups whose ``col`` range may overlap
+    [lower, upper]; groups without stats are conservatively kept. Rows
+    still need the residual row filter after decode (exactly like ORC's
+    stripe-skip + row re-check, OrcBatchIterator.scala:43-47).
+    """
+    this_col = blocks.filter(F.col("col") == col)
+    cond = F.lit(True)
+    if lower is not None:
+        cond = cond & (F.col("max_i").isNull() | (F.col("max_i") >= lower))
+    if upper is not None:
+        cond = cond & (F.col("min_i").isNull() | (F.col("min_i") <= upper))
+    if lower_s is not None:
+        cond = cond & (F.col("max_s").isNull() | (F.col("max_s") >= lower_s))
+    if upper_s is not None:
+        cond = cond & (F.col("min_s").isNull() | (F.col("min_s") <= upper_s))
+    keep = this_col.filter(cond).select("part_id", "block_seq")
+    return blocks.join(F.broadcast(keep), ["part_id", "block_seq"],
+                       "left_semi")
+
+
+def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
+                     columns: list[str] | None = None) -> DataFrame:
     """Blocks -> original rows. Groups by (part_id, block_seq), decodes each
     column with its header, re-emits Arrow batches.
+
+    ``columns`` is projection pushdown for the encoded table: only the
+    requested columns' blocks are shuffled and decoded (the reference's
+    PARQUET_READ_SCHEMA projection, ParquetPublisher.scala:25-45).
 
     Uses repartition + sortWithinPartitions + mapInArrow (not
     groupBy.applyInPandas) so payloads stay Arrow buffers end-to-end and
@@ -143,6 +216,12 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str) -> DataFrame:
 
     out_schema = StructType.fromDDL(schema_ddl)
     col_order = [f.name for f in out_schema.fields]
+    if columns is not None:
+        col_order = [c for c in col_order if c in columns]
+        blocks = blocks.filter(F.col("col").isin(col_order))
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in out_schema.fields if f.name in col_order)
 
     def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[tuple[int, int], dict[str, pa.Array]] = {}

@@ -1,0 +1,100 @@
+"""Sink components -> ``df.write`` with the reference's writer knobs.
+
+The reference opens N single-threaded writers draining a queue
+(SinkAction.scala:12-101, ``to(sink, parallelism)``); here parallelism is
+``repartition(n)`` so each task writes one file. Parquet dictionary/page/
+codec knobs map to the same parquet-mr options eel sets
+(RowParquetWriterFn.scala:34-52, ParquetWriterConfig.scala:18-31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class _FileSink:
+    path: str
+    mode: str = "overwrite"
+    parallelism: int | None = None
+    partition_by: list[str] | None = None
+    options: dict = field(default_factory=dict)
+
+    FORMAT = ""
+
+    def with_parallelism(self, n: int):
+        """DataStream.to(sink, parallelism) — DataStream.scala:1011-1012."""
+        return replace(self, parallelism=n)
+
+    def with_partitioning(self, *cols: str):
+        """HiveSink dynamic partitioning (HiveSinkWriter.scala:138-148) —
+        beware hot partitions; pre-salt with encode.with_part_id if skewed."""
+        return replace(self, partition_by=list(cols))
+
+    def with_option(self, key: str, value):
+        return replace(self, options={**self.options, key: str(value)})
+
+    def write(self, df: DataFrame) -> None:
+        if self.parallelism:
+            df = df.repartition(self.parallelism)
+        w = df.write.mode(self.mode).options(**self.options)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.format(self.FORMAT).save(self.path)
+
+
+@dataclass
+class ParquetSink(_FileSink):
+    """ParquetSink.scala:13-73: dictionary toggle, codec, page/block size."""
+
+    FORMAT = "parquet"
+
+    def with_dictionary(self, enabled: bool):
+        return self.with_option("parquet.enable.dictionary",
+                                str(enabled).lower())
+
+    def with_compression(self, codec: str):
+        return self.with_option("compression", codec)
+
+    def with_page_size(self, nbytes: int):
+        return self.with_option("parquet.page.size", nbytes)
+
+    def with_row_group_size(self, nbytes: int):
+        return self.with_option("parquet.block.size", nbytes)
+
+
+@dataclass
+class OrcSink(_FileSink):
+    """OrcSink.scala:15-91: compression kind, bloom filters, stride."""
+
+    FORMAT = "orc"
+
+    def with_compression(self, kind: str):
+        return self.with_option("compression", kind)
+
+    def with_bloom_filters(self, *cols: str):
+        return self.with_option("orc.bloom.filter.columns", ",".join(cols))
+
+    def with_row_index_stride(self, stride: int):
+        return self.with_option("orc.row.index.stride", stride)
+
+
+class CsvSink(_FileSink):
+    FORMAT = "csv"
+
+
+class JsonSink(_FileSink):
+    FORMAT = "json"
+
+
+class AvroSink(_FileSink):
+    FORMAT = "avro"
+
+
+class DevNullSink:
+    """DevNullSink.scala — benchmark sink (noop datasource)."""
+
+    def write(self, df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()

@@ -106,3 +106,16 @@ class ManifestTable:
         df.write.mode("overwrite").parquet(job_dir)
         return self.commit(self.list_written_files(job_dir), schema_ddl,
                            properties, mode)
+
+    def compact(self, spark, n_files: int) -> Snapshot:
+        """Small-file compaction: rewrite the current snapshot to exactly
+        ``n_files`` files in one new snapshot (reference: Compactor.compactTo,
+        eel-hive/src/main/scala/io/eels/component/hive/Compactor.scala:16-21;
+        Iceberg's rewrite_data_files). Old files stay on disk for time
+        travel; the new snapshot references only the rewritten set."""
+        df = self.read(spark).repartition(n_files)
+        snap = self.current()
+        job_dir = self.new_data_path()
+        df.write.mode("overwrite").parquet(job_dir)
+        return self.commit(self.list_written_files(job_dir),
+                           snap.schema_ddl, snap.properties, mode="overwrite")

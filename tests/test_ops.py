@@ -1,0 +1,196 @@
+"""Operator-semantics tests against the reference's own fixtures.
+
+The music table and its golden outputs come from the reference's core
+suite (DataStreamTest.scala:18-35 fixture; GroupedDataStreamTest.scala:30-56
+expected aggregates) — same inputs, same expected outputs, Spark execution.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.ops import DataStream
+
+# eel-core/src/test/scala/io/eels/datastream/DataStreamTest.scala:25-34
+MUSIC = [
+    ("Elton John", 1969, "Empty Sky", 1433),
+    ("Elton John", 1971, "Madman Across the Water", 7636),
+    ("Elton John", 1972, "Honky Chateau", 2525),
+    ("Elton John", 1973, "Goodbye Yellow Brick Road", 4352),
+    ("Elton John", 1975, "Rock of the Westies", 5645),
+    ("Kate Bush", 1978, "The Kick Inside", 2577),
+    ("Kate Bush", 1978, "Lionheart", 745),
+    ("Kate Bush", 1980, "Never for Ever", 7444),
+    ("Kate Bush", 1982, "The Dreaming", 8253),
+    ("Kate Bush", 1985, "Hounds of Love", 2495),
+]
+
+
+@pytest.fixture(scope="module")
+def music(spark):
+    return spark.createDataFrame(MUSIC, "artist string, year int, "
+                                        "album string, sales long").cache()
+
+
+def test_filter(spark, music):
+    ds = DataStream(music).filter(F.col("artist") == "Elton John")
+    assert ds.size() == 5
+
+
+def test_projection_and_rename(spark, music):
+    ds = (DataStream(music).projection("artist", "sales")
+          .rename_field("sales", "copies"))
+    assert ds.df.columns == ["artist", "copies"]
+    assert ds.size() == 10
+
+
+def test_add_field_and_map_field(spark, music):
+    ds = (DataStream(music)
+          .add_field("doubled", F.col("sales") * 2)
+          .map_field("artist", lambda c: F.upper(c)))
+    row = ds.filter(F.col("album") == "Empty Sky").head()
+    assert row["doubled"] == 2866
+    assert row["artist"] == "ELTON JOHN"
+
+
+def test_add_field_error_if_exists(spark, music):
+    with pytest.raises(ValueError):
+        DataStream(music).add_field("sales", F.lit(0), error_if_exists=True)
+
+
+def test_groupby_sum_golden(spark, music):
+    """GroupedDataStreamTest.scala:30-34: sum(sales) by artist."""
+    out = {r["artist"]: r["sum_sales"] for r in
+           DataStream(music).group_by("artist").sum("sales")
+           .to_datastream().collect()}
+    assert out == {"Elton John": 21591, "Kate Bush": 21514}
+
+
+def test_groupby_count_avg_min_max_golden(spark, music):
+    """GroupedDataStreamTest.scala:36-56."""
+    rows = {r["artist"]: r for r in
+            DataStream(music).group_by("artist")
+            .count().avg("year").min("sales").max("sales")
+            .to_datastream().collect()}
+    assert rows["Elton John"]["count"] == 5
+    assert rows["Kate Bush"]["min_sales"] == 745
+    assert rows["Kate Bush"]["max_sales"] == 8253
+    assert abs(rows["Elton John"]["avg_year"] - 1972.0) < 1e-9
+
+
+def test_aggregated_whole_dataset(spark, music):
+    """GroupedDataStreamTest 'aggregated datastream': avg(year)=1976.3."""
+    row = (DataStream(music).aggregated().avg("year")
+           .to_datastream().head())
+    assert abs(row["avg_year"] - 1976.3) < 1e-9
+
+
+def test_join_broadcast(spark, music):
+    """DataStreamTest join semantics (DataStreamTest.scala:118-132)."""
+    labels = spark.createDataFrame(
+        [("Elton John", "Mercury"), ("Kate Bush", "EMI")],
+        "artist string, label string")
+    ds = DataStream(music).join("artist", DataStream(labels))
+    assert ds.size() == 10
+    assert ds.filter(F.col("label") == "EMI").size() == 5
+
+
+def test_cartesian(spark, music):
+    """DataStreamTest.scala:550-561."""
+    small = spark.createDataFrame([(1,), (2,)], "k int")
+    assert DataStream(music).cartesian(DataStream(small)).size() == 20
+
+
+def test_union_subtract_intersection(spark, music):
+    elton = DataStream(music).filter(F.col("artist") == "Elton John")
+    kate = DataStream(music).filter(F.col("artist") == "Kate Bush")
+    assert elton.union(kate).size() == 10
+    assert DataStream(music).subtract(elton).size() == 5
+    assert DataStream(music).intersection(kate).size() == 5
+
+
+def test_take_drop_sample(spark, music):
+    assert DataStream(music).take(3, order_by="sales").size() == 3
+    assert DataStream(music).drop_rows(4, order_by="sales").size() == 6
+    # every 2nd of 10 ordered rows -> 5
+    assert DataStream(music).sample_every_k(2, order_by="sales").size() == 5
+
+
+def test_take_while_drop_while(spark, music):
+    """Prefix semantics under explicit year order (DataStreamTest:137-163)."""
+    ds = DataStream(music)
+    pre = ds.take_while(F.col("artist") == "Elton John", order_by="year")
+    assert pre.size() == 5  # all Elton rows precede Kate rows by year
+    post = ds.drop_while(F.col("artist") == "Elton John", order_by="year")
+    assert post.size() == 5
+
+
+def test_minby_maxby(spark, music):
+    assert DataStream(music).max_by("album", "sales").head()["album"] == \
+        "The Dreaming"
+    assert DataStream(music).min_by("album", "sales").head()["album"] == \
+        "Lionheart"
+
+
+def test_exists_find(spark, music):
+    ds = DataStream(music)
+    assert ds.exists(F.col("sales") > 8000)
+    assert not ds.exists(F.col("sales") > 9000)
+    assert ds.find(F.col("year") == 1980)["album"] == "Never for Ever"
+
+
+def test_replace_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", None), (None, "x"), ("b", "y")], "c1 string, c2 string")
+    filled = DataStream(df).replace_null_values("?").df.collect()
+    assert all(r["c1"] is not None and r["c2"] is not None for r in filled)
+    assert DataStream(df).drop_null_rows().size() == 1
+    swapped = DataStream(df).replace_everywhere("b", "z").df.collect()
+    assert any(r["c1"] == "z" for r in swapped)
+
+
+def test_schema_ops(spark, music):
+    ds = DataStream(music)
+    assert ds.with_lower_case_schema().df.columns == \
+        ["artist", "year", "album", "sales"]
+    assert ds.strip_chars_from_field_names("aeiou").df.columns == \
+        ["rtst", "yr", "lbm", "sls"]
+    assert ds.remove_fields_regex("a.*").df.columns == ["year", "sales"]
+    assert ds.replace_field_type("year", "string").df.schema["year"] \
+        .dataType.simpleString() == "string"
+
+
+def test_align(spark, music):
+    ds = DataStream(music).align(["sales", "artist"])
+    assert ds.df.columns == ["sales", "artist"]
+
+
+def test_concat_zip(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "i int, s string")
+    b = spark.createDataFrame([(10, "p"), (20, "q")], "j int, t string")
+    rows = (DataStream(a).concat_zip(DataStream(b), "i", "j")
+            .df.orderBy("i").collect())
+    assert [(r["s"], r["t"]) for r in rows] == [("x", "p"), ("y", "q")]
+
+
+def test_explode_field(spark):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])],
+                               "i int, xs array<string>")
+    assert DataStream(df).explode_field("xs").size() == 3
+
+
+def test_update_field(spark, music):
+    ds = DataStream(music).update_field("artist", "Kate Bush", "KB")
+    assert ds.filter(F.col("artist") == "KB").size() == 5
+
+
+def test_sql_context(spark, music):
+    from eel_sdk_spark.sql_context import SqlContext
+
+    ctx = SqlContext(spark)
+    ctx.register_frame("music", DataStream(music))
+    out = ctx.sql("SELECT artist, sum(sales) AS s FROM music GROUP BY artist")
+    assert {r["artist"]: r["s"] for r in out.collect()} == \
+        {"Elton John": 21591, "Kate Bush": 21514}
+    ctx.close()

@@ -1,0 +1,71 @@
+"""Structured Streaming surface: file watcher, publisher, windowed agg,
+streaming encode with manifest commits per micro-batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+from eel_sdk_spark.encode import decode_blocks_df
+from eel_sdk_spark.streaming import (
+    file_watcher_stream,
+    publisher_stream,
+    streaming_encode,
+    windowed_counts,
+)
+from eel_sdk_spark.table import ManifestTable
+
+EVENTS_DDL = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+
+
+def test_windowed_counts_memory_sink(spark, sf_dir, tmp_path):
+    # streaming file source wants a directory to watch
+    import shutil
+
+    watch_dir = tmp_path / "events_in"
+    watch_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", watch_dir / "events.parquet")
+    stream = file_watcher_stream(spark, str(watch_dir), EVENTS_DDL)
+    agg = windowed_counts(stream)
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_out").start())
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM win_out")
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # windowed total equals input total
+        assert out.agg(F.sum("n")).first()[0] == batch.count()
+    finally:
+        q.stop()
+
+
+def test_publisher_stream_and_streaming_encode(spark, tmp_path):
+    pub = publisher_stream(spark, SCHEMA_DDL, str(tmp_path / "spool"))
+    tbl = ManifestTable(str(tmp_path), "stream_blocks")
+
+    batch1 = webtext_df(spark, 500, parts=2)
+    pub.publish(batch1)
+
+    q = streaming_encode(pub.stream(), tbl, key="url", n_parts=4,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        assert tbl.current() is not None
+        decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+        assert decoded.count() == 500
+
+        # second micro-batch appends a second snapshot
+        batch2 = webtext_df(spark, 300, parts=2).withColumn(
+            "url", F.concat(F.lit("b2-"), F.col("url")))
+        pub.publish(batch2)
+        q.processAllAvailable()
+        decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+        assert decoded.count() == 800
+    finally:
+        q.stop()
+        pub.close()
+
+    with pytest.raises(RuntimeError):
+        pub.publish(batch1)

@@ -48,6 +48,7 @@ def encode_with_checkpoint(
     n_parts: int | None = None,
     salt: int = 1,
     run_id: str = "run",
+    profile: str = "speed",
     fail_after_commit_parts: int | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
@@ -69,7 +70,8 @@ def encode_with_checkpoint(
         keep = set(remaining[:fail_after_commit_parts])
         tagged = tagged.filter(F.col(PART_COL).isin(*keep))
 
-    blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt)
+    blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt,
+                       profile=profile)
 
     job_dir = tbl.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)

@@ -1,0 +1,84 @@
+"""eel-style CLI (reference: eel-cli/src/main/scala/io/eels/cli/Main.scala:7-26
+— commands schema | stream | analyze).
+
+    python -m jobs.cli schema  --source /path/data.parquet
+    python -m jobs.cli stream  --source <parquet> --sink <dir> \
+        [--format parquet|orc|csv|json] [--projection a,b] [--filter "a > 1"]
+    python -m jobs.cli analyze --source /path/dir-or-glob
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_schema(args) -> None:
+    from eel_sdk_spark.schema import ddl
+    from eel_sdk_spark.session import get_spark
+
+    spark = get_spark(app="cli-schema")
+    try:
+        df = spark.read.parquet(args.source)
+        sys.stdout.write(ddl(df.schema) + "\n")
+    finally:
+        spark.stop()
+
+
+def cmd_stream(args) -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from eel_sdk_spark.ops import DataStream
+    from eel_sdk_spark.session import get_spark
+
+    spark = get_spark(app="cli-stream")
+    try:
+        ds = DataStream(spark.read.parquet(args.source))
+        if args.filter:
+            ds = ds.filter(F.expr(args.filter))
+        if args.projection:
+            ds = ds.projection(*args.projection.split(","))
+        writer = {"parquet": ds.to_parquet, "orc": ds.to_orc,
+                  "csv": ds.to_csv, "json": ds.to_json}[args.format]
+        writer(args.sink, parallelism=args.parallelism)
+        sys.stdout.write(json.dumps({"rows": ds.size(),
+                                     "sink": args.sink}) + "\n")
+    finally:
+        spark.stop()
+
+
+def cmd_analyze(args) -> None:
+    """Footer-level stats without reading data (ParquetSource.scala:58-75)."""
+    from eel_sdk_spark.sources import ParquetSource
+
+    st = ParquetSource(args.source).statistics()
+    sys.stdout.write(json.dumps(st) + "\n")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="eel")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("schema")
+    s.add_argument("--source", required=True)
+
+    t = sub.add_parser("stream")
+    t.add_argument("--source", required=True)
+    t.add_argument("--sink", required=True)
+    t.add_argument("--format", default="parquet",
+                   choices=["parquet", "orc", "csv", "json"])
+    t.add_argument("--projection", default=None)
+    t.add_argument("--filter", default=None)
+    t.add_argument("--parallelism", type=int, default=None)
+
+    a = sub.add_parser("analyze")
+    a.add_argument("--source", required=True)
+
+    args = p.parse_args(argv)
+    {"schema": cmd_schema, "stream": cmd_stream,
+     "analyze": cmd_analyze}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

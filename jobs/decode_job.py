@@ -1,0 +1,62 @@
+"""Production decode entry point.
+
+    spark-submit --py-files eel_sdk_spark.zip jobs/decode_job.py \
+        --warehouse /path/wh --table blocks --schema "url string, ..." \
+        --output /path/out [--columns url,text] [--verify-against <parquet>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", default="blocks")
+    p.add_argument("--schema", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--columns", default=None)
+    p.add_argument("--verify-against", default=None,
+                   help="original parquet; reports per-column match counts")
+    p.add_argument("--key", default="url")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from eel_sdk_spark.encode import decode_blocks_df
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="decode")
+    try:
+        blocks = ManifestTable(args.warehouse, args.table).read(spark)
+        cols = args.columns.split(",") if args.columns else None
+        decoded = decode_blocks_df(blocks, args.schema, columns=cols)
+        out: dict = {}
+        if args.output:
+            decoded.write.mode("overwrite").parquet(args.output)
+            out["written"] = args.output
+            out["rows"] = spark.read.parquet(args.output).count()
+        if args.verify_against:
+            orig = spark.read.parquet(args.verify_against)
+            j = decoded.alias("d").join(orig.alias("o"), args.key)
+            checks = [F.count("*").alias("rows_joined")]
+            for c in decoded.columns:
+                if c == args.key:
+                    continue
+                checks.append(
+                    F.sum(F.when(F.col(f"d.{c}").eqNullSafe(F.col(f"o.{c}")),
+                                 1).otherwise(0)).alias(f"{c}_matches"))
+            out["verify"] = j.agg(*checks).collect()[0].asDict()
+        if not args.output and not args.verify_against:
+            out["rows"] = decoded.count()
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

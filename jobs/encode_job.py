@@ -1,0 +1,56 @@
+"""Production encode entry point.
+
+    spark-submit --py-files eel_sdk_spark.zip jobs/encode_job.py \
+        --input <parquet dir or 'synthetic:N'> --warehouse /path/wh \
+        --table blocks --key url --parts 256 [--salt 4] \
+        [--profile speed|compression] [--run-id r1]
+
+Reads the input table, encodes every column into blocks with checkpointed
+per-partition lineage (resume: rerunning the same command skips committed
+parts), commits one manifest snapshot. The cluster-mode analogue of the
+reference's CLI stream command (eel-cli/src/main/scala/io/eels/cli/Main.scala:7-26).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True,
+                   help="parquet path, or synthetic:<rows> for the corpus")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", default="blocks")
+    p.add_argument("--key", default="url")
+    p.add_argument("--parts", type=int, default=None)
+    p.add_argument("--salt", type=int, default=1)
+    p.add_argument("--profile", default="speed",
+                   choices=["speed", "compression"])
+    p.add_argument("--run-id", default="run")
+    args = p.parse_args(argv)
+
+    from eel_sdk_spark.checkpoint import encode_with_checkpoint
+    from eel_sdk_spark.corpus import webtext_df
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app=f"encode-{args.run_id}")
+    try:
+        if args.input.startswith("synthetic:"):
+            df = webtext_df(spark, int(args.input.split(":", 1)[1]))
+        else:
+            df = spark.read.parquet(args.input)
+        tbl = ManifestTable(args.warehouse, args.table)
+        run = encode_with_checkpoint(
+            spark, df, tbl, key=args.key, n_parts=args.parts,
+            salt=args.salt, run_id=args.run_id, profile=args.profile)
+        sys.stdout.write(json.dumps(run) + "\n")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -246,9 +246,11 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 f"(missing columns: "
                 f"{ {k: sorted(set(col_order) - set(v)) for k, v in list(pending.items())[:3]} })")
 
-    cols_per_group = blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n_out = blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return (
-        blocks.repartition(int(cols_per_group), "part_id")
+        # shuffle only what decode needs (stats/metrics columns stay behind)
+        blocks.select("part_id", "block_seq", "col", "header", "payload")
+        .repartition(int(n_out), "part_id")
         .sortWithinPartitions("part_id", "block_seq")
         .mapInArrow(_decode, schema_ddl)
     )

@@ -34,7 +34,7 @@ def chunk_stats(values: pa.Array, kind: str | None = None) -> dict:
         st["min"] = int(iv.min())
         st["max"] = int(iv.max())
         # wraparound-safe range in uint64 space
-        st["range"] = int((np.uint64(st["max"]) - np.uint64(st["min"])))
+        st["range"] = (st["max"] - st["min"]) & 0xFFFFFFFFFFFFFFFF
         d = iv[1:].astype(np.uint64) - iv[:-1].astype(np.uint64)
         if d.size:
             ds = d.astype(np.int64)

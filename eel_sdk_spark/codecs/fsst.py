@@ -80,14 +80,27 @@ def _expansions(merges: list[tuple[int, int]]) -> np.ndarray:
     return np.array(syms, dtype=object)
 
 
+def apply_merges(data: bytes, merges: list[tuple[int, int]]) -> np.ndarray:
+    """Sequential merge replay in training (frequency) order.
+
+    Note: a round-batched variant (grouping dependency-independent merges
+    into one vectorized pass) was measured and REJECTED: batching inverts
+    merge priority inside overlap runs, costing ~20% compression, and the
+    slower array shrinkage erases the pass-count win. Frequency-ordered
+    sequential passes shrink the array geometrically — most passes touch a
+    small fraction of the original bytes."""
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    for i, (a, b) in enumerate(merges):
+        codes = _apply_merge(codes, a, b, 256 + i)
+    return codes
+
+
 def encode(lengths: np.ndarray, data: bytes,
            merges: list[tuple[int, int]] | None = None) -> Encoded:
     """lengths/data: the bytes_view of a non-null string column."""
     if merges is None:
         merges = train(data)
-    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-    for i, (a, b) in enumerate(merges):
-        codes = _apply_merge(codes, a, b, 256 + i)
+    codes = apply_merges(data, merges)
     width = bit_width(255 + len(merges))
     payload = pack_uints(codes.astype(np.uint64), width)
     lens_enc = for_.encode(lengths.astype(np.int64))
@@ -120,9 +133,7 @@ def estimate_ratio(sample: bytes, merges: list[tuple[int, int]]) -> float:
     """Estimated encoded-bits-per-original-byte on a sample (selector hook)."""
     if not sample:
         return 1.0
-    codes = np.frombuffer(sample[:SAMPLE_CAP], dtype=np.uint8).astype(np.int32)
-    n0 = codes.size
-    for i, (a, b) in enumerate(merges):
-        codes = _apply_merge(codes, a, b, 256 + i)
+    sample = sample[:SAMPLE_CAP]
+    codes = apply_merges(sample, merges)
     width = bit_width(255 + len(merges))
-    return (codes.size * width) / (n0 * 8.0)
+    return (codes.size * width) / (len(sample) * 8.0)

@@ -246,11 +246,14 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 f"(missing columns: "
                 f"{ {k: sorted(set(col_order) - set(v)) for k, v in list(pending.items())[:3]} })")
 
-    n_out = blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_out = int(blocks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
+        n_out = 32
     return (
         # shuffle only what decode needs (stats/metrics columns stay behind)
         blocks.select("part_id", "block_seq", "col", "header", "payload")
-        .repartition(int(n_out), "part_id")
+        .repartition(n_out, "part_id")
         .sortWithinPartitions("part_id", "block_seq")
         .mapInArrow(_decode, schema_ddl)
     )

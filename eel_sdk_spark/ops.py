@@ -254,6 +254,42 @@ class DataStream:
         """DataStream.scala:285-300."""
         return self.df.toLocalIterator()
 
+    # -- plumbing (DataStream.scala:945-1009, 561-584, 302-338) -----------
+    def multiplex(self, count: int) -> list["DataStream"]:
+        """DataStream.scala:945-1009: fan one stream out to N consumers.
+        The reference pumps one pass through N bounded queues; on Spark the
+        equivalent is persist() + N lazy readers of the same plan — each
+        consumer triggers at most one materialization of the parent."""
+        cached = self.df.persist()
+        return [DataStream(cached) for _ in range(count)]
+
+    def tee(self, fn: Callable[[DataFrame], DataFrame]) -> tuple["DataStream", "DataStream"]:
+        """DataStream.scala:561-584: side-channel derived stream; returns
+        (original, derived) over one cached parent."""
+        cached = self.df.persist()
+        return DataStream(cached), DataStream(fn(cached))
+
+    def listener(self, on_progress: Callable[[int], None]) -> "DataStream":
+        """DataStream.scala:302-338 / Listener.scala:3-8: progress
+        callbacks. The reference calls back per row — which cannot scale
+        and breaks the zero-per-row-Python rule — so granularity here is
+        per action: callbacks fire with the row count whenever an action
+        materializes this stream."""
+        df = self.df
+
+        class _ListenedStream(DataStream):
+            def size(self) -> int:
+                n = df.count()
+                on_progress(n)
+                return n
+
+            def collect(self):
+                rows = df.collect()
+                on_progress(len(rows))
+                return rows
+
+        return _ListenedStream(df)
+
     # -- sinks (SinkAction.scala:12-101: N parallel writers) --------------
     def to_parquet(self, path: str, parallelism: int | None = None, **opts):
         df = self.df.repartition(parallelism) if parallelism else self.df

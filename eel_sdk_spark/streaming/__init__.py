@@ -8,4 +8,8 @@ machinery a web-scale ingest pipeline actually needs.
 """
 
 from .sources import file_watcher_stream, publisher_stream  # noqa: F401
-from .pipeline import streaming_encode, windowed_counts  # noqa: F401
+from .pipeline import (  # noqa: F401
+    streaming_dedup,
+    streaming_encode,
+    windowed_counts,
+)

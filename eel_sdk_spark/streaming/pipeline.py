@@ -26,6 +26,47 @@ def windowed_counts(events: DataFrame, ts_col: str = "ts",
                     key_col, "n", "v"))
 
 
+def streaming_dedup(stream_df: DataFrame, key: str = "url",
+                    n_buckets: int = 64,
+                    max_state_per_bucket: int = 1_000_000) -> DataFrame:
+    """Custom stateful operator: exactly-once-per-key pass-through across
+    micro-batches (drop documents whose key was already seen in the
+    stream). The reference has no stateful streaming at all (SURVEY §2.9);
+    this is the ``applyInPandasWithState`` pattern a crawl-ingest pipeline
+    needs for online dedup.
+
+    Scale shape: state is sharded by ``pmod(xxhash64(key), n_buckets)``
+    (same content-derived sharding as the batch encoder), each shard holds
+    a bounded set of seen 64-bit key hashes — memory is
+    O(unique keys / buckets), not O(rows). ``max_state_per_bucket`` caps
+    runaway state (oldest-hash eviction would go here; a real deployment
+    sizes buckets from the checkpoint metrics instead)."""
+    import pandas as pd
+
+    schema = stream_df.schema
+    out_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+
+    def dedup_fn(bucket_key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            fresh = ~pdf["__kh"].isin(seen) & ~pdf["__kh"].duplicated()
+            seen.update(pdf.loc[fresh, "__kh"].tolist())
+            out = pdf.loc[fresh].drop(columns=["__kh", "__bucket"])
+            if len(out):
+                yield out
+        if len(seen) <= max_state_per_bucket:
+            state.update((list(seen),))
+
+    tagged = (stream_df
+              .withColumn("__kh", F.xxhash64(F.col(key)))
+              .withColumn("__bucket",
+                          F.pmod(F.col("__kh"), F.lit(n_buckets))))
+    return tagged.groupBy("__bucket").applyInPandasWithState(
+        dedup_fn, out_ddl, "seen array<long>", "append",
+        "NoTimeout")
+
+
 def streaming_encode(stream_df: DataFrame, table, key: str = "url",
                      n_parts: int = 32,
                      checkpoint_dir: str | None = None,

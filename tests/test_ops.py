@@ -7,6 +7,7 @@ expected aggregates) — same inputs, same expected outputs, Spark execution.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 import pytest
 from pyspark.sql import functions as F
 
@@ -194,3 +195,39 @@ def test_sql_context(spark, music):
     assert {r["artist"]: r["s"] for r in out.collect()} == \
         {"Elton John": 21591, "Kate Bush": 21514}
     ctx.close()
+
+
+def test_multiplex_and_tee(spark, music):
+    a, b, c = DataStream(music).multiplex(3)
+    assert a.size() == b.size() == c.size() == 10
+    orig, derived = DataStream(music).tee(
+        lambda df: df.groupBy("artist").count())
+    assert orig.size() == 10 and derived.size() == 2
+
+
+def test_listener(spark, music):
+    calls = []
+    ds = DataStream(music).listener(calls.append)
+    assert ds.size() == 10
+    assert calls == [10]
+
+
+def test_pandas_udaf(spark, music):
+    """eel's Aggregation trait (GroupedDataStream.scala:83-90) -> a custom
+    vectorized UDAF via pandas_udf GROUPED_AGG (SURVEY §2.10)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype(float)).mean()))
+
+    out = {r["artist"]: r["g"] for r in
+           DataStream(music).group_by("artist")
+           .agg(geo_mean("sales").alias("g")).to_datastream().collect()}
+    assert abs(out["Elton John"] - 3684.2175) < 0.01
+
+
+def test_iterator_and_sinks(spark, music, tmp_path):
+    assert sum(1 for _ in DataStream(music).iterator()) == 10
+    DataStream(music).to_parquet(str(tmp_path / "p"), parallelism=2)
+    assert spark.read.parquet(str(tmp_path / "p")).count() == 10

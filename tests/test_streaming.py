@@ -69,3 +69,31 @@ def test_publisher_stream_and_streaming_encode(spark, tmp_path):
 
     with pytest.raises(RuntimeError):
         pub.publish(batch1)
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    from eel_sdk_spark.streaming import streaming_dedup
+
+    pub = publisher_stream(spark, SCHEMA_DDL, str(tmp_path / "spool2"))
+    pub.publish(webtext_df(spark, 400, parts=2))  # ids 0..399
+
+    deduped = streaming_dedup(pub.stream(), key="url", n_buckets=8)
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM dedup_out").first()[0] == 400
+
+        # second batch overlaps ids 200..399, adds 400..599
+        pub.publish(webtext_df(spark, 400, parts=2).withColumn(
+            "url", F.regexp_replace("url", "/p/([0-9]+)$", "/p/$1"))
+            .limit(0).unionByName(
+                webtext_df(spark, 600, parts=2).filter(
+                    F.split(F.col("url"), "/p/")[1].cast("long") >= 200)))
+        q.processAllAvailable()
+        out = spark.sql("SELECT count(*) n, count(DISTINCT url) d FROM dedup_out").first()
+        assert out["n"] == out["d"] == 600  # every url exactly once
+    finally:
+        q.stop()
+        pub.close()

@@ -47,6 +47,7 @@ def encode_with_checkpoint(
     key: str = "url",
     n_parts: int | None = None,
     salt: int = 1,
+    salt_by: str | None = None,
     run_id: str = "run",
     profile: str = "speed",
     fail_after_commit_parts: int | None = None,
@@ -61,7 +62,7 @@ def encode_with_checkpoint(
     done = committed_part_ids(tbl)
 
     from .encode import PART_COL, with_part_id
-    tagged = with_part_id(df, key, n_parts, salt)
+    tagged = with_part_id(df, key, n_parts, salt, salt_by)
     if done:
         tagged = tagged.filter(~F.col(PART_COL).isin(*done))
     if fail_after_commit_parts is not None:
@@ -70,7 +71,7 @@ def encode_with_checkpoint(
         keep = set(remaining[:fail_after_commit_parts])
         tagged = tagged.filter(F.col(PART_COL).isin(*keep))
 
-    blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt,
+    blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt, salt_by,
                        profile=profile)
 
     job_dir = tbl.new_data_path()

@@ -33,7 +33,7 @@ from .base import (
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
 
-CODEC_NAMES = ("for", "rle", "dict", "fsst", "raw", "rawf", "plain")
+CODEC_NAMES = ("for", "rle", "dict", "fsst", "raw", "rawf", "shuf", "plain")
 
 
 def _compress_tables(enc: Encoded) -> None:
@@ -75,6 +75,8 @@ def encode_values(values: pa.Array, kind: str, codec: str,
     elif kind == "float":
         if codec == "rawf":
             return plain.encode_floats(np.asarray(values))
+        if codec == "shuf":
+            return plain.encode_floats_shuffled(np.asarray(values))
     elif kind == "bytes":
         if codec == "dict":
             return dictionary.encode_bytes(values)
@@ -107,6 +109,9 @@ def decode_values(codec: str, kind: str, payload: bytes, params: dict,
     elif kind == "float":
         if codec == "rawf":
             return pa.array(plain.decode_floats(payload, params, tables), type=typ)
+        if codec == "shuf":
+            return pa.array(plain.decode_floats_shuffled(payload, params, tables),
+                            type=typ)
     elif kind == "bytes":
         if codec == "dict":
             lengths, data = dictionary.decode_bytes(payload, params, tables)

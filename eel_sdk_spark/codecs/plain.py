@@ -53,3 +53,22 @@ def encode_floats(values: np.ndarray) -> Encoded:
 
 def decode_floats(payload: bytes, params: dict, tables: dict) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.dtype(params["dt"]), count=params["n"])
+
+
+def encode_floats_shuffled(values: np.ndarray) -> Encoded:
+    """Byte-shuffle (a la blosc/parquet BYTE_STREAM_SPLIT): transpose the
+    byte planes so exponents/high mantissa bytes — which vary slowly —
+    become long runs the zstd cascade crushes. Standard trick for float
+    and embedding columns; lossless by construction."""
+    v = np.ascontiguousarray(values)
+    itemsize = v.dtype.itemsize
+    planes = v.view(np.uint8).reshape(-1, itemsize).T
+    return Encoded("shuf", np.ascontiguousarray(planes).tobytes(),
+                   {"n": v.size, "dt": v.dtype.str})
+
+
+def decode_floats_shuffled(payload: bytes, params: dict, tables: dict) -> np.ndarray:
+    dt = np.dtype(params["dt"])
+    n = params["n"]
+    planes = np.frombuffer(payload, dtype=np.uint8).reshape(dt.itemsize, n)
+    return np.ascontiguousarray(planes.T).reshape(-1).view(dt)[:n]

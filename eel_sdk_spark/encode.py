@@ -12,9 +12,10 @@ id), then hash-repartitioned and sorted by it so every emitted block covers
 exactly one part_id even when AQE coalesces partitions. This makes encode
 output — and therefore checkpoint lineage — independent of cluster size,
 which is what lets a resume on 4N executors skip work committed by a run on
-N executors. Salting for hot-domain skew: ``salted_key`` spreads any single
-key value over ``salt`` shards (counter-measure to the reference's
-writer-per-partition hotspot, eel-hive/.../HiveSinkWriter.scala:138-148).
+N executors. Salting for hot-domain skew: ``salt``/``salt_by`` spread any
+single key value over ``salt`` shards (counter-measure to the reference's
+writer-per-partition hotspot, eel-hive/.../HiveSinkWriter.scala:138-148);
+``recommend_salt`` derives the factor from measured key skew.
 """
 
 from __future__ import annotations
@@ -72,12 +73,41 @@ def _block_stats(arr: pa.Array, kind: str):
 
 
 def with_part_id(df: DataFrame, key: str, n_parts: int,
-                 salt: int = 1) -> DataFrame:
-    """Deterministic part assignment; salt > 1 splits each hash bucket."""
+                 salt: int = 1, salt_by: str | None = None) -> DataFrame:
+    """Deterministic part assignment.
+
+    ``salt > 1`` spreads each key value over up to ``salt`` shards using a
+    *finer-grained* deterministic column ``salt_by`` (e.g. key=domain,
+    salt_by=url): shard = pmod(xxhash64(salt_by), salt). Determinism (no
+    rand()) keeps resume lineage valid. With salt_by omitted and salt > 1
+    the row's position can't be derived, so we fall back to hashing the
+    key alone — callers partitioning by a low-cardinality hot key MUST
+    pass salt_by (this is the hot-domain counter-measure; cf. the
+    reference's writer-per-partition hotspot HiveSinkWriter.scala:138-148).
+    """
     h = F.xxhash64(F.col(key))
-    if salt > 1:
-        h = F.xxhash64(F.col(key), F.pmod(F.xxhash64(F.col(key)), F.lit(salt)))
+    if salt > 1 and salt_by is not None:
+        shard = F.pmod(F.xxhash64(F.col(salt_by)), F.lit(salt))
+        h = F.xxhash64(F.col(key), shard)
     return df.withColumn(PART_COL, F.pmod(h, F.lit(n_parts)).cast("int"))
+
+
+def recommend_salt(df: DataFrame, key: str, n_parts: int,
+                   max_share: float = 1.5) -> int:
+    """Auto-salt from measured skew: if the hottest key holds more rows
+    than ``max_share`` x the mean partition size, return the salt factor
+    that levels it (the stats-sampler-driven 'salt factor adaptive'
+    requirement, SURVEY.md §7 risks)."""
+    total, top = df.groupBy(key).count().agg(
+        F.sum("count"), F.max("count")).first()
+    if not total:
+        return 1
+    mean_per_part = total / n_parts
+    if top <= mean_per_part * max_share:
+        return 1
+    import math
+
+    return int(math.ceil(top / mean_per_part))
 
 
 def _split_by_part(batch: pa.RecordBatch) -> Iterator[tuple[int, pa.RecordBatch]]:
@@ -149,7 +179,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
 
 
 def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
-              salt: int = 1,
+              salt: int = 1, salt_by: str | None = None,
               codec_overrides: dict[str, str] | None = None,
               profile: str = "speed") -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
@@ -162,7 +192,7 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
     prepared = (
-        with_part_id(df, key, n_parts, salt)
+        with_part_id(df, key, n_parts, salt, salt_by)
         .repartition(n_parts, F.col(PART_COL))
         .sortWithinPartitions(PART_COL)
     )

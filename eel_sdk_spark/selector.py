@@ -42,7 +42,7 @@ def choose(values: pa.Array, kind: str, st: dict | None = None,
     if kind == "int":
         return _choose_int(st)
     if kind == "float":
-        return "rawf"
+        return _choose_float(values, profile)
     if kind == "bytes":
         return _choose_bytes(st, profile)
     return "plain"
@@ -70,6 +70,26 @@ def _choose_int(st: dict) -> str:
     if best == est_dict:
         return "dict"
     return "for"
+
+
+def _choose_float(values: pa.Array, profile: str) -> str:
+    """Trial-encode a bounded sample both ways (raw vs byte-shuffled) under
+    the zstd cascade and keep the smaller — floats are cheap enough that
+    measuring beats modeling."""
+    import numpy as np
+
+    n = len(values)
+    sample = np.asarray(values.slice(0, min(n, 4096)))
+    if sample.nbytes < 4096:
+        return "rawf"
+    raw = _ZSTD_TRIAL.compress(sample.tobytes(), asbytes=True)
+    planes = np.ascontiguousarray(
+        sample.view(np.uint8).reshape(-1, sample.dtype.itemsize).T).tobytes()
+    shuf = _ZSTD_TRIAL.compress(planes, asbytes=True)
+    return "shuf" if len(shuf) < len(raw) * 0.98 else "rawf"
+
+
+_ZSTD_TRIAL = pa.Codec("zstd", compression_level=1)
 
 
 def _choose_bytes(st: dict, profile: str = "speed") -> str:

@@ -178,3 +178,26 @@ def test_selected_codecs_are_sensible():
     _, _, info_sorted_ts = encode_column(
         pa.array(np.arange(10_000) * 1000, type=pa.int64()))
     assert info_sorted_ts["codec"] == "for"
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_byteshuffle_float_roundtrip(dtype):
+    vals = rng.normal(loc=1.0, scale=0.01, size=5000).astype(dtype)
+    arr = pa.array(vals, type=pa.float32() if dtype == "float32"
+                   else pa.float64())
+    header, payload, info = encode_column(arr, codec="shuf")
+    out = decode_column(header, payload)
+    np.testing.assert_array_equal(np.asarray(out).view(np.uint8),
+                                  vals.view(np.uint8))
+
+
+def test_byteshuffle_beats_raw_on_embeddings():
+    """Clustered low-variance floats (embedding-like): shuffled planes
+    compress better and the selector picks shuf."""
+    vals = (rng.normal(size=(200, 64)) * 0.1 + 1.0).astype(np.float32).ravel()
+    arr = pa.array(vals, type=pa.float32())
+    h_raw, p_raw, _ = encode_column(arr, codec="rawf")
+    h_shuf, p_shuf, info = encode_column(arr, codec="shuf")
+    assert len(p_shuf) < len(p_raw)
+    _, _, auto = encode_column(arr)
+    assert auto["codec"] == "shuf"

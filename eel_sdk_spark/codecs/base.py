@@ -144,7 +144,12 @@ def bytes_view(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     offsets = np.frombuffer(big.buffers()[1], dtype=np.int64, count=len(big) + 1,
                             offset=big.offset * 8)
     data_buf = big.buffers()[2]
-    data = data_buf.to_pybytes()[offsets[0]: offsets[-1]] if data_buf is not None else b""
+    if data_buf is None:
+        data = b""
+    else:
+        # slice the Arrow buffer first (zero-copy), then materialize once
+        data = data_buf.slice(int(offsets[0]),
+                              int(offsets[-1] - offsets[0])).to_pybytes()
     lengths = np.diff(offsets)
     return lengths, data
 

@@ -181,16 +181,29 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
 def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               salt: int = 1, salt_by: str | None = None,
               codec_overrides: dict[str, str] | None = None,
-              profile: str = "speed") -> DataFrame:
+              profile: str = "speed", shuffle: bool = True) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
     The physical plan is: project + hash (JVM) -> shuffle on part_id ->
     sort within partitions (JVM) -> one Python/Arrow stage. ``.explain``
     shows a single Exchange; the Python stage is the only non-codegen op.
+
+    ``shuffle=False`` is the zero-shuffle fast path: part_id = the physical
+    input partition (TaskContext), no Exchange at all — the whole plan is
+    narrow. Use when the input's own layout is already acceptable (e.g.
+    re-encoding files, or a source pre-bucketed by key). At 100 TB this
+    skips writing+reading the entire corpus through shuffle storage. The
+    trade-off: part_ids then depend on input split planning, so resume
+    lineage is only valid for identical input files + split config —
+    content-derived hashing (the default) stays valid across any layout.
     """
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
+    if not shuffle:
+        return df.mapInArrow(
+            lambda it: _encode_batches_by_task(it, overrides, profile),
+            BLOCK_SCHEMA_DDL)
     prepared = (
         with_part_id(df, key, n_parts, salt, salt_by)
         .repartition(n_parts, F.col(PART_COL))
@@ -198,6 +211,22 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     )
     return prepared.mapInArrow(
         lambda it: _encode_batches(it, overrides, profile), BLOCK_SCHEMA_DDL)
+
+
+def _encode_batches_by_task(batches: Iterator[pa.RecordBatch],
+                            codec_overrides: dict[str, str | None],
+                            profile: str) -> Iterator[pa.RecordBatch]:
+    """No-shuffle variant: one part per physical Spark partition."""
+    from pyspark import TaskContext
+
+    part_id = TaskContext.get().partitionId()
+
+    def tag(bs: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in bs:
+            ids = pa.array(np.full(b.num_rows, part_id, dtype=np.int32))
+            yield b.append_column(PART_COL, ids)
+
+    yield from _encode_batches(tag(batches), codec_overrides, profile)
 
 
 def prune_block_groups(blocks: DataFrame, col: str,

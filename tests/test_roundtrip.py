@@ -113,3 +113,13 @@ def test_local_corpus_matches_distributed(spark):
     assert (lp["url"] == dist["url"]).all()
     assert (lp["text"].fillna("") == dist["text"].fillna("")).all()
     assert (lp["html"] == dist["html"]).all()
+
+
+def test_noshuffle_fast_path_roundtrip(spark, corpus):
+    """shuffle=False: zero-Exchange narrow plan, same bit-identical result."""
+    blocks = encode_df(corpus, key="url", shuffle=False)
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0

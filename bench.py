@@ -56,7 +56,7 @@ def run_scaling() -> dict:
         cmd = [sys.executable, "-m", "jobs.encode_bench",
                "--cpus", str(cpus), "--rows", str(SCALE_ROWS),
                "--profile", "compression", "--parts", "64",
-               "--repeat", "4", "--no-decode", "--no-ref"]
+               "--repeat", "5", "--no-decode", "--no-ref"]
         proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                               timeout=3600)
         line = proc.stdout.strip().splitlines()[-1]
@@ -84,6 +84,8 @@ def main() -> None:
 
     enc_speed = bench_run(CPUS, ENC_ROWS, with_decode=True, profile="speed",
                           parts=64, repeat=3)
+    enc_fast = bench_run(CPUS, ENC_ROWS, with_decode=False, profile="speed",
+                         parts=64, repeat=3, with_ref=False, shuffle=False)
     enc_comp = bench_run(CPUS, SCALE_ROWS, with_decode=False,
                          profile="compression", parts=64, repeat=1)
 
@@ -101,6 +103,7 @@ def main() -> None:
 
     queries_full = dict(queries)
     queries_full["encode_speed"] = enc_speed["encode_sec"]
+    queries_full["encode_noshuffle"] = enc_fast["encode_sec"]
     queries_full["encode_compression"] = enc_comp["encode_sec"]
     queries_full["decode"] = enc_speed["decode_sec"]
 
@@ -113,6 +116,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "encode": {
             "speed": enc_speed,
+            "noshuffle": enc_fast,
             "compression": enc_comp,
         },
         "scaling": scaling,

@@ -110,6 +110,31 @@ def recommend_salt(df: DataFrame, key: str, n_parts: int,
     return int(math.ceil(top / mean_per_part))
 
 
+def _raw_size(arr: pa.Array) -> int:
+    """Exact logical byte size of a column chunk. ``get_total_buffer_size``
+    over-counts sliced arrays (it reports the full parent buffers, so a
+    batch split into k part-slices counts its buffers k times); this
+    computes the actual data footprint per kind."""
+    import pyarrow.compute as pc
+
+    typ = arr.type
+    n = len(arr)
+    if n == 0:
+        return 0
+    if (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
+        data = pc.sum(pc.binary_length(arr)).as_py() or 0
+        width = 8 if (pa.types.is_large_string(typ)
+                      or pa.types.is_large_binary(typ)) else 4
+        return int(data) + width * (n + 1)
+    if pa.types.is_boolean(typ):
+        return (n + 7) // 8
+    try:
+        return n * typ.bit_width // 8
+    except (ValueError, AttributeError):  # nested/var types
+        return arr.get_total_buffer_size()
+
+
 def _split_by_part(batch: pa.RecordBatch) -> Iterator[tuple[int, pa.RecordBatch]]:
     """Split a batch at part_id boundaries (input sorted within partitions)."""
     part = np.asarray(batch.column(PART_COL))
@@ -154,7 +179,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 rows["n_nulls"].append(info["nn"])
                 rows["header"].append(header)
                 rows["payload"].append(payload)
-                rows["raw_bytes"].append(arr.get_total_buffer_size())
+                rows["raw_bytes"].append(_raw_size(arr))
                 rows["enc_bytes"].append(len(header) + len(payload))
             yield pa.record_batch(
                 [

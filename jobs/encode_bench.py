@@ -32,7 +32,7 @@ import time
 
 def run(cpus: int, rows: int, with_decode: bool = True,
         profile: str = "speed", parts: int = 64, repeat: int = 1,
-        with_ref: bool = True) -> dict:
+        with_ref: bool = True, shuffle: bool = True) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
 
@@ -50,12 +50,14 @@ def run(cpus: int, rows: int, with_decode: bool = True,
         # warm the python workers (process spawn + imports dominate the
         # first pass; a 100 TB run is steady-state by definition)
         encode_df(df.sample(fraction=0.1, seed=1), key="url",
-                  n_parts=parts, profile=profile).foreach(lambda r: None)
+                  n_parts=parts, profile=profile,
+                  shuffle=shuffle).foreach(lambda r: None)
 
         times, py_core_s, raw_bytes, enc_bytes = [], [], 0, 0
         for _ in range(repeat):
             t0 = time.monotonic()
-            agg = encode_df(df, key="url", n_parts=parts, profile=profile) \
+            agg = encode_df(df, key="url", n_parts=parts, profile=profile,
+                            shuffle=shuffle) \
                 .agg(F.sum("raw_bytes").alias("raw"),
                      F.sum("enc_bytes").alias("enc"),
                      F.sum("encode_ms").alias("ms")).collect()[0]
@@ -90,6 +92,7 @@ def run(cpus: int, rows: int, with_decode: bool = True,
             "cpus": cpus,
             "rows": rows,
             "profile": profile,
+            "shuffle": shuffle,
             "repeat": repeat,
             "encode_sec": round(t_encode, 3),
             "encode_sec_all": [round(t, 3) for t in times],
@@ -118,8 +121,9 @@ if __name__ == "__main__":
                    choices=["speed", "compression"])
     p.add_argument("--parts", type=int, default=64)
     p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--no-shuffle", action="store_true")
     args = p.parse_args()
     out = run(args.cpus, args.rows, with_decode=not args.no_decode,
               profile=args.profile, parts=args.parts, repeat=args.repeat,
-              with_ref=not args.no_ref)
+              with_ref=not args.no_ref, shuffle=not args.no_shuffle)
     sys.stdout.write(json.dumps(out) + "\n")

@@ -50,6 +50,44 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
+def run_eelshape(spark) -> dict:
+    """Throughput on the reference's own speed-test row shape (5m rows x
+    5 cols, ParquetSpeedTest/ParquetMultipleFileSpeedTest) for direct
+    comparison with BASELINE.md (reference: ~0.33m rows/s write,
+    ~3.6m rows/s read, single JVM)."""
+    from pyspark.sql import functions as F
+
+    from eel_sdk_spark.corpus import EELROWS_DDL, eelrows_df
+    from eel_sdk_spark.encode import decode_blocks_df, encode_df
+
+    n = 5_000_000
+    df = eelrows_df(spark, n, parts=64).withColumn(
+        "rid", F.monotonically_increasing_id()).cache()
+    df.count()
+    encode_df(df.sample(0.05, seed=1), key="rid", shuffle=False) \
+        .foreach(lambda r: None)
+    t0 = time.monotonic()
+    blocks = encode_df(df, key="rid", shuffle=False).cache()
+    agg = blocks.agg({"raw_bytes": "sum", "enc_bytes": "sum"}).collect()[0]
+    t_enc = time.monotonic() - t0
+    t0 = time.monotonic()
+    n_dec = decode_blocks_df(blocks, EELROWS_DDL + ", rid bigint").count()
+    t_dec = time.monotonic() - t0
+    blocks.unpersist()
+    df.unpersist()
+    assert n_dec == n
+    return {
+        "rows": n,
+        "encode_sec": round(t_enc, 3),
+        "decode_sec": round(t_dec, 3),
+        "encode_mrows_per_sec": round(n / t_enc / 1e6, 3),
+        "decode_mrows_per_sec": round(n / t_dec / 1e6, 3),
+        "ratio": round(agg["sum(raw_bytes)"] / agg["sum(enc_bytes)"], 3),
+        "reference_write_mrows_per_sec": 0.33,
+        "reference_read_mrows_per_sec": 3.6,
+    }
+
+
 def run_scaling() -> dict:
     results = {}
     for cpus in (2, 8):
@@ -94,6 +132,7 @@ def main() -> None:
     spark = get_spark(app="bench-queries", cpus=CPUS)
     try:
         queries = run_queries(spark)
+        eelshape = run_eelshape(spark)
     finally:
         spark.stop()
 
@@ -119,6 +158,7 @@ def main() -> None:
             "noshuffle": enc_fast,
             "compression": enc_comp,
         },
+        "eelshape": eelshape,
         "scaling": scaling,
         "wall_sec": round(time.monotonic() - t_start, 1),
     }

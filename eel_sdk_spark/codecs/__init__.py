@@ -150,7 +150,7 @@ def encode_column(arr: pa.Array, codec: str | None = None,
     # plain (Arrow IPC) carries nulls inline: feed it the full array
     enc = encode_values(arr if codec == "plain" else values, kind, codec,
                         ctx=ctx, ctx_key=ctx_key)
-    enc = cascade_compress(enc)
+    enc = cascade_compress(enc, level=9 if profile == "compression" else 3)
     _compress_tables(enc)
 
     enc.params.update({"codec": enc.codec, "kind": kind, "nt": n_total, "nn": n_nulls})

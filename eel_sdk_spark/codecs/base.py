@@ -16,8 +16,11 @@ import pyarrow as pa
 # General-purpose cascade compressor applied on top of codec payloads when it
 # wins. zstd via pyarrow's bundled codec (JVM parquet uses snappy; zstd
 # compresses strictly better at similar speed and is what we report against
-# the reference's snappy+dict baseline).
-_ZSTD = pa.Codec("zstd", compression_level=3)
+# the reference's snappy+dict baseline). Level per profile: speed -> 3
+# (~500 MB/s/core), compression -> 9 (~70 MB/s/core, ~1.7x smaller text).
+_ZSTD_BY_LEVEL = {3: pa.Codec("zstd", compression_level=3),
+                  9: pa.Codec("zstd", compression_level=9)}
+_ZSTD = _ZSTD_BY_LEVEL[3]
 
 
 @dataclass
@@ -34,15 +37,18 @@ class Encoded:
         return len(self.payload) + sum(len(t) for t in self.tables.values()) + 64
 
 
-def cascade_compress(enc: Encoded, min_gain: float = 0.96) -> Encoded:
+def cascade_compress(enc: Encoded, min_gain: float = 0.96,
+                     level: int = 3) -> Encoded:
     """Apply zstd on the payload if it shrinks it below ``min_gain`` ×.
 
-    Records ``z: 1`` in params so decode knows to decompress. Side tables
+    Records ``z: 1`` in params so decode knows to decompress (zstd frames
+    self-describe, so the level never needs to round-trip). Side tables
     stay uncompressed (they are small by construction).
     """
     if not enc.payload:
         return enc
-    comp = _ZSTD.compress(enc.payload, asbytes=True)
+    codec = _ZSTD_BY_LEVEL.get(level, _ZSTD)
+    comp = codec.compress(enc.payload, asbytes=True)
     if len(comp) < len(enc.payload) * min_gain:
         enc.params = dict(enc.params, z=1, zlen=len(enc.payload))
         enc.payload = comp

@@ -154,3 +154,44 @@ def webtext_table(n_rows: int, seed_offset: int = 0) -> pa.Table:
     """Local (driver-side) corpus for Spark-free tests."""
     return pa.Table.from_batches(
         [gen_batch(np.arange(seed_offset, seed_offset + n_rows, dtype=np.int64))])
+
+
+# -- the reference's speed-test row shape ----------------------------------
+
+EELROWS_DDL = "b boolean, f float, d double, l bigint, s string"
+
+
+def gen_eelrows_batch(ids: np.ndarray) -> pa.RecordBatch:
+    """The row shape of the reference's published numbers: 5 columns
+    (bool, float, gaussian double, long, 4-char string) —
+    eel-core/src/test/scala/io/eels/component/parquet/ParquetSpeedTest.scala:46-48.
+    Deterministic from the row id so throughput comparisons are stable."""
+    ids_u = ids.astype(np.uint64)
+    b = (_mix(ids_u, 11) & np.uint64(1)).astype(bool)
+    f = (_uniform(ids_u, 12) * 1000).astype(np.float32)
+    # Box-Muller for the gaussian double, fully vectorized
+    u1 = np.clip(_uniform(ids_u, 13), 1e-12, 1.0)
+    u2 = _uniform(ids_u, 14)
+    d = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    l = _mix(ids_u, 15).view(np.int64)  # noqa: E741
+    chars = np.array(list("abcdefghijklmnopqrstuvwxyz"), dtype="U1")
+    sidx = np.stack([( _mix(ids_u, 16 + k) % np.uint64(26)).astype(np.int64)
+                     for k in range(4)], axis=1)
+    s = chars[sidx[:, 0]]
+    for k in range(1, 4):
+        s = np.char.add(s, chars[sidx[:, k]])
+    return pa.record_batch(
+        [pa.array(b), pa.array(f, type=pa.float32()), pa.array(d),
+         pa.array(l, type=pa.int64()), pa.array(s.astype(object))],
+        names=["b", "f", "d", "l", "s"])
+
+
+def eelrows_df(spark, n_rows: int, parts: int | None = None):
+    parts = parts or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield gen_eelrows_batch(np.asarray(batch.column(0)))
+
+    return spark.range(0, n_rows, numPartitions=parts).mapInArrow(
+        gen, EELROWS_DDL)

@@ -20,9 +20,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
 @dataclass
@@ -32,6 +33,23 @@ class Snapshot:
     files: list[str]
     schema_ddl: str
     properties: dict
+    # per-file hive-style partition values, parallel to ``files``
+    # ({} for unpartitioned files) — the manifest-resident partition
+    # "metastore" that pruning and partition-only queries read
+    partitions: list[dict] = field(default_factory=list)
+
+
+_PART_SEG = re.compile(r"^([^=/]+)=([^/]*)$")
+
+
+def partition_values_of(path: str) -> dict:
+    """Parse hive-style key=value segments out of a file path."""
+    out: dict = {}
+    for seg in path.split(os.sep):
+        m = _PART_SEG.match(seg)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
 
 
 class ManifestTable:
@@ -54,14 +72,19 @@ class ManifestTable:
         cur = self.current()
         parent = cur.snapshot_id if cur else None
         base_files = cur.files if (cur and mode == "append") else []
+        base_parts = (cur.partitions if (cur and mode == "append"
+                                         and cur.partitions) else
+                      [{} for _ in base_files])
+        new_sorted = sorted(new_files)
         snap = Snapshot(
             snapshot_id=(parent or 0) + 1,
             parent_id=parent,
-            files=base_files + sorted(new_files),
+            files=base_files + new_sorted,
             schema_ddl=schema_ddl or (cur.schema_ddl if cur else ""),
             properties={**(cur.properties if cur and mode == "append" else {}),
                         **(properties or {}),
                         "committed_at": time.time()},
+            partitions=base_parts + [partition_values_of(f) for f in new_sorted],
         )
         mpath = os.path.join(self.manifest_dir, f"m-{snap.snapshot_id}.json")
         with open(mpath + ".tmp", "w") as f:
@@ -85,11 +108,52 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, f"m-{snapshot_id}.json")) as f:
             return Snapshot(**json.load(f))
 
-    def read(self, spark, snapshot_id: int | None = None):
+    def read(self, spark, snapshot_id: int | None = None,
+             constraints: list | None = None):
+        """Read the snapshot; ``constraints`` (PartitionConstraint list)
+        prune files against manifest partition values BEFORE listing/
+        scanning — the reference's metastore-side partition pruning
+        (eel-schema/.../PartitionConstraint.scala:8-42,
+        HiveSource.scala:104-133)."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current()
         if snap is None or not snap.files:
             raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
-        return spark.read.parquet(*snap.files)
+        files = snap.files
+        if constraints:
+            parts = snap.partitions or [{} for _ in files]
+            files = [f for f, pv in zip(files, parts)
+                     if all(c.eval(pv) for c in constraints)]
+            if not files:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromDDL(snap.schema_ddl))
+        # basePath keeps hive-style partition columns discoverable when
+        # reading explicit leaf files (partition values live in the path,
+        # not the files — the re-injection HiveFilePublisher.scala:23-61
+        # does by hand, Spark does from the layout)
+        return spark.read.option("basePath", self.data_dir).parquet(*files)
+
+    def partition_values(self, keys: list[str] | None = None,
+                         constraints: list | None = None) -> list[dict]:
+        """Partition-only query answered purely from the manifest — zero
+        data reads (the reference answers these from the metastore alone,
+        HivePartitionPublisher.scala)."""
+        snap = self.current()
+        if snap is None:
+            return []
+        parts = snap.partitions or []
+        if constraints:
+            parts = [pv for pv in parts if all(c.eval(pv) for c in constraints)]
+        if keys:
+            parts = [{k: pv.get(k) for k in keys} for pv in parts]
+        seen, out = set(), []
+        for pv in parts:
+            key = tuple(sorted(pv.items()))
+            if key not in seen:
+                seen.add(key)
+                out.append(pv)
+        return out
 
     @staticmethod
     def list_written_files(job_dir: str) -> list[str]:
@@ -100,10 +164,19 @@ class ManifestTable:
         return sorted(out)
 
     def write_df(self, df, schema_ddl: str = "", properties: dict | None = None,
-                 mode: str = "append") -> Snapshot:
-        """Write a DataFrame as a new snapshot (stage -> commit)."""
+                 mode: str = "append",
+                 partition_by: list[str] | None = None) -> Snapshot:
+        """Write a DataFrame as a new snapshot (stage -> commit).
+
+        ``partition_by`` produces a hive layout whose key=value values are
+        recorded in the manifest — the dynamic-partition sink of the
+        reference (HiveSink.scala:23-80) with a snapshot commit instead of
+        per-file renames."""
         job_dir = self.new_data_path()
-        df.write.mode("overwrite").parquet(job_dir)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(job_dir)
         return self.commit(self.list_written_files(job_dir), schema_ddl,
                            properties, mode)
 

@@ -284,7 +284,8 @@ def prune_block_groups(blocks: DataFrame, col: str,
 
 
 def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
-                     columns: list[str] | None = None) -> DataFrame:
+                     columns: list[str] | None = None,
+                     assume_grouped: bool = False) -> DataFrame:
     """Blocks -> original rows. Groups by (part_id, block_seq), decodes each
     column with its header, re-emits Arrow batches.
 
@@ -295,6 +296,13 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     Uses repartition + sortWithinPartitions + mapInArrow (not
     groupBy.applyInPandas) so payloads stay Arrow buffers end-to-end and
     blocks of one group are guaranteed co-located and adjacent.
+
+    ``assume_grouped=True`` skips the shuffle entirely: valid whenever no
+    block group straddles a Spark partition boundary — guaranteed for a
+    DataFrame coming straight out of ``encode_df`` (cached or not), and
+    for block files whose size is under ``spark.sql.files.maxPartitionBytes``
+    (groups are written adjacently per file). The reassembler detects a
+    violated assumption and raises rather than dropping rows.
     """
     from pyspark.sql.types import StructType
 
@@ -330,14 +338,16 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 f"(missing columns: "
                 f"{ {k: sorted(set(col_order) - set(v)) for k, v in list(pending.items())[:3]} })")
 
+    pruned = blocks.select("part_id", "block_seq", "col", "header", "payload")
+    if assume_grouped:
+        return pruned.mapInArrow(_decode, schema_ddl)
     try:
         n_out = int(blocks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
         n_out = 32
     return (
         # shuffle only what decode needs (stats/metrics columns stay behind)
-        blocks.select("part_id", "block_seq", "col", "header", "payload")
-        .repartition(n_out, "part_id")
+        pruned.repartition(n_out, "part_id")
         .sortWithinPartitions("part_id", "block_seq")
         .mapInArrow(_decode, schema_ddl)
     )

@@ -123,3 +123,14 @@ def test_noshuffle_fast_path_roundtrip(spark, corpus):
     decoded = decode_blocks_df(blocks, SCHEMA_DDL)
     assert decoded.count() == N_ROWS
     assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+
+def test_grouped_decode_no_shuffle(spark, corpus):
+    """assume_grouped decode straight off encode output: zero Exchange in
+    the decode stage, identical result."""
+    blocks = encode_df(corpus, key="url", n_parts=8)
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL, assume_grouped=True)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the encode-side shuffle
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0

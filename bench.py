@@ -26,7 +26,9 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ENC_ROWS = int(os.environ.get("EEL_BENCH_ROWS", "200000"))
-SCALE_ROWS = int(os.environ.get("EEL_BENCH_SCALE_ROWS", "50000"))
+# 100k rows: big enough that fixed overheads don't swamp the 4N-side
+# timing (at 50k, +-1.5s box noise swings measured efficiency by +-0.2)
+SCALE_ROWS = int(os.environ.get("EEL_BENCH_SCALE_ROWS", "100000"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 BENCH_QUERIES = [
@@ -94,7 +96,7 @@ def run_scaling() -> dict:
         cmd = [sys.executable, "-m", "jobs.encode_bench",
                "--cpus", str(cpus), "--rows", str(SCALE_ROWS),
                "--profile", "compression", "--parts", "64",
-               "--repeat", "5", "--no-decode", "--no-ref"]
+               "--repeat", "4", "--no-decode", "--no-ref"]
         proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                               timeout=3600)
         line = proc.stdout.strip().splitlines()[-1]

@@ -286,6 +286,12 @@ def q_minhash_pairs(spark, sf):
                                          n_hashes=4, band_size=2)
 
 
+def q_jaccard_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2,
+                               n_hashes=4, band_size=2)
+
+
 def q_text_quality(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -415,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -579,6 +586,37 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id
             FROM documents GROUP BY md5(text)""",
         "minhash_sigs": minhash_cte + " SELECT * FROM sigs",
+        "jaccard_pairs": minhash_cte + """
+            , bands AS (
+                SELECT doc_id, 0 AS band,
+                       md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+                UNION ALL
+                SELECT doc_id, 1 AS band,
+                       md5(sig_2 || '|' || sig_3) AS band_key FROM sigs)
+            , cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id)
+            , grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w
+                      FROM documents))
+            SELECT a, b,
+                   round(len(list_intersect(ga.g, gb.g))
+                         / len(list_distinct(list_concat(ga.g, gb.g)))::DOUBLE,
+                         4) AS jaccard
+            FROM cands
+            JOIN grams ga ON ga.doc_id = a
+            JOIN grams gb ON gb.doc_id = b
+            WHERE round(len(list_intersect(ga.g, gb.g))
+                        / len(list_distinct(list_concat(ga.g, gb.g)))::DOUBLE,
+                        4) >= 0.2""",
         "minhash_pairs": minhash_cte + """
             , bands AS (
                 SELECT doc_id, 0 AS band,

@@ -104,10 +104,11 @@ def ngram_set(col: Column, n: int = 3) -> Column:
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+                  n: int = 3, threshold: float = 0.5,
+                  n_hashes: int = 8, band_size: int = 2) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from minhash LSH: LSH
     prunes, Jaccard verifies — the standard two-phase web-dedup shape."""
-    cands = minhash_candidate_pairs(df, text_col, id_col)
+    cands = minhash_candidate_pairs(df, text_col, id_col, n_hashes, band_size)
     grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("g"))
     ga = grams.select(F.col(id_col).alias("a"), F.col("g").alias("ga"))
     gb = grams.select(F.col(id_col).alias("b"), F.col("g").alias("gb"))

@@ -1,0 +1,65 @@
+"""End-to-end training-data pipeline: the composition showcase.
+
+corpus -> quality filter -> exact dedup -> near-dup (minhash LSH) removal
+-> checkpointed encode into a partitioned manifest table -> constraint-
+pruned decode -> verification. Every stage is an engine component; the
+whole chain is what a 100 TB crawl-to-training-set job runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.checkpoint import encode_with_checkpoint
+from eel_sdk_spark.corpus import webtext_df
+from eel_sdk_spark.encode import decode_blocks_df
+from eel_sdk_spark.functions import dedup, text as T
+from eel_sdk_spark.table import ManifestTable
+
+N = 3000
+
+
+def test_full_pipeline(spark, tmp_path):
+    raw = webtext_df(spark, N, parts=4)
+
+    # 1. quality filter + doc stats (JVM expressions only)
+    scored = raw.filter(F.col("text").isNotNull()).select(
+        "*",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"))
+    kept = scored.filter((F.col("n_tokens") >= 5) & (F.col("quality") > 0.2))
+
+    # 2. exact dedup on text bytes
+    exact = dedup.exact_dedup(kept, "text", "url")
+
+    # 3. near-dup removal: minhash LSH candidates -> drop the larger url
+    cands = dedup.minhash_candidate_pairs(exact, "text", "url",
+                                          n_hashes=8, band_size=4)
+    to_drop = cands.select(F.col("b").alias("url")).distinct()
+    final = exact.join(to_drop, "url", "left_anti") \
+        .select("url", "warc_ts", "html", "text", "lang")
+    n_final = final.count()
+    assert 0 < n_final <= N
+
+    # 4. checkpointed encode into a manifest table
+    tbl = ManifestTable(str(tmp_path), "training_blocks")
+    run = encode_with_checkpoint(spark, final, tbl, key="url", n_parts=8,
+                                 run_id="pipeline")
+    assert run["n_rows"] == n_final
+    assert run["enc_bytes"] < run["raw_bytes"]
+
+    # 5. decode + verify bit-identity of the surviving corpus
+    decoded = decode_blocks_df(
+        tbl.read(spark),
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    assert decoded.count() == n_final
+    bad = (decoded.alias("d").join(final.alias("o"), "url")
+           .filter(~(F.col("d.text").eqNullSafe(F.col("o.text"))
+                     & F.col("d.html").eqNullSafe(F.col("o.html"))))
+           .count())
+    assert bad == 0
+
+    # 6. resume is a no-op
+    rerun = encode_with_checkpoint(spark, final, tbl, key="url", n_parts=8,
+                                   run_id="pipeline2")
+    assert rerun["part_ids"] == []

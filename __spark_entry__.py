@@ -267,6 +267,47 @@ def q_cartesian(spark, sf):
     return r.cartesian(n).df
 
 
+def q_string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.trim(F.lit("  x  ")).alias("trimmed"))
+
+
+def q_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "n", "qty"))
+
+
+def q_having(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .filter(F.col("n_orders") >= 5))
+
+
+def q_price_histogram(spark, sf):
+    o = _t(spark, sf, "orders")
+    bucket = (F.when(F.col("o_totalprice") < 50_000, "lo")
+              .when(F.col("o_totalprice") < 150_000, "mid")
+              .otherwise("hi"))
+    return (o.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
@@ -418,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "concat_zip": q_concat_zip,
         "cartesian": q_cartesian,
+        "string_funcs": q_string_funcs,
+        "cube": q_cube,
+        "having": q_having,
+        "price_histogram": q_price_histogram,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
@@ -581,6 +626,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, r_name FROM a JOIN b USING (rn)""",
         "cartesian": """
             SELECT r_name, n_name FROM region CROSS JOIN nation""",
+        "string_funcs": """
+            SELECT p_partkey,
+                   upper(p_name) AS uname,
+                   lower(p_brand) AS lbrand,
+                   substr(p_type, 1, 5) AS type5,
+                   length(p_name) AS name_len,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                   trim('  x  ') AS trimmed
+            FROM part""",
+        "cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n, round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "having": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 5""",
+        "price_histogram": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'lo'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'hi' END AS bucket,
+                   count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY 1""",
         "dedup_exact": """
             SELECT md5(text) AS fp, count(*) AS n_dups,
                    min(doc_id) AS keep_id

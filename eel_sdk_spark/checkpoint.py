@@ -104,6 +104,7 @@ def encode_with_checkpoint(
         "fingerprint": input_fingerprint(df, key),
         "n_parts": n_parts,
         "salt": salt,
+        "salt_by": salt_by,
         "key": key,
     }
     snap = tbl.current()

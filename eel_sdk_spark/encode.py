@@ -326,8 +326,10 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
             for i in range(batch.num_rows):
                 key = (part[i], seqs[i])
                 group = pending.setdefault(key, {})
+                # as_buffer(): zero-copy views into the arrow batch (the
+                # payload can be tens of MB; as_py would copy it)
                 group[names[i]] = decode_column(
-                    headers[i].as_py(), payloads[i].as_py())
+                    headers[i].as_py(), payloads[i].as_buffer())
                 if len(group) == len(col_order):
                     yield pa.record_batch([group[c] for c in col_order],
                                           names=col_order)

@@ -27,6 +27,11 @@ def main(argv=None) -> None:
     p.add_argument("--key", default="url")
     p.add_argument("--parts", type=int, default=None)
     p.add_argument("--salt", type=int, default=1)
+    p.add_argument("--salt-by", default=None,
+                   help="fine-grained column spreading hot keys (e.g. url "
+                        "when --key is a domain column)")
+    p.add_argument("--auto-salt", action="store_true",
+                   help="derive --salt from measured key skew")
     p.add_argument("--profile", default="speed",
                    choices=["speed", "compression"])
     p.add_argument("--run-id", default="run")
@@ -44,9 +49,16 @@ def main(argv=None) -> None:
         else:
             df = spark.read.parquet(args.input)
         tbl = ManifestTable(args.warehouse, args.table)
+        salt = args.salt
+        if args.auto_salt:
+            from eel_sdk_spark.encode import recommend_salt
+
+            n_parts = args.parts or spark.sparkContext.defaultParallelism * 2
+            salt = max(salt, recommend_salt(df, args.key, n_parts))
         run = encode_with_checkpoint(
             spark, df, tbl, key=args.key, n_parts=args.parts,
-            salt=args.salt, run_id=args.run_id, profile=args.profile)
+            salt=salt, salt_by=args.salt_by, run_id=args.run_id,
+            profile=args.profile)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

@@ -330,7 +330,7 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 # payload can be tens of MB; as_py would copy it)
                 group[names[i]] = decode_column(
                     headers[i].as_py(), payloads[i].as_buffer())
-                if len(group) == len(col_order):
+                if all(c in group for c in col_order):
                     yield pa.record_batch([group[c] for c in col_order],
                                           names=col_order)
                     del pending[key]

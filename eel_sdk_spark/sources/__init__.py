@@ -21,6 +21,7 @@ from .writers import (  # noqa: F401
     AvroSink,
     CsvSink,
     DevNullSink,
+    JdbcSink,
     JsonSink,
     OrcSink,
     ParquetSink,

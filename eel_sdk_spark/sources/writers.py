@@ -93,6 +93,28 @@ class AvroSink(_FileSink):
     FORMAT = "avro"
 
 
+@dataclass
+class JdbcSink:
+    """JdbcSink.scala:28-50: batched inserts, N writer threads, optional
+    create table. Spark's jdbc writer batches via ``batchsize`` and
+    parallelizes one connection per partition (the reference's N
+    single-threaded writers, JdbcSinkWriter.scala:11-32)."""
+
+    url: str
+    table: str
+    properties: dict = field(default_factory=dict)
+    batch_size: int = 1000
+    parallelism: int | None = None
+    mode: str = "append"
+
+    def write(self, df: DataFrame) -> None:
+        if self.parallelism:
+            df = df.repartition(self.parallelism)
+        df.write.mode(self.mode).jdbc(
+            self.url, self.table,
+            properties={"batchsize": str(self.batch_size), **self.properties})
+
+
 class DevNullSink:
     """DevNullSink.scala — benchmark sink (noop datasource)."""
 

@@ -231,3 +231,15 @@ def test_iterator_and_sinks(spark, music, tmp_path):
     assert sum(1 for _ in DataStream(music).iterator()) == 10
     DataStream(music).to_parquet(str(tmp_path / "p"), parallelism=2)
     assert spark.read.parquet(str(tmp_path / "p")).count() == 10
+
+
+def test_join_goes_broadcast_in_plan(spark, music):
+    """The reference's join contract is 'broadcast the small side'
+    (DataStream.scala:417-448 materializes it into a hash map); assert the
+    physical plan actually picks BroadcastHashJoin."""
+    labels = spark.createDataFrame(
+        [("Elton John", "Mercury"), ("Kate Bush", "EMI")],
+        "artist string, label string")
+    ds = DataStream(music).join("artist", DataStream(labels))
+    plan = ds.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

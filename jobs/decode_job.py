@@ -1,6 +1,7 @@
 """Production decode entry point.
 
-    spark-submit --py-files eel_sdk_spark.zip jobs/decode_job.py \
+    spark-submit --driver-memory 48g --py-files eel_sdk_spark.zip \
+        jobs/decode_job.py \
         --warehouse /path/wh --table blocks --schema "url string, ..." \
         --output /path/out [--columns url,text] [--verify-against <parquet>]
 """

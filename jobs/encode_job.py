@@ -1,6 +1,7 @@
 """Production encode entry point.
 
-    spark-submit --py-files eel_sdk_spark.zip jobs/encode_job.py \
+    spark-submit --driver-memory 48g --py-files eel_sdk_spark.zip \
+        jobs/encode_job.py \
         --input <parquet dir or 'synthetic:N'> --warehouse /path/wh \
         --table blocks --key url --parts 256 [--salt 4] \
         [--profile speed|compression] [--run-id r1]

@@ -1,0 +1,58 @@
+"""Similarity-search quality: IVF approximate top-k recall vs brute force.
+
+Row counts alone don't validate ANN — recall does. IVF probing all cells
+must equal brute force exactly; probing a subset must keep high recall on
+clustered data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.functions import similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _query(emb):
+    return [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    q = _query(emb)
+    brute = [r["vec_id"] for r in
+             similarity.brute_force_topk(emb, "vec_id", "embedding", q,
+                                         k=10).collect()]
+    ivf_all = [r["vec_id"] for r in
+               similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10,
+                                   n_list=8, n_probe=8).collect()]
+    assert ivf_all == brute
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    q = _query(emb)
+    brute = {r["vec_id"] for r in
+             similarity.brute_force_topk(emb, "vec_id", "embedding", q,
+                                         k=10).collect()}
+    approx = {r["vec_id"] for r in
+              similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10,
+                                  n_list=8, n_probe=4).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"recall {recall} too low for 4/8 probes"
+
+
+def test_brute_force_self_is_top1(spark, emb):
+    q = _query(emb)
+    top = similarity.brute_force_topk(emb, "vec_id", "embedding", q,
+                                      k=1).first()
+    assert top["vec_id"] == 0 and top["cos"] == 1.0

@@ -10,7 +10,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
+
+
+def _parse_where(expr: str):
+    """'col OP value' -> Predicate (the IR compiles to both the row filter
+    and the block-stat pruning ranges)."""
+    from eel_sdk_spark import predicate as P
+
+    m = re.fullmatch(r"\s*(\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*", expr)
+    if not m:
+        raise SystemExit(f"cannot parse --where {expr!r}: expected 'col OP value'")
+    col, op, raw = m.groups()
+    try:
+        value: object = int(raw)
+    except ValueError:
+        value = raw.strip("'\"")
+    cls = {"=": P.Equals, "!=": P.NotEquals, "<": P.Lt, "<=": P.Lte,
+           ">": P.Gt, ">=": P.Gte}[op]
+    return cls(col, value)
 
 
 def main(argv=None) -> None:
@@ -20,6 +39,10 @@ def main(argv=None) -> None:
     p.add_argument("--schema", required=True)
     p.add_argument("--output", default=None)
     p.add_argument("--columns", default=None)
+    p.add_argument("--where", default=None,
+                   help="simple predicate 'col OP value' (OP in = != < <= > >=);"
+                        " integer values additionally skip whole block groups"
+                        " via header min/max stats before any payload is read")
     p.add_argument("--verify-against", default=None,
                    help="original parquet; reports per-column match counts")
     p.add_argument("--key", default="url")
@@ -35,7 +58,15 @@ def main(argv=None) -> None:
     try:
         blocks = ManifestTable(args.warehouse, args.table).read(spark)
         cols = args.columns.split(",") if args.columns else None
-        decoded = decode_blocks_df(blocks, args.schema, columns=cols)
+        if args.where:
+            from eel_sdk_spark.predicate import decode_with_predicate
+
+            pred = _parse_where(args.where)
+            decoded = decode_with_predicate(blocks, args.schema, pred)
+            if cols:
+                decoded = decoded.select(*cols)
+        else:
+            decoded = decode_blocks_df(blocks, args.schema, columns=cols)
         out: dict = {}
         if args.output:
             decoded.write.mode("overwrite").parquet(args.output)

@@ -433,6 +433,35 @@ def q_roundtrip_verify(spark, sf):  # rows-only: block codecs aren't SQL
               .otherwise(0)).alias("lang_ok"))
 
 
+def q_roundtrip_lineitem(spark, sf):  # rows-only: block codecs aren't SQL
+    """Engine generality: encode/decode a TPC-H-shaped table (ints,
+    doubles, strings, timestamp_ntz) — not just the webtext schema."""
+    from eel_sdk_spark.encode import decode_blocks_df, encode_df
+
+    li = _t(spark, sf, "lineitem")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in li.schema.fields)
+    blocks = encode_df(li.withColumn(
+        "rid", F.concat_ws("-", "l_orderkey", "l_linenumber")), key="rid",
+        n_parts=8)
+    decoded = decode_blocks_df(blocks, ddl + ", rid string").drop("rid")
+
+    # order-free multiset equality: count + sum of whole-row hashes
+    # (sum, not xor: xor would cancel duplicate rows pairwise)
+    def sig(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64(F.struct(*sorted(li.columns))),
+                         F.lit(2147483647))).alias("h"))
+
+    d, o = sig(decoded).first(), sig(li).first()
+    return spark.createDataFrame(
+        [(int(d["n"]), int(o["n"]), bool(d["n"] == o["n"]),
+          bool(d["h"] == o["h"]))],
+        "decoded_rows bigint, orig_rows bigint, rows_match boolean, "
+        "content_match boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_projection": q_filter_projection,
@@ -479,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionization": q_sessionization,
         "roundtrip_verify": q_roundtrip_verify,
+        "roundtrip_lineitem": q_roundtrip_lineitem,
     }
 
 

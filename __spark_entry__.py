@@ -523,9 +523,15 @@ _TOKS_LOWER = ("list_filter(string_split(lower(text), ' '), x -> x <> '')")
 def oracle_sql() -> dict[str, str]:
     sigs = ", ".join(
         f"min(md5('{i}:' || tok)) AS sig_{i}" for i in range(4))
+    # 3-gram word shingles, distinct per doc (matches dedup.ngram_set /
+    # minhash_signatures(shingle=3))
     minhash_cte = f"""
         WITH toks AS (
-            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS tok
+            FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
         ), sigs AS (
             SELECT doc_id, {sigs} FROM toks GROUP BY doc_id
         )"""

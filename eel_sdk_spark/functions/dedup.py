@@ -49,13 +49,19 @@ def _minhash_token_hash(tok: Column, seed: int) -> Column:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       n_hashes: int = 8) -> DataFrame:
-    """One row per doc: sig_0..sig_{n-1} columns (min token hash per seed).
+                       n_hashes: int = 8, shingle: int = 3) -> DataFrame:
+    """One row per doc: sig_0..sig_{n-1} columns (min shingle hash per seed).
 
-    Plan shape: explode tokens -> ONE groupBy(id) computing all n mins as
-    map-side-combinable aggs (not n passes)."""
-    toks = (df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
-                      .alias("tok")))
+    Shingles (word n-grams, default 3), not unigrams: over a shared
+    vocabulary unigram minhash collides constantly (measured: 5k synthetic
+    docs -> 7.6M candidate pairs); shingles capture phrase-level identity,
+    which is what near-dup means at web scale.
+
+    Plan shape: explode shingles -> ONE groupBy(id) computing all n mins
+    as map-side-combinable aggs (not n passes)."""
+    grams = ngram_set(F.col(text_col), shingle) if shingle > 1 \
+        else tokens(F.col(text_col))
+    toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))
     aggs = [F.min(_minhash_token_hash(F.col("tok"), i)).alias(f"sig_{i}")
             for i in range(n_hashes)]
     return toks.groupBy(id_col).agg(*aggs)
@@ -63,18 +69,18 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int = 8,
               band_size: int = 2) -> DataFrame:
-    """(id, band_idx, band_key): band_key = md5 of concatenated sigs."""
-    out = []
+    """(id, band_idx, band_key): band_key = md5 of concatenated sigs.
+
+    One ``posexplode`` pass instead of n_bands unioned scans — the sigs
+    aggregation upstream is computed once, not once per band."""
+    keys = []
     for b in range(n_hashes // band_size):
         cols = [F.col(f"sig_{i}")
                 for i in range(b * band_size, (b + 1) * band_size)]
-        key = F.md5(F.encode(F.concat_ws("|", *cols), "utf-8"))
-        out.append(sigs.select(F.col(id_col), F.lit(b).alias("band"),
-                               key.alias("band_key")))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+        keys.append(F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -21,6 +21,29 @@ from .encode import BLOCK_SCHEMA_DDL, encode_df
 from .table import ManifestTable, Snapshot
 
 
+def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
+                 schema_ddl: str, key: str = "url",
+                 run_index: int = -1) -> DataFrame:
+    """Key point-lookup against an encoded table: recompute the key's
+    part_id with the SAME hash the encoder used (one-row Spark job — the
+    JVM xxhash64 has no Python twin), then decode only that part's blocks.
+
+    Touches 1/n_parts of the table: the encoded analogue of partition-
+    pruned point reads. Assumes the table was encoded unsalted on ``key``
+    (the default pipeline); salted tables need the salt shards unioned."""
+    from .encode import decode_blocks_df
+
+    snap = tbl.current()
+    runs = snap.properties.get("runs", [])
+    n_parts = runs[run_index]["n_parts"]
+    part = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_parts)).cast("int")
+        .alias("p")).first()["p"]
+    blocks = tbl.read(spark).filter(F.col("part_id") == part)
+    return decode_blocks_df(blocks, schema_ddl).filter(
+        F.col(key) == key_value)
+
+
 def input_fingerprint(df: DataFrame, key: str) -> str:
     """Order-independent content fingerprint: sum + xor-ish of key hashes."""
     row = df.agg(

@@ -81,3 +81,19 @@ def test_lineage_metrics_recorded(spark, tmp_path):
     snap = tbl.current()
     assert snap.properties["runs"][0]["run_id"] == "m1"
     assert snap.properties["runs"][0]["fingerprint"]
+
+
+def test_point_lookup(spark, tmp_path):
+    from eel_sdk_spark.checkpoint import point_lookup
+    from eel_sdk_spark.corpus import SCHEMA_DDL
+
+    df = webtext_df(spark, 2000, parts=4)
+    tbl = ManifestTable(str(tmp_path), "pl")
+    encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="pl")
+    target = df.select("url", "text").collect()[123]
+    out = point_lookup(spark, tbl, target["url"], SCHEMA_DDL)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == target["text"]
+    miss = point_lookup(spark, tbl, "https://no.such/url", SCHEMA_DDL)
+    assert miss.count() == 0

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import for_, rle
-from .bitpack import pack_uints, unpack_uints, bit_width
+from .bitpack import bit_width
 from .base import Encoded, bytes_view, bytes_to_arrow
 
 NAME = "dict"

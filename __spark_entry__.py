@@ -393,6 +393,11 @@ def q_simhash(spark, sf):  # rows-only: xxhash64 hash family
     return dedup.simhash(d, "text", "doc_id")
 
 
+def q_simhash_md5(spark, sf):  # oracle-checkable md5 hash family
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_md5(d, "text", "doc_id")
+
+
 def q_multimodal_meta(spark, sf):
     d = _t(spark, sf, "documents")
     blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
@@ -504,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "ann_ivf": q_ann_ivf,
         "simhash": q_simhash,
+        "simhash_md5": q_simhash_md5,
         "multimodal_meta": q_multimodal_meta,
         "events_window": q_events_window,
         "sessionization": q_sessionization,
@@ -798,6 +804,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.8""",
+        "simhash_md5": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                FROM toks
+            ), sums AS (
+                SELECT doc_id,
+                       {", ".join(
+                           f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 "
+                           f"ELSE -1 END) AS s{b}" for b in range(60))}
+                FROM h GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   ({" + ".join(
+                       f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT "
+                       f"ELSE 0 END" for b in range(60))}) AS simhash
+            FROM sums""",
         "multimodal_meta": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -128,6 +128,33 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 # -- simhash --------------------------------------------------------------
 
+def simhash_md5(df: DataFrame, text_col: str, id_col: str,
+                bits: int = 60) -> DataFrame:
+    """60-bit SimHash over an md5-derived token hash — same construction
+    as :func:`simhash` but with a hash family DuckDB can replay exactly
+    (``('0x'||substr(md5(tok),1,15))::BIGINT`` == Spark
+    ``conv(substr(md5(tok),1,15),16,10)``), so the driver's oracle can
+    hash-compare the signatures."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "utf-8")), 1, 15),
+               16, 10).cast("long")
+    contribs = F.array(*[
+        F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+               F.lit(1)).otherwise(F.lit(-1))
+        for b in range(bits)])
+    summed = (toks.select(F.col(id_col), contribs.alias("c"))
+              .groupBy(id_col)
+              .agg(*[F.sum(F.element_at("c", b + 1)).alias(f"s{b}")
+                     for b in range(bits)]))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"s{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(
+                               F.lit(0).cast("long"))
+    return summed.select(F.col(id_col), acc.alias("simhash"))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             bits: int = 64) -> DataFrame:
     """64-bit SimHash: per token take xxhash64, add ±1 per bit position,

@@ -201,3 +201,19 @@ def test_byteshuffle_beats_raw_on_embeddings():
     assert len(p_shuf) < len(p_raw)
     _, _, auto = encode_column(arr)
     assert auto["codec"] == "shuf"
+
+
+def test_decimal_and_map_roundtrip():
+    """Decimal + map columns ride the Arrow-IPC plain fallback (the
+    reference's decimal FLBA writer: RecordWriter.scala:178-186)."""
+    import decimal
+    dec = pa.array([decimal.Decimal("123.45"), None,
+                    decimal.Decimal("-0.01")], type=pa.decimal128(10, 2))
+    h, p, info = encode_column(dec)
+    assert info["codec"] == "plain"
+    assert decode_column(h, p).equals(dec)
+
+    mp = pa.array([{"a": 1}, None, {"b": 2, "c": 3}],
+                  type=pa.map_(pa.string(), pa.int64()))
+    h, p, _ = encode_column(mp)
+    assert decode_column(h, p).equals(mp)

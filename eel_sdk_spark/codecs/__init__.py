@@ -55,7 +55,8 @@ def _decompress_tables(params: dict, tables: dict) -> None:
 
 
 def encode_values(values: pa.Array, kind: str, codec: str,
-                  ctx: dict | None = None, ctx_key: str = "") -> Encoded:
+                  ctx: dict | None = None, ctx_key: str = "",
+                  profile: str = "speed") -> Encoded:
     """Encode a non-null Arrow array with an explicit codec.
 
     ``ctx`` is a per-partition mutable cache: FSST symbol tables are
@@ -67,7 +68,7 @@ def encode_values(values: pa.Array, kind: str, codec: str,
     if kind == "int":
         iv = int_view(values)
         if codec == "for":
-            return for_.encode(iv)
+            return for_.encode(iv, byte_align=(profile == "speed"))
         if codec == "rle":
             return rle.encode(iv)
         if codec == "dict":
@@ -149,7 +150,7 @@ def encode_column(arr: pa.Array, codec: str | None = None,
         codec = selector.choose(values, kind, profile=profile)
     # plain (Arrow IPC) carries nulls inline: feed it the full array
     enc = encode_values(arr if codec == "plain" else values, kind, codec,
-                        ctx=ctx, ctx_key=ctx_key)
+                        ctx=ctx, ctx_key=ctx_key, profile=profile)
     enc = cascade_compress(enc, level=9 if profile == "compression" else 3)
     _compress_tables(enc)
 

@@ -45,8 +45,14 @@ def pack_uints(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    nb, dt = _container(width)
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    if width % 8 == 0:
+        # byte-aligned fast path: slice the low big-endian bytes directly
+        # (no bit expansion — 8x less transient memory traffic)
+        nb = width // 8
+        sliced = v.astype(">u8").view(np.uint8).reshape(-1, 8)[:, 8 - nb:]
+        return np.ascontiguousarray(sliced).tobytes()
+    nb, dt = _container(width)
     as_bytes = v.astype(dt).view(np.uint8).reshape(-1, nb)
     bits = np.unpackbits(as_bytes, axis=1)[:, nb * 8 - width:]
     return np.packbits(bits.ravel()).tobytes()
@@ -56,6 +62,12 @@ def unpack_uints(payload: bytes, width: int, n: int) -> np.ndarray:
     """Inverse of :func:`pack_uints`; returns uint64 array of length ``n``."""
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
+    if width % 8 == 0:
+        nb = width // 8
+        raw = np.frombuffer(payload, dtype=np.uint8)[: n * nb].reshape(n, nb)
+        out = np.zeros((n, 8), dtype=np.uint8)
+        out[:, 8 - nb:] = raw
+        return out.view(">u8").ravel().astype(np.uint64)
     nb, dt = _container(width)
     bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8), count=n * width)
     out = np.zeros((n, nb * 8), dtype=np.uint8)

@@ -23,7 +23,18 @@ def _width_for(deltas: np.ndarray) -> int:
     return bit_width(int(deltas.max())) if deltas.size else 0
 
 
-def encode(values: np.ndarray) -> Encoded:
+def _maybe_align(width: int, byte_align: bool) -> int:
+    """speed-profile width policy: widths over 24 bits round up to the next
+    byte so pack_uints takes its no-bit-expansion path (measured 80x faster
+    at 37->40 bits for +8% pre-cascade payload); narrow widths stay exact —
+    their containers are small and the byte padding costs zstd more than
+    the expansion costs CPU."""
+    if byte_align and width > 24 and width % 8:
+        return min(width + 8 - width % 8, 64)
+    return width
+
+
+def encode(values: np.ndarray, byte_align: bool = False) -> Encoded:
     """values: int64 numpy array (non-null). Picks plain-FOR or delta-FOR."""
     v = values.astype(np.uint64, copy=False)
     n = v.size
@@ -33,14 +44,14 @@ def encode(values: np.ndarray) -> Encoded:
     # mode 1: FOR against min
     ref = v[int(np.argmin(values))]  # min in signed order
     resid = v - ref  # wraparound-correct for signed min
-    w_for = _width_for(resid)
+    w_for = _maybe_align(_width_for(resid), byte_align)
 
     # mode 2: delta (first value + wrapped diffs, FOR'd against their min)
     if n > 1:
         d = v[1:] - v[:-1]  # uint64 wraparound diffs
         dref = d[int(np.argmin(d.astype(np.int64)))]
         dresid = d - dref
-        w_delta = _width_for(dresid)
+        w_delta = _maybe_align(_width_for(dresid), byte_align)
         delta_bits = (n - 1) * w_delta
     else:
         delta_bits = 1 << 62

@@ -33,13 +33,13 @@ from .codecs import decode_column, encode_column
 PART_COL = "__eel_part"
 
 BLOCK_SCHEMA_DDL = (
-    "part_id int, block_seq int, col string, codec string, "
+    "part_id int, block_seq int, writer_uid bigint, col string, codec string, "
     "n_values bigint, n_nulls bigint, header binary, payload binary, "
     "raw_bytes bigint, enc_bytes bigint, encode_ms double, "
     "min_i bigint, max_i bigint, min_s string, max_s string"
 )
 
-BLOCK_FIELDS = ["part_id", "block_seq", "col", "codec", "n_values", "n_nulls",
+BLOCK_FIELDS = ["part_id", "block_seq", "writer_uid", "col", "codec", "n_values", "n_nulls",
                 "header", "payload", "raw_bytes", "enc_bytes", "encode_ms",
                 "min_i", "max_i", "min_s", "max_s"]
 
@@ -150,8 +150,14 @@ def _split_by_part(batch: pa.RecordBatch) -> Iterator[tuple[int, pa.RecordBatch]
 def _encode_batches(batches: Iterator[pa.RecordBatch],
                     codec_overrides: dict[str, str | None],
                     profile: str = "speed") -> Iterator[pa.RecordBatch]:
+    import os as _os
+
     seq: dict[int, int] = {}
     ctx: dict = {}  # per-partition codec context (cached FSST tables etc.)
+    # unique per writer instance: appended runs reuse (part_id, block_seq),
+    # so decode groups on (part_id, block_seq, writer_uid) to keep groups
+    # from different runs/epochs apart
+    writer_uid = int.from_bytes(_os.urandom(8), "little") >> 1
     for batch in batches:
         for part_id, sub in _split_by_part(batch):
             block_seq = seq.get(part_id, 0)
@@ -173,6 +179,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 rows["max_s"].append(mx_s)
                 rows["part_id"].append(part_id)
                 rows["block_seq"].append(block_seq)
+                rows["writer_uid"].append(writer_uid)
                 rows["col"].append(name)
                 rows["codec"].append(info["codec"])
                 rows["n_values"].append(info["n"])
@@ -185,6 +192,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 [
                     pa.array(rows["part_id"], type=pa.int32()),
                     pa.array(rows["block_seq"], type=pa.int32()),
+                    pa.array(rows["writer_uid"], type=pa.int64()),
                     pa.array(rows["col"], type=pa.string()),
                     pa.array(rows["codec"], type=pa.string()),
                     pa.array(rows["n_values"], type=pa.int64()),
@@ -285,7 +293,8 @@ def prune_block_groups(blocks: DataFrame, col: str,
 
 def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                      columns: list[str] | None = None,
-                     assume_grouped: bool = False) -> DataFrame:
+                     assume_grouped: bool = False,
+                     fill_missing: bool = False) -> DataFrame:
     """Blocks -> original rows. Groups by (part_id, block_seq), decodes each
     column with its header, re-emits Arrow batches.
 
@@ -303,6 +312,11 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     for block files whose size is under ``spark.sql.files.maxPartitionBytes``
     (groups are written adjacently per file). The reassembler detects a
     violated assumption and raises rather than dropping rows.
+
+    ``fill_missing=True`` enables schema-evolution reads: block groups
+    written before a column was added decode with that column as nulls
+    (Iceberg add-column semantics; the reference pads rows the same way at
+    the sink via AlignmentStrategy, HiveSinkWriter.scala:32-70).
     """
     from pyspark.sql.types import StructType
 
@@ -320,11 +334,12 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
         for batch in batches:
             part = batch.column("part_id").to_pylist()
             seqs = batch.column("block_seq").to_pylist()
+            uids = batch.column("writer_uid").to_pylist()
             names = batch.column("col").to_pylist()
             headers = batch.column("header")
             payloads = batch.column("payload")
             for i in range(batch.num_rows):
-                key = (part[i], seqs[i])
+                key = (part[i], seqs[i], uids[i])
                 group = pending.setdefault(key, {})
                 # as_buffer(): zero-copy views into the arrow batch (the
                 # payload can be tens of MB; as_py would copy it)
@@ -334,13 +349,30 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                     yield pa.record_batch([group[c] for c in col_order],
                                           names=col_order)
                     del pending[key]
+        if pending and fill_missing:
+            # schema evolution: groups written before a column existed get
+            # nulls for it (only whole-column absence qualifies)
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            arrow_types = {f.name: to_arrow_type(f.dataType)
+                           for f in out_schema.fields if f.name in col_order}
+            for key, group in list(pending.items()):
+                if not group:
+                    continue
+                n_rows = len(next(iter(group.values())))
+                yield pa.record_batch(
+                    [group.get(c, pa.nulls(n_rows, type=arrow_types[c]))
+                     for c in col_order],
+                    names=col_order)
+                del pending[key]
         if pending:
             raise ValueError(
                 f"{len(pending)} incomplete block groups at end of partition "
                 f"(missing columns: "
                 f"{ {k: sorted(set(col_order) - set(v)) for k, v in list(pending.items())[:3]} })")
 
-    pruned = blocks.select("part_id", "block_seq", "col", "header", "payload")
+    pruned = blocks.select("part_id", "block_seq", "writer_uid", "col",
+                           "header", "payload")
     if assume_grouped:
         return pruned.mapInArrow(_decode, schema_ddl)
     try:

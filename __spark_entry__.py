@@ -834,6 +834,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS win_start,
                    event_type, count(*) AS n, round(sum(value), 2) AS sv
             FROM events GROUP BY 1, 2""",
+        # round-trip gates: the oracle states the EXPECTED verification
+        # result (every row matches after encode->decode); a codec bug on
+        # the Spark side breaks the hash compare
+        "roundtrip_verify": """
+            SELECT count(*) AS rows, count(*) AS text_ok,
+                   count(*) AS lang_ok FROM documents""",
+        "roundtrip_lineitem": """
+            SELECT count(*) AS decoded_rows, count(*) AS orig_rows,
+                   true AS rows_match, true AS content_match FROM lineitem""",
         "sessionization": """
             WITH x AS (
                 SELECT user_id,

@@ -467,6 +467,23 @@ def q_roundtrip_lineitem(spark, sf):  # rows-only: block codecs aren't SQL
         "content_match boolean")
 
 
+def q_roundtrip_embeddings(spark, sf):
+    """Nested types end-to-end: array<float> rides the Arrow-IPC plain
+    codec through the full Spark encode/decode pipeline."""
+    from eel_sdk_spark.encode import decode_blocks_df, encode_df
+
+    emb = _t(spark, sf, "embeddings")
+    blocks = encode_df(emb, key="vec_id", n_parts=4)
+    decoded = decode_blocks_df(
+        blocks, "vec_id bigint, embedding array<float>, label int")
+    j = decoded.alias("d").join(emb.alias("o"), "vec_id")
+    vec_eq = F.col("d.embedding").eqNullSafe(F.col("o.embedding"))
+    lab_eq = F.col("d.label").eqNullSafe(F.col("o.label"))
+    return j.agg(F.count("*").alias("rows"),
+                 F.sum(F.when(vec_eq & lab_eq, 1).otherwise(0))
+                 .alias("vectors_ok"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_projection": q_filter_projection,
@@ -515,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "roundtrip_verify": q_roundtrip_verify,
         "roundtrip_lineitem": q_roundtrip_lineitem,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
     }
 
 
@@ -843,6 +861,9 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": """
             SELECT count(*) AS decoded_rows, count(*) AS orig_rows,
                    true AS rows_match, true AS content_match FROM lineitem""",
+        "roundtrip_embeddings": """
+            SELECT count(*) AS rows, count(*) AS vectors_ok
+            FROM embeddings""",
         "sessionization": """
             WITH x AS (
                 SELECT user_id,

@@ -23,23 +23,41 @@ from .table import ManifestTable, Snapshot
 
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
                  schema_ddl: str, key: str = "url",
+                 salt_by_value: str | None = None,
                  run_index: int = -1) -> DataFrame:
     """Key point-lookup against an encoded table: recompute the key's
-    part_id with the SAME hash the encoder used (one-row Spark job — the
-    JVM xxhash64 has no Python twin), then decode only that part's blocks.
+    part_id with the SAME hash chain the encoder used (one-row Spark job —
+    the JVM xxhash64 has no Python twin), then decode only that part's
+    blocks. Touches 1/n_parts of the table: the encoded analogue of
+    partition-pruned point reads.
 
-    Touches 1/n_parts of the table: the encoded analogue of partition-
-    pruned point reads. Assumes the table was encoded unsalted on ``key``
-    (the default pipeline); salted tables need the salt shards unioned."""
+    Salted tables (lineage records salt > 1): pass ``salt_by_value`` (the
+    fine-grained value, e.g. the url when key is its domain) to resolve
+    the exact shard; without it, all ``salt`` candidate parts are decoded
+    (salt/n_parts of the table — still pruned)."""
     from .encode import decode_blocks_df
 
     snap = tbl.current()
-    runs = snap.properties.get("runs", [])
-    n_parts = runs[run_index]["n_parts"]
-    part = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n_parts)).cast("int")
-        .alias("p")).first()["p"]
-    blocks = tbl.read(spark).filter(F.col("part_id") == part)
+    run = snap.properties.get("runs", [])[run_index]
+    n_parts, salt = run["n_parts"], run.get("salt", 1)
+    kv = F.lit(key_value)
+    if salt > 1 and salt_by_value is not None:
+        shard = F.pmod(F.xxhash64(F.lit(salt_by_value)), F.lit(salt))
+        parts_expr = F.array(F.pmod(F.xxhash64(kv, shard), F.lit(n_parts))
+                             .cast("int"))
+    elif salt > 1:
+        # shard values must be hashed as BIGINT — that is the type of the
+        # encoder's pmod(xxhash64(salt_by), salt) column, and xxhash64
+        # hashes int32 and int64 inputs differently
+        parts_expr = F.array(*[
+            F.pmod(F.xxhash64(kv, F.lit(s).cast("long")),
+                   F.lit(n_parts)).cast("int")
+            for s in range(salt)])
+    else:
+        parts_expr = F.array(F.pmod(F.xxhash64(kv), F.lit(n_parts))
+                             .cast("int"))
+    parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
+    blocks = tbl.read(spark).filter(F.col("part_id").isin(*parts))
     return decode_blocks_df(blocks, schema_ddl).filter(
         F.col(key) == key_value)
 

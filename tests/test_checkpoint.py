@@ -97,3 +97,26 @@ def test_point_lookup(spark, tmp_path):
     assert rows[0]["text"] == target["text"]
     miss = point_lookup(spark, tbl, "https://no.such/url", SCHEMA_DDL)
     assert miss.count() == 0
+
+
+def test_point_lookup_salted(spark, tmp_path):
+    from eel_sdk_spark.checkpoint import point_lookup
+
+    df = (webtext_df(spark, 2000, parts=4)
+          .withColumn("domain", F.split(F.col("url"), "/")[2]))
+    ddl = SCHEMA_DDL + ", domain string"
+    tbl = ManifestTable(str(tmp_path), "pls")
+    encode_with_checkpoint(spark, df, tbl, key="domain", n_parts=16,
+                           salt=4, salt_by="url", run_id="pls")
+    target = df.select("domain", "url", "text").collect()[77]
+
+    # exact-shard lookup with the salt_by value
+    out = point_lookup(spark, tbl, target["domain"], ddl, key="domain",
+                       salt_by_value=target["url"])
+    urls = {r["url"]: r["text"] for r in out.collect()}
+    assert urls[target["url"]] == target["text"]
+
+    # shard-less lookup unions candidates and still finds every row
+    out2 = point_lookup(spark, tbl, target["domain"], ddl, key="domain")
+    expected = df.filter(F.col("domain") == target["domain"]).count()
+    assert out2.count() == expected

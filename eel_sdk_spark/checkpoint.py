@@ -91,6 +91,7 @@ def encode_with_checkpoint(
     salt_by: str | None = None,
     run_id: str = "run",
     profile: str = "speed",
+    codec_overrides: dict[str, str] | None = None,
     fail_after_commit_parts: int | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
@@ -113,7 +114,7 @@ def encode_with_checkpoint(
         tagged = tagged.filter(F.col(PART_COL).isin(*keep))
 
     blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt, salt_by,
-                       profile=profile)
+                       profile=profile, codec_overrides=codec_overrides)
 
     job_dir = tbl.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)

@@ -36,3 +36,14 @@ class FilePattern:
         else:
             found = []
         return [f for f in found if self.path_filter(f)]
+
+
+def file_metadata_df(spark, pattern: str):
+    """Filesystem metadata as a DataFrame (path, size bytes, mtime epoch) —
+    the HdfsSource analogue (eel-core/.../hdfs/HdfsSource.scala:9-36 lists
+    permissions/blocks rather than rows)."""
+    rows = []
+    for p in FilePattern(pattern).to_paths():
+        st = os.stat(p)
+        rows.append((p, int(st.st_size), int(st.st_mtime)))
+    return spark.createDataFrame(rows, "path string, size bigint, mtime bigint")

@@ -33,6 +33,12 @@ def main(argv=None) -> None:
                         "when --key is a domain column)")
     p.add_argument("--auto-salt", action="store_true",
                    help="derive --salt from measured key skew")
+    p.add_argument("--codec", action="append", default=[],
+                   metavar="COL=CODEC",
+                   help="force a codec for a column (repeatable), e.g. "
+                        "--codec text=fsst --codec lang=dict; the per-sink "
+                        "encoding toggles of the reference "
+                        "(ParquetSink.scala:13-26) as explicit overrides")
     p.add_argument("--profile", default="speed",
                    choices=["speed", "compression"])
     p.add_argument("--run-id", default="run")
@@ -56,10 +62,11 @@ def main(argv=None) -> None:
 
             n_parts = args.parts or spark.sparkContext.defaultParallelism * 2
             salt = max(salt, recommend_salt(df, args.key, n_parts))
+        overrides = dict(kv.split("=", 1) for kv in args.codec)
         run = encode_with_checkpoint(
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
-            profile=args.profile)
+            profile=args.profile, codec_overrides=overrides or None)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

@@ -375,10 +375,11 @@ def q_near_dup_brute(spark, sf):
             .filter(F.col("cos") >= 0.8))
 
 
-def q_embedding_lsh_near_dups(spark, sf):  # rows-only: xxhash64 planes
+def q_embedding_lsh_near_dups(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return dedup.embedding_near_dups(emb, "vec_id", "embedding",
-                                     threshold=0.8, n_planes=8)
+                                     threshold=0.8, n_planes=8,
+                                     plane_hash="md5")
 
 
 def q_ann_ivf(spark, sf):  # rows-only: centroid refinement not SQL
@@ -815,6 +816,29 @@ def oracle_sql() -> dict[str, str]:
                                                 qe::DOUBLE[]), 4) AS cos
             FROM embeddings, q
             ORDER BY cos DESC, vec_id LIMIT 10""",
+        "embedding_lsh_near_dups": """
+            WITH planes AS (
+                SELECT p, list_transform(generate_series(0, 63),
+                    i -> CASE WHEN ('0x' || substr(md5(p::VARCHAR || ':'
+                                   || i::VARCHAR), 1, 1))::INT % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) AS v
+                FROM range(0, 8) t(p)
+            ), buck AS (
+                SELECT vec_id, embedding,
+                       sum(CASE WHEN list_inner_product(
+                               embedding::DOUBLE[], v) >= 0
+                           THEN (1 << p) ELSE 0 END) AS bucket
+                FROM embeddings, planes GROUP BY vec_id, embedding
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4)
+                       AS cos
+            FROM buck a JOIN buck b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4)
+                  >= 0.8""",
         "near_dup_brute": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

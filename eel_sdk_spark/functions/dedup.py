@@ -222,17 +222,31 @@ def cosine(a: Column, b: Column) -> Column:
 
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95,
-                        n_planes: int = 8) -> DataFrame:
+                        n_planes: int = 8,
+                        plane_hash: str = "xxhash") -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH bucket join + exact
-    cosine verify. Planes are derived deterministically from xxhash64 of
-    (plane, dim) so the bucketing is reproducible across runs/cluster sizes."""
+    cosine verify. Planes are derived deterministically from a hash of
+    (plane, dim) so the bucketing is reproducible across runs/cluster
+    sizes. ``plane_hash='md5'`` uses the md5-parity family DuckDB can
+    replay (oracle-checkable); 'xxhash' is cheaper JVM-side."""
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def comp_fn(p):
+        if plane_hash == "md5":
+            return lambda i: F.when(
+                F.conv(F.substring(
+                    F.md5(F.encode(F.concat(F.lit(f"{p}:"),
+                                            i.cast("string")), "utf-8")),
+                    1, 1), 16, 10).cast("int") % 2 == 0,
+                F.lit(1.0)).otherwise(F.lit(-1.0))
+        return lambda i: F.when(
+            F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
     sign_bits = []
     for p in range(n_planes):
         # pseudo-random ±1 plane component per dimension
-        comp = F.transform(dim_idx, lambda i, p=p: F.when(
-            F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0,
-            F.lit(1.0)).otherwise(F.lit(-1.0)))
+        comp = F.transform(dim_idx, comp_fn(p))
         dot = F.aggregate(F.zip_with(F.col(vec_col), comp, lambda x, y: x * y),
                           F.lit(0.0), lambda acc, x: acc + x)
         sign_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))

@@ -49,9 +49,12 @@ def run_queries(spark) -> dict[str, float]:
     for name in BENCH_QUERIES:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm (scans get page-cached)
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).count()
-        out[name] = round(time.monotonic() - t0, 3)
+        samples = []
+        for _ in range(2):  # min-of-2: co-tenant bursts are additive noise
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            samples.append(time.monotonic() - t0)
+        out[name] = round(min(samples), 3)
     return out
 
 

@@ -93,13 +93,48 @@ def encode_with_checkpoint(
     profile: str = "speed",
     codec_overrides: dict[str, str] | None = None,
     fail_after_commit_parts: int | None = None,
+    verify_fingerprint: bool = True,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
+
+    Resume safety: committed part_ids are only meaningful under the
+    partitioning params (n_parts/salt/salt_by/key) of the run that wrote
+    them — anti-filtering them against part_ids computed under different
+    params silently drops rows. On resume this adopts the committed run's
+    params when the caller left them at their defaults, and raises on an
+    explicit mismatch. ``verify_fingerprint`` additionally checks that the
+    input content matches what the committed run saw before skipping
+    anything (an order-independent key-hash fingerprint, one narrow scan).
 
     ``fail_after_commit_parts`` artificially stops after committing only
     the first K parts — the hook the kill-and-resume test uses.
     Returns run metrics (also persisted in the manifest).
     """
+    snap0 = tbl.current()
+    prior_runs = snap0.properties.get("runs", []) if snap0 else []
+    if prior_runs:
+        last = prior_runs[-1]
+        adopted = {"n_parts": last["n_parts"], "salt": last.get("salt", 1),
+                   "salt_by": last.get("salt_by"), "key": last.get("key", key)}
+        asked = {"n_parts": n_parts, "salt": salt, "salt_by": salt_by,
+                 "key": key}
+        defaults = {"n_parts": None, "salt": 1, "salt_by": None, "key": "url"}
+        for p, want in asked.items():
+            if want != defaults[p] and want != adopted[p]:
+                raise ValueError(
+                    f"resume partitioning mismatch: {p}={want!r} but the "
+                    f"committed run used {adopted[p]!r}; committed part_ids "
+                    f"are only valid under the original params")
+        n_parts, salt = adopted["n_parts"], adopted["salt"]
+        salt_by, key = adopted["salt_by"], adopted["key"]
+        if verify_fingerprint:
+            prior_fp = last.get("fingerprint")
+            cur_fp = input_fingerprint(df, key)
+            if prior_fp is not None and cur_fp != prior_fp:
+                raise ValueError(
+                    f"resume input mismatch: fingerprint {cur_fp} != "
+                    f"committed {prior_fp}; skipping committed parts over "
+                    f"different input would lose rows")
     n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
     done = committed_part_ids(tbl)
 

@@ -324,10 +324,15 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     col_order = [f.name for f in out_schema.fields]
     if columns is not None:
         col_order = [c for c in col_order if c in columns]
-        blocks = blocks.filter(F.col("col").isin(col_order))
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in out_schema.fields if f.name in col_order)
+    # ALWAYS restrict to the requested columns: reading an evolved table
+    # with an older DDL would otherwise let an unknown column's block
+    # re-create a just-completed group as a partial pending group, causing
+    # a spurious incomplete-group error (or a phantom all-null batch under
+    # fill_missing)
+    blocks = blocks.filter(F.col("col").isin(col_order))
 
     def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[tuple[int, int], dict[str, pa.Array]] = {}

@@ -29,11 +29,18 @@ def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def _lite_centroids(emb: DataFrame, vec_col: str, n_list: int) -> np.ndarray:
-    """Deterministic centroids: hash-sample n_list seeds, one averaging
-    refinement over a bounded sample (driver-side small matrix only)."""
-    sample = np.array(
-        emb.select(vec_col).limit(n_list * 32).toPandas()[vec_col].tolist(),
-        dtype=np.float64)
+    """Deterministic centroids: hash-ordered sample (TakeOrderedAndProject —
+    a parallel top-k over xxhash64 of the vector, NOT first-partition-biased
+    limit()), one averaging refinement over the bounded sample. Returns at
+    most n_list centroids — fewer when the table is smaller than n_list;
+    empty array for an empty table (callers fall back to brute force)."""
+    sample_rows = (emb.select(vec_col)
+                   .orderBy(F.xxhash64(F.col(vec_col)))
+                   .limit(n_list * 32).collect())
+    if not sample_rows:
+        return np.empty((0, 0))
+    sample = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    n_list = min(n_list, len(sample))
     seeds = sample[:n_list]
     # one Lloyd step on the sample
     sims = sample @ seeds.T
@@ -50,6 +57,10 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
              n_probe: int = 4) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest centroid cells."""
     cents = _lite_centroids(emb, vec_col, n_list)
+    if len(cents) == 0:
+        return brute_force_topk(emb, id_col, vec_col, query_vec, k)
+    n_list = len(cents)  # clamped for small tables
+    n_probe = min(n_probe, n_list)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = np.argsort(-(cents @ qn))[:n_probe].tolist()

@@ -55,8 +55,18 @@ def streaming_dedup(stream_df: DataFrame, key: str = "url",
             out = pdf.loc[fresh].drop(columns=["__kh", "__bucket"])
             if len(out):
                 yield out
-        if len(seen) <= max_state_per_bucket:
-            state.update((list(seen),))
+        kept = list(seen)
+        if len(kept) > max_state_per_bucket:
+            # evict an arbitrary subset down to the cap instead of skipping
+            # the update (which would roll state back and forget the WHOLE
+            # batch); dedup degrades gracefully for evicted keys only
+            import sys
+
+            print(f"streaming_dedup: bucket {bucket_key} state overflow "
+                  f"({len(kept)} > {max_state_per_bucket}), evicting",
+                  file=sys.stderr)
+            kept = kept[:max_state_per_bucket]
+        state.update((kept,))
 
     tagged = (stream_df
               .withColumn("__kh", F.xxhash64(F.col(key)))
@@ -67,29 +77,49 @@ def streaming_dedup(stream_df: DataFrame, key: str = "url",
         "NoTimeout")
 
 
+def encode_epoch(table, batch_df: DataFrame, epoch_id: int, key: str,
+                 n_parts: int, profile: str = "speed",
+                 stream_id: str = "stream") -> bool:
+    """One micro-batch encode+commit; returns False when the epoch was
+    already committed (foreachBatch replay after failure) — the commit is
+    skipped so replays cannot duplicate rows."""
+    from ..encode import BLOCK_SCHEMA_DDL, encode_df
+    from ..table import ManifestTable
+
+    snap = table.current()
+    epochs = dict((snap.properties.get("epochs") or {}) if snap else {})
+    if epoch_id <= epochs.get(stream_id, -1):
+        return False  # replayed epoch: its commit already landed
+    if batch_df.isEmpty():
+        return False
+    blocks = encode_df(batch_df, key=key, n_parts=n_parts, profile=profile)
+    job_dir = table.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    epochs[stream_id] = epoch_id
+    table.commit(ManifestTable.list_written_files(job_dir),
+                 BLOCK_SCHEMA_DDL, {"epochs": epochs}, mode="append")
+    return True
+
+
 def streaming_encode(stream_df: DataFrame, table, key: str = "url",
                      n_parts: int = 32,
                      checkpoint_dir: str | None = None,
-                     profile: str = "speed"):
+                     profile: str = "speed",
+                     stream_id: str = "stream"):
     """Encode a streaming webtext source into the blocks table.
 
     Each micro-batch runs the batch encode stage and lands one atomic
-    manifest commit (foreachBatch = exactly-once against our snapshot
-    pointer since commits are idempotent per epoch)."""
-    from ..encode import BLOCK_SCHEMA_DDL, encode_df
+    manifest commit. Exactly-once: foreachBatch may REPLAY an epoch after
+    a failure, so the sink keeps a per-stream epoch watermark in the
+    manifest properties and skips any epoch already committed — without
+    this, a replayed epoch would append its rows a second time."""
     from ..table import ManifestTable
 
     assert isinstance(table, ManifestTable)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        blocks = encode_df(batch_df, key=key, n_parts=n_parts,
-                           profile=profile)
-        job_dir = table.new_data_path()
-        blocks.write.mode("overwrite").parquet(job_dir)
-        table.commit(ManifestTable.list_written_files(job_dir),
-                     BLOCK_SCHEMA_DDL, {"epoch": epoch_id}, mode="append")
+        encode_epoch(table, batch_df, epoch_id, key=key, n_parts=n_parts,
+                     profile=profile, stream_id=stream_id)
 
     writer = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir:

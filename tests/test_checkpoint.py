@@ -120,3 +120,47 @@ def test_point_lookup_salted(spark, tmp_path):
     out2 = point_lookup(spark, tbl, target["domain"], ddl, key="domain")
     expected = df.filter(F.col("domain") == target["domain"]).count()
     assert out2.count() == expected
+
+
+def test_resume_rejects_mismatched_partitioning(spark, tmp_path):
+    """Committed part_ids are only valid under the params that wrote them:
+    resuming with different n_parts/salt must raise, and omitted params
+    are adopted from the committed run (not cluster-size defaults)."""
+    import pytest
+
+    df = webtext_df(spark, 1000, parts=2)
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="r1",
+                           fail_after_commit_parts=2)
+
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="bad")
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        encode_with_checkpoint(spark, df, tbl, salt=4, salt_by="url",
+                               run_id="bad2")
+
+    # n_parts omitted: adopted from the committed run, NOT
+    # defaultParallelism*2 — resume on any cluster size finishes the table
+    r2 = encode_with_checkpoint(spark, df, tbl, run_id="r2")
+    assert len(committed_part_ids(tbl)) == 4
+    assert r2["n_parts"] == 4
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == 1000
+
+
+def test_resume_rejects_changed_input(spark, tmp_path):
+    """Skipping committed parts over DIFFERENT input would silently lose
+    rows; the stored input fingerprint catches it."""
+    import pytest
+
+    df = webtext_df(spark, 500, parts=2)
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="r1",
+                           fail_after_commit_parts=2)
+
+    other = webtext_df(spark, 600, parts=2)
+    with pytest.raises(ValueError, match="input mismatch"):
+        encode_with_checkpoint(spark, other, tbl, run_id="r2")
+    # same input resumes fine
+    encode_with_checkpoint(spark, df, tbl, run_id="r2")
+    assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 500

@@ -57,3 +57,19 @@ def test_projection_avoids_evolution_entirely(spark, tmp_path):
     out = decode_blocks_df(tbl.read(spark), V2_DDL, columns=["url", "text"])
     assert out.count() == 600
     assert out.columns == ["url", "text"]
+
+
+def test_old_ddl_reads_evolved_table(spark, tmp_path):
+    """Reading an EVOLVED table with an older DDL (blocks carry an extra
+    column) must ignore the unknown column's blocks instead of spuriously
+    failing on 'incomplete groups' or emitting phantom null batches."""
+    tbl = ManifestTable(str(tmp_path), "evo3")
+    v2 = webtext_df(spark, 400, parts=2).select("url", "text", "lang")
+    tbl.write_df(encode_df(v2, key="url", n_parts=4), V2_DDL)
+
+    out = decode_blocks_df(tbl.read(spark), V1_DDL)
+    assert out.columns == ["url", "text"]
+    assert out.count() == 400
+    # fill_missing must not fabricate phantom rows from the orphan column
+    out2 = decode_blocks_df(tbl.read(spark), V1_DDL, fill_missing=True)
+    assert out2.count() == 400

@@ -56,3 +56,20 @@ def test_brute_force_self_is_top1(spark, emb):
     top = similarity.brute_force_topk(emb, "vec_id", "embedding", q,
                                       k=1).first()
     assert top["vec_id"] == 0 and top["cos"] == 1.0
+
+
+def test_ivf_small_table_degrades_gracefully(spark):
+    """Tables smaller than n_list must clamp, not crash (and an empty
+    table falls back to brute force)."""
+    from eel_sdk_spark.functions.similarity import ivf_topk
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(3)],
+        "vec_id bigint, embedding array<float>")
+    out = ivf_topk(tiny, "vec_id", "embedding", [1.0, 1.0, 0.0],
+                   k=2, n_list=16, n_probe=16)
+    assert out.count() == 2
+
+    empty = tiny.filter("vec_id < 0")
+    assert ivf_topk(empty, "vec_id", "embedding", [1.0, 0.0, 0.0],
+                    k=2, n_list=8).count() == 0

@@ -97,3 +97,30 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     finally:
         q.stop()
         pub.close()
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may replay an epoch after failure: the per-stream
+    epoch watermark in the manifest must make the second commit a no-op
+    (without it every replayed batch duplicates its rows)."""
+    from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+    from eel_sdk_spark.encode import decode_blocks_df
+    from eel_sdk_spark.streaming.pipeline import encode_epoch
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path), "stream_blocks")
+    batch = webtext_df(spark, 300, parts=2)
+    assert encode_epoch(tbl, batch, 0, key="url", n_parts=4) is True
+    assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 300
+
+    # replay of epoch 0: skipped, no duplicate rows, no new snapshot
+    snap_before = tbl.current().snapshot_id
+    assert encode_epoch(tbl, batch, 0, key="url", n_parts=4) is False
+    assert tbl.current().snapshot_id == snap_before
+    assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 300
+
+    # next epoch appends normally
+    batch2 = webtext_df(spark, 200, parts=2).withColumn(
+        "url", F.concat(F.lit("e1-"), F.col("url")))
+    assert encode_epoch(tbl, batch2, 1, key="url", n_parts=4) is True
+    assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 500

@@ -24,6 +24,57 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _order_cols(order_by) -> list:
+    if isinstance(order_by, (list, tuple)):
+        return list(order_by)
+    return [order_by]
+
+
+def with_global_index(df: DataFrame, order_by, idx_col: str = "__rn",
+                      n_partitions: int | None = None) -> DataFrame:
+    """Global 1-based row number under ``order_by`` WITHOUT a single-task
+    global sort (the zipWithIndex pattern, declaratively):
+
+    1. range-partition on the sort key (parallel sampling exchange);
+    2. per-range-partition row counts (a tiny aggregate);
+    3. cumulative offsets (a window over n_partitions COUNT rows — constant
+       bytes) broadcast-joined back; row_number runs per partition.
+
+    Every data-sized stage is parallel — ``Window.orderBy`` with no
+    partitionBy would move the entire dataset into ONE task, which is
+    correct at test scale and a scale-killer at 100x. Range partitioning
+    keeps equal keys in one partition, so tie behaviour matches the
+    single-window plan.
+
+    Everything is ONE query: the range exchange feeds both the counts
+    aggregate and the main branch, so Spark's exchange reuse
+    (ReusedExchange) guarantees both read the SAME shuffle output — range
+    boundary sampling must not run twice, since its sample timing is not
+    deterministic across jobs (measured: recomputation skews offsets and
+    drops/duplicates indexes).
+    """
+    cols = _order_cols(order_by)
+    spark = df.sparkSession
+    if n_partitions is None:
+        try:
+            n_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # "auto" under some AQE configs
+            n_partitions = 32
+    ranged = (df.repartitionByRange(n_partitions, *cols)
+              .withColumn("__pid", F.spark_partition_id()))
+    sizes = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (ranged.join(F.broadcast(offs), "__pid")
+            .withColumn(idx_col, F.row_number().over(w) + F.col("__off"))
+            .drop("__pid", "__off"))
+
+
 class DataStream:
     """Fluent wrapper; ``.df`` exposes the underlying DataFrame at any point."""
 
@@ -140,12 +191,10 @@ class DataStream:
     def concat_zip(self, other: "DataStream", order_left: str,
                    order_right: str) -> "DataStream":
         """DataStream.scala:373-415: positional zip of two streams. Needs an
-        explicit order on a distributed engine: row_number on each side +
-        equi-join on the index."""
-        wl = Window.orderBy(order_left)
-        wr = Window.orderBy(order_right)
-        left = self.df.withColumn("__zip", F.row_number().over(wl))
-        right = other.df.withColumn("__zip", F.row_number().over(wr))
+        explicit order on a distributed engine: a parallel global index on
+        each side (with_global_index — no single-task sort) + equi-join."""
+        left = with_global_index(self.df, order_left, "__zip")
+        right = with_global_index(other.df, order_right, "__zip")
         return DataStream(left.join(right, "__zip").drop("__zip"))
 
     # -- set ops (DataStream.scala:684-753) -------------------------------
@@ -174,43 +223,36 @@ class DataStream:
 
     def drop_rows(self, n: int, order_by: str | Column) -> "DataStream":
         """DataStream.scala:200-212 (drop first n in stream order)."""
-        w = Window.orderBy(order_by)
-        return DataStream(
-            self.df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > n).drop("__rn"))
+        df = with_global_index(self.df, order_by)
+        return DataStream(df.filter(F.col("__rn") > n).drop("__rn"))
 
     def take_while(self, predicate: Column, order_by: str | Column) -> "DataStream":
         """DataStream.scala:137-163: longest prefix satisfying predicate =
-        rows before the first failing row (min failing rank via window)."""
-        w = Window.orderBy(order_by)
-        df = (self.df.withColumn("__rn", F.row_number().over(w))
-              .withColumn("__bad",
-                          F.min(F.when(~predicate, F.col("__rn")))
-                          .over(w.rowsBetween(Window.unboundedPreceding,
-                                              Window.unboundedFollowing))))
+        rows before the first failing row. The first failing global index
+        is a 1-row aggregate broadcast back — not an unbounded window over
+        a single-task sort."""
+        df = with_global_index(self.df, order_by)
+        bad = df.agg(F.min(F.when(~predicate, F.col("__rn"))).alias("__bad"))
         return DataStream(
-            df.filter(F.col("__bad").isNull() | (F.col("__rn") < F.col("__bad")))
+            df.join(F.broadcast(bad), how="cross")
+            .filter(F.col("__bad").isNull() | (F.col("__rn") < F.col("__bad")))
             .drop("__rn", "__bad"))
 
     def drop_while(self, predicate: Column, order_by: str | Column) -> "DataStream":
         """DataStream.scala:214-238."""
-        w = Window.orderBy(order_by)
-        df = (self.df.withColumn("__rn", F.row_number().over(w))
-              .withColumn("__bad",
-                          F.min(F.when(~predicate, F.col("__rn")))
-                          .over(w.rowsBetween(Window.unboundedPreceding,
-                                              Window.unboundedFollowing))))
+        df = with_global_index(self.df, order_by)
+        bad = df.agg(F.min(F.when(~predicate, F.col("__rn"))).alias("__bad"))
         return DataStream(
-            df.filter(F.col("__bad").isNotNull()
-                      & (F.col("__rn") >= F.col("__bad"))).drop("__rn", "__bad"))
+            df.join(F.broadcast(bad), how="cross")
+            .filter(F.col("__bad").isNotNull()
+                    & (F.col("__rn") >= F.col("__bad")))
+            .drop("__rn", "__bad"))
 
     def sample_every_k(self, k: int, order_by: str | Column) -> "DataStream":
         """DataStream.scala:665-678: keep every k-th row (exact, counter
-        based) — row_number % k == 0 under the explicit order."""
-        w = Window.orderBy(order_by)
-        return DataStream(
-            self.df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") % k == 0).drop("__rn"))
+        based) — global_index % k == 0 under the explicit order."""
+        df = with_global_index(self.df, order_by)
+        return DataStream(df.filter(F.col("__rn") % k == 0).drop("__rn"))
 
     # -- arg-extrema (DataStream.scala:515-551) ---------------------------
     def min_by(self, of: str, by: str) -> "DataStream":

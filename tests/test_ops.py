@@ -243,3 +243,58 @@ def test_join_goes_broadcast_in_plan(spark, music):
     ds = DataStream(music).join("artist", DataStream(labels))
     plan = ds.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_order_dependent_ops_have_no_single_task_plan(spark):
+    """drop/takeWhile/sample-every-k/concat-zip must not funnel the whole
+    dataset through ONE task (Window.orderBy with no partitionBy compiles
+    to Exchange SinglePartition): the global index is built from a range
+    partitioning + per-partition offsets, so every exchange stays parallel."""
+    from eel_sdk_spark.ops import with_global_index
+
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    ds = DataStream(df)
+
+    # tiny_exchanges: each global index carries ONE SinglePartition window
+    # over n_partitions COUNT rows (constant bytes — the offsets cumsum);
+    # take/drop_while add one scalar-min final agg. What must never appear
+    # is the dataset itself on a single partition: every window over data
+    # rows is partitioned by __pid.
+    for tiny_exchanges, out in (
+        (1, with_global_index(df, "id")),
+        (1, ds.drop_rows(10, order_by="id").df),
+        (1, ds.sample_every_k(100, order_by="id").df),
+        (3, ds.take_while(F.col("id") < 5000, order_by="id").df),
+        (3, ds.drop_while(F.col("id") < 5000, order_by="id").df),
+        (2, ds.concat_zip(DataStream(df.select(F.col("id").alias("j"))),
+                          order_left="id", order_right="j").df),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange SinglePartition") == tiny_exchanges, plan
+        assert "rangepartitioning" in plan
+        # every window over data rows runs partitioned (per __pid):
+        # the only unpartitioned window spec is the offsets cumsum on __cnt
+        import re
+
+        for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+            assert spec.startswith("windowspecdefinition(__pid"), spec
+
+
+def test_order_dependent_ops_values(spark):
+    """Same results as the single-window implementation (golden checks)."""
+    df = spark.range(1, 1001).withColumn("v", F.col("id") % 7)
+    ds = DataStream(df)
+    assert ds.drop_rows(990, order_by="id").df.agg(
+        F.min("id"), F.count("*")).first() == (991, 10)
+    sampled = [r["id"] for r in
+               ds.sample_every_k(250, order_by="id").df.orderBy("id").collect()]
+    assert sampled == [250, 500, 750, 1000]
+    tw = ds.take_while(F.col("id") < 42, order_by="id").df
+    assert tw.count() == 41 and tw.agg(F.max("id")).first()[0] == 41
+    dw = ds.drop_while(F.col("id") < 42, order_by="id").df
+    assert dw.count() == 959 and dw.agg(F.min("id")).first()[0] == 42
+    # take_while with an always-true predicate keeps everything
+    assert ds.take_while(F.lit(True), order_by="id").df.count() == 1000
+    z = ds.concat_zip(DataStream(df.select((1001 - F.col("id")).alias("j"))),
+                      order_left="id", order_right="j").df
+    assert z.filter(F.col("id") != F.col("j")).count() == 0

@@ -74,16 +74,23 @@ def run_eelshape(spark) -> dict:
     df.count()
     encode_df(df.sample(0.05, seed=1), key="rid", shuffle=False) \
         .foreach(lambda r: None)
-    t0 = time.monotonic()
-    blocks = encode_df(df, key="rid", shuffle=False).cache()
-    agg = blocks.agg({"raw_bytes": "sum", "enc_bytes": "sum"}).collect()[0]
-    t_enc = time.monotonic() - t0
-    t0 = time.monotonic()
-    n_dec = decode_blocks_df(blocks, EELROWS_DDL + ", rid bigint").count()
-    t_dec = time.monotonic() - t0
+    # min-of-2 warm samples per side: co-tenant noise is additive
+    t_enc, t_dec = float("inf"), float("inf")
+    blocks = None
+    for _ in range(2):
+        if blocks is not None:
+            blocks.unpersist()
+        t0 = time.monotonic()
+        blocks = encode_df(df, key="rid", shuffle=False).cache()
+        agg = blocks.agg({"raw_bytes": "sum", "enc_bytes": "sum"}).collect()[0]
+        t_enc = min(t_enc, time.monotonic() - t0)
+        for _ in range(2):
+            t0 = time.monotonic()
+            n_dec = decode_blocks_df(blocks, EELROWS_DDL + ", rid bigint").count()
+            t_dec = min(t_dec, time.monotonic() - t0)
+            assert n_dec == n
     blocks.unpersist()
     df.unpersist()
-    assert n_dec == n
     return {
         "rows": n,
         "encode_sec": round(t_enc, 3),

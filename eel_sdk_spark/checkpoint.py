@@ -155,28 +155,38 @@ def encode_with_checkpoint(
     blocks.write.mode("overwrite").parquet(job_dir)
     files = ManifestTable.list_written_files(job_dir)
 
-    written = spark.read.parquet(job_dir) if files else None
-    if written is None or written.isEmpty():
+    # ONE scan, ONE action over the written blocks: a grouped aggregate on
+    # (part_id, col, codec) — cardinality n_parts x n_cols x codecs, tiny —
+    # carries everything the run record needs (part ids, rows, byte totals,
+    # codec mix). Parquet column pruning keeps the payload bytes unread.
+    # (Previously: isEmpty + min(col) + per-part counts + totals + codec mix
+    # = five scans of the encoded output; at 100 TB that is several extra
+    # passes.)
+    stats = []
+    if files:
+        stats = (spark.read.parquet(job_dir)
+                 .groupBy("part_id", "col", "codec")
+                 .agg(F.sum("n_values").alias("nv"),
+                      F.sum("raw_bytes").alias("raw"),
+                      F.sum("enc_bytes").alias("enc"),
+                      F.count("*").alias("cnt"))
+                 .collect())
+    if not stats:
         return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
                 "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
 
-    first_col = written.select(F.min("col")).first()[0]
-    per_part = written.groupBy("part_id").agg(F.count("*")).collect()
-    totals = written.agg(
-        F.sum(F.when(F.col("col") == first_col, F.col("n_values"))
-              .otherwise(0)).alias("rows"),
-        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"),
-    ).collect()[0]
-    codec_mix = {f"{r['col']}:{r['codec']}": r["cnt"] for r in
-                 written.groupBy("col", "codec").agg(
-                     F.count("*").alias("cnt")).collect()}
+    first_col = min(r["col"] for r in stats)
+    codec_mix: dict[str, int] = {}
+    for r in stats:
+        k = f"{r['col']}:{r['codec']}"
+        codec_mix[k] = codec_mix.get(k, 0) + int(r["cnt"])
 
     run = {
         "run_id": run_id,
-        "part_ids": sorted(int(r["part_id"]) for r in per_part),
-        "n_rows": int(totals["rows"] or 0),
-        "raw_bytes": int(totals["raw"] or 0),
-        "enc_bytes": int(totals["enc"] or 0),
+        "part_ids": sorted({int(r["part_id"]) for r in stats}),
+        "n_rows": sum(int(r["nv"]) for r in stats if r["col"] == first_col),
+        "raw_bytes": sum(int(r["raw"]) for r in stats),
+        "enc_bytes": sum(int(r["enc"]) for r in stats),
         "codec_mix": codec_mix,
         "fingerprint": input_fingerprint(df, key),
         "n_parts": n_parts,

@@ -93,12 +93,22 @@ def with_part_id(df: DataFrame, key: str, n_parts: int,
 
 
 def recommend_salt(df: DataFrame, key: str, n_parts: int,
-                   max_share: float = 1.5) -> int:
+                   max_share: float = 1.5,
+                   sample_fraction: float = 0.05) -> int:
     """Auto-salt from measured skew: if the hottest key holds more rows
     than ``max_share`` x the mean partition size, return the salt factor
     that levels it (the stats-sampler-driven 'salt factor adaptive'
-    requirement, SURVEY.md §7 risks)."""
-    total, top = df.groupBy(key).count().agg(
+    requirement, SURVEY.md §7 risks).
+
+    Estimated from a deterministic sample, not a full groupBy over the
+    corpus: the salt factor is top_key_rows / mean_part_rows, a RATIO —
+    both numerator and denominator scale with the sample fraction, so the
+    estimate is fraction-invariant (hot keys are by definition heavily
+    represented in any uniform sample). ``sample_fraction >= 1`` forces
+    the exact full-shuffle computation."""
+    sampled = df if sample_fraction >= 1 else df.sample(
+        fraction=sample_fraction, seed=7)
+    total, top = sampled.groupBy(key).count().agg(
         F.sum("count"), F.max("count")).first()
     if not total:
         return 1
@@ -234,16 +244,24 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
     if not shuffle:
-        return df.mapInArrow(
+        out = df.mapInArrow(
             lambda it: _encode_batches_by_task(it, overrides, profile),
             BLOCK_SCHEMA_DDL)
-    prepared = (
-        with_part_id(df, key, n_parts, salt, salt_by)
-        .repartition(n_parts, F.col(PART_COL))
-        .sortWithinPartitions(PART_COL)
-    )
-    return prepared.mapInArrow(
-        lambda it: _encode_batches(it, overrides, profile), BLOCK_SCHEMA_DDL)
+    else:
+        prepared = (
+            with_part_id(df, key, n_parts, salt, salt_by)
+            .repartition(n_parts, F.col(PART_COL))
+            .sortWithinPartitions(PART_COL)
+        )
+        out = prepared.mapInArrow(
+            lambda it: _encode_batches(it, overrides, profile),
+            BLOCK_SCHEMA_DDL)
+    # every block group is emitted by ONE task, so no group straddles a
+    # partition boundary: decode_blocks_df auto-detects this tag and skips
+    # its regrouping shuffle entirely (persist()/cache() return the same
+    # object, so encode->cache->decode keeps the zero-shuffle path)
+    out._eel_grouped = True
+    return out
 
 
 def _encode_batches_by_task(batches: Iterator[pa.RecordBatch],
@@ -287,8 +305,13 @@ def prune_block_groups(blocks: DataFrame, col: str,
     if upper_s is not None:
         cond = cond & (F.col("min_s").isNull() | (F.col("min_s") <= upper_s))
     keep = this_col.filter(cond).select("part_id", "block_seq")
-    return blocks.join(F.broadcast(keep), ["part_id", "block_seq"],
-                       "left_semi")
+    out = blocks.join(F.broadcast(keep), ["part_id", "block_seq"],
+                      "left_semi")
+    # a broadcast semi-join is narrow: it drops whole groups but never
+    # moves rows across partitions, so the grouping guarantee survives
+    if getattr(blocks, "_eel_grouped", False):
+        out._eel_grouped = True
+    return out
 
 
 def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
@@ -311,7 +334,11 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     DataFrame coming straight out of ``encode_df`` (cached or not), and
     for block files whose size is under ``spark.sql.files.maxPartitionBytes``
     (groups are written adjacently per file). The reassembler detects a
-    violated assumption and raises rather than dropping rows.
+    violated assumption and raises rather than dropping rows. DataFrames
+    produced by ``encode_df`` / ``prune_block_groups`` carry an
+    ``_eel_grouped`` tag and take this path automatically — the default
+    decode of a just-encoded table is zero-shuffle; only blocks re-read
+    from storage (or reshaped by the caller) pay the regroup.
 
     ``fill_missing=True`` enables schema-evolution reads: block groups
     written before a column was added decode with that column as nulls
@@ -320,6 +347,9 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     """
     from pyspark.sql.types import StructType
 
+    # capture the grouping tag before any transformation re-wraps `blocks`
+    # (new DataFrame objects do not inherit python attributes)
+    assume_grouped = assume_grouped or getattr(blocks, "_eel_grouped", False)
     out_schema = StructType.fromDDL(schema_ddl)
     col_order = [f.name for f in out_schema.fields]
     if columns is not None:
@@ -334,23 +364,27 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     # fill_missing)
     blocks = blocks.filter(F.col("col").isin(col_order))
 
+    n_cols = len(col_order)
+
     def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[tuple[int, int], dict[str, pa.Array]] = {}
         for batch in batches:
-            part = batch.column("part_id").to_pylist()
-            seqs = batch.column("block_seq").to_pylist()
-            uids = batch.column("writer_uid").to_pylist()
-            names = batch.column("col").to_pylist()
+            # one vectorized hop for the small key columns; the big
+            # payload/header cells stay as zero-copy Arrow buffer views
+            keys = zip(batch.column("part_id").to_pylist(),
+                       batch.column("block_seq").to_pylist(),
+                       batch.column("writer_uid").to_pylist(),
+                       batch.column("col").to_pylist())
             headers = batch.column("header")
             payloads = batch.column("payload")
-            for i in range(batch.num_rows):
-                key = (part[i], seqs[i], uids[i])
+            for i, (part, seq, uid, name) in enumerate(keys):
+                key = (part, seq, uid)
                 group = pending.setdefault(key, {})
                 # as_buffer(): zero-copy views into the arrow batch (the
                 # payload can be tens of MB; as_py would copy it)
-                group[names[i]] = decode_column(
+                group[name] = decode_column(
                     headers[i].as_py(), payloads[i].as_buffer())
-                if all(c in group for c in col_order):
+                if len(group) == n_cols:
                     yield pa.record_batch([group[c] for c in col_order],
                                           names=col_order)
                     del pending[key]

@@ -134,3 +134,38 @@ def test_grouped_decode_no_shuffle(spark, corpus):
     assert plan.count("Exchange") == 1  # only the encode-side shuffle
     assert decoded.count() == N_ROWS
     assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+
+def test_decode_auto_detects_grouped_blocks(spark, corpus):
+    """Blocks straight from encode_df (incl. cached, and pruned via
+    prune_block_groups) take the zero-shuffle decode path WITHOUT the
+    caller passing assume_grouped; blocks re-read from storage do not."""
+    from eel_sdk_spark.encode import prune_block_groups
+
+    # the decode-side regroup's signature is a repartition on the block
+    # table's part_id column; the encode-side shuffle hashes __eel_part
+    REGROUP = "hashpartitioning(part_id"
+
+    blocks = encode_df(corpus, key="url", n_parts=8).cache()
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert REGROUP not in plan, plan
+    assert decoded.count() == N_ROWS
+
+    pruned = prune_block_groups(blocks, "url", lower_s="h")
+    decoded2 = decode_blocks_df(pruned, SCHEMA_DDL)
+    plan2 = decoded2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan2
+    assert REGROUP not in plan2, plan2
+    assert decoded2.count() == N_ROWS
+
+    # storage round-trip loses the guarantee -> shuffled regroup path
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        blocks.write.mode("overwrite").parquet(d)
+        reread = spark.read.parquet(d)
+        dec3 = decode_blocks_df(reread, SCHEMA_DDL)
+        plan3 = dec3._jdf.queryExecution().executedPlan().toString()
+        assert REGROUP in plan3, plan3
+        assert dec3.count() == N_ROWS
+    blocks.unpersist()

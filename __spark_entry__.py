@@ -308,6 +308,25 @@ def q_price_histogram(spark, sf):
                  F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
 
 
+def q_map_rows(spark, sf):
+    """Generic vectorized row transform (DataStream.map): logic not
+    expressed as Column expressions — pandas per Arrow batch, zero
+    per-row Python."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents")
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_chars": pdf["text"].str.len().astype("int64"),
+            "shout": pdf["lang"].str.upper(),
+        })
+
+    return (DataStream(d.select("doc_id", "text", "lang"))
+            .map(fn, "doc_id bigint, n_chars bigint, shout string").df)
+
+
 def q_dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
@@ -538,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "having": q_having,
         "price_histogram": q_price_histogram,
+        "map_rows": q_map_rows,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
@@ -735,6 +755,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'hi' END AS bucket,
                    count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
             FROM orders GROUP BY 1""",
+        "map_rows": """
+            SELECT doc_id, length(text) AS n_chars, upper(lang) AS shout
+            FROM documents""",
         "dedup_exact": """
             SELECT md5(text) AS fp, count(*) AS n_dups,
                    min(doc_id) AS keep_id

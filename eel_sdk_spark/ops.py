@@ -133,6 +133,59 @@ class DataStream:
                                          for c in self.df.columns]))
 
     # -- row transforms ----------------------------------------------------
+    def map(self, fn: Callable, schema=None) -> "DataStream":
+        """DataStream.scala:40-47 (map Row=>Row) — the reference's
+        most-used operator, here with the zero-per-row-Python contract:
+        ``fn`` receives and returns whole pandas DataFrames (one per Arrow
+        batch), never individual rows. ``schema`` (DDL string or
+        StructType) defaults to the input schema, matching the reference's
+        schema-preserving map; pass it when ``fn`` reshapes columns."""
+        out_schema = schema if schema is not None else self.df.schema
+
+        def apply(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return DataStream(self.df.mapInPandas(apply, out_schema))
+
+    def map_in_arrow(self, fn: Callable, schema=None) -> "DataStream":
+        """Arrow-level variant of :meth:`map` for binary-heavy batches
+        (fn: Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]) — the
+        same channel the codec engine uses (encode.py)."""
+        out_schema = schema if schema is not None else self.df.schema
+        return DataStream(self.df.mapInArrow(fn, out_schema))
+
+    def foreach(self, fn: Callable) -> "DataStream":
+        """DataStream.scala:371: side-effecting visit of every row with the
+        stream passing through unchanged. Like the reference, this is LAZY —
+        the effect fires when the returned stream is consumed. ``fn``
+        receives pandas batches (zero per-row Python); use a Spark
+        accumulator or external sink inside ``fn`` for counters, since it
+        runs on executors."""
+        def apply(batches):
+            for pdf in batches:
+                fn(pdf)
+                yield pdf
+
+        return DataStream(self.df.mapInPandas(apply, self.df.schema))
+
+    def replace_field(self, name: str, new_name: str,
+                      new_type: str | None = None) -> "DataStream":
+        """DataStream.scala:356-366 (replaceField): swap one field's
+        definition in place — same position, new name and/or type; values
+        are reinterpreted via cast (the reference rewraps the untouched
+        values under the updated schema)."""
+        cols = []
+        for f in self.df.schema.fields:
+            if f.name == name:
+                c = F.col(name)
+                if new_type is not None:
+                    c = c.cast(new_type)
+                cols.append(c.alias(new_name))
+            else:
+                cols.append(F.col(f.name))
+        return DataStream(self.df.select(*cols))
+
     def map_field(self, name: str, fn: Callable[[Column], Column]) -> "DataStream":
         """DataStream.scala:49-65 (mapField; NB the reference's version is
         a no-op bug — it reassigns the old value; we implement the intent)."""

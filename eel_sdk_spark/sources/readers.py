@@ -46,6 +46,13 @@ class _FileSource:
     def with_option(self, key: str, value):
         return replace(self, options={**self.options, key: value})
 
+    def with_merge_schema(self):
+        """Cross-file schema merge on read — the reference's
+        AvroSchemaMerge (AvroSchemaMerge.scala:10-32) /
+        ``eel.parquet.mergeSchemas`` (reference.conf:52), here delegated
+        to the source's own footer-merging scan."""
+        return self.with_option("mergeSchema", "true")
+
     def paths(self) -> list[str]:
         return FilePattern(self.pattern).to_paths()
 
@@ -98,30 +105,118 @@ class AvroSource(_FileSource):
 
 @dataclass
 class CsvSource(_FileSource):
-    """CsvSource.scala:13-105: header modes, null value, skip rows,
-    schema inference via SchemaInferrer regex rules on the header row."""
+    """CsvSource.scala:13-105: header modes (FirstRow / FirstComment /
+    None, Header.java), null/empty cell values, skipRows, schema inference
+    via SchemaInferrer regex rules on the header names.
+
+    Plan shapes:
+    - ``skip_rows == 0``: the native vectorized CSV scan (header/comment
+      handled by options; FirstComment peeks the comment line driver-side
+      for names only — the data scan stays native and parallel-per-split).
+    - ``skip_rows > 0``: per-file stream mode — whole file as one value,
+      split/slice/from_csv, all JVM expressions. Files are the unit of
+      parallelism, which is PARITY with the reference: its CsvPublisher is
+      a single sequential stream per source (CsvSource.scala:90-93).
+    """
 
     FORMAT = "csv"
-    header: bool = True
+    header: bool | str = True  # True/'first_row' | False/'none' | 'first_comment'
     null_value: str = ""
     inferrer: SchemaInferrer | None = None
+    skip_rows: int = 0
+    comment: str = "#"
+    empty_cell_value: str | None = None
+
+    def with_header(self, mode) -> "CsvSource":
+        """CsvSource.scala:31 withHeader(Header)."""
+        return replace(self, header=mode)
+
+    def with_skip_rows(self, n: int) -> "CsvSource":
+        """CsvSource.scala:48 withSkipRows."""
+        return replace(self, skip_rows=n)
+
+    def _mode(self) -> str:
+        if self.header is True:
+            return "first_row"
+        if self.header is False:
+            return "none"
+        return str(self.header).lower()
+
+    def _delimiter(self) -> str:
+        return self.options.get("sep", self.options.get("delimiter", ","))
+
+    def _peek_names(self) -> list[str]:
+        """Driver-side peek at the first file's prefix (bounded read) for
+        header discovery — the only part of a CSV read that is inherently
+        sequential. Raises on first_comment with no comment line, like the
+        reference's schema call would yield nothing useful."""
+        path = self.paths()[0]
+        with open(path, encoding="utf-8", errors="replace") as f:
+            head = f.read(1 << 20)
+        lines = head.splitlines()[self.skip_rows:]
+        mode = self._mode()
+        delim = self._delimiter()
+        if mode == "first_comment":
+            for ln in lines:
+                if ln.startswith(self.comment):
+                    return ln[len(self.comment):].split(delim)
+            return [""]  # reference: empty header when no comment found
+        first = next((ln for ln in lines
+                      if ln and not ln.startswith(self.comment)), "")
+        if mode == "none":
+            return [str(i) for i in range(len(first.split(delim)))]
+        return first.split(delim)
+
+    def _resolve_schema(self) -> T.StructType:
+        if self.schema is not None:
+            return self.schema
+        names = self._peek_names()
+        inferrer = self.inferrer or SchemaInferrer()
+        return inferrer.infer(names)
 
     def load(self, spark: SparkSession) -> DataFrame:
-        opts = {"header": str(self.header).lower(),
-                "nullValue": self.null_value, **self.options}
-        reader = spark.read.format("csv").options(**opts)
-        schema = self.schema
-        if schema is None and self.inferrer is not None:
-            first = spark.read.options(**opts).csv(self.pattern).columns
-            schema = self.inferrer.infer(first)
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.load(self.pattern)
+        mode = self._mode()
+        opts = {"nullValue": self.null_value, "comment": self.comment,
+                **self.options}
+        if self.empty_cell_value is not None:
+            opts["emptyValue"] = self.empty_cell_value
+        if self.skip_rows > 0:
+            df = self._load_stream(spark, mode, opts)
+        else:
+            schema = self._resolve_schema()
+            reader = (spark.read.format("csv")
+                      .options(**opts)
+                      .option("header", str(mode == "first_row").lower())
+                      .schema(schema))
+            df = reader.load(self.pattern)
         if self.predicate is not None:
             df = df.filter(self.predicate)
         if self.projection:
             df = df.select(*self.projection)
         return df
+
+    def _load_stream(self, spark: SparkSession, mode: str,
+                     opts: dict) -> DataFrame:
+        """skip_rows path: whole file -> split lines -> slice -> from_csv.
+        Everything after the text scan is JVM expressions."""
+        from pyspark.sql import functions as F
+
+        schema = self._resolve_schema()
+        txt = (spark.read.format("text").option("wholetext", "true")
+               .load(self.pattern))
+        start = self.skip_rows + (1 if mode == "first_row" else 0)
+        lines = F.split(F.col("value"), "\r?\n")
+        body = F.slice(lines, start + 1,
+                       F.greatest(F.size(lines) - start, F.lit(0)))
+        rows = (txt.select(F.explode(body).alias("line"))
+                .filter(F.length("line") > 0)
+                .filter(~F.col("line").startswith(self.comment)))
+        csv_opts = {k: v for k, v in opts.items() if k != "comment"}
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        return (rows.select(F.from_csv(F.col("line"), ddl, csv_opts)
+                            .alias("r"))
+                .select("r.*"))
 
 
 class JsonSource(_FileSource):

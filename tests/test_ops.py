@@ -298,3 +298,48 @@ def test_order_dependent_ops_values(spark):
     z = ds.concat_zip(DataStream(df.select((1001 - F.col("id")).alias("j"))),
                       order_left="id", order_right="j").df
     assert z.filter(F.col("id") != F.col("j")).count() == 0
+
+
+def test_map_vectorized(spark, music):
+    """DataStreamTest map cases (DataStreamTest.scala:40-47 usage sites):
+    generic row transform, batch-vectorized."""
+    def double_year(pdf):
+        pdf["year"] = pdf["year"] * 2
+        return pdf
+
+    ds = DataStream(music).map(double_year)
+    assert ds.df.schema == music.schema
+    assert ds.df.agg(F.sum("year")).first()[0] == \
+        music.agg(F.sum("year") * 2).first()[0]
+
+    # reshaping map with an explicit output schema
+    def project(pdf):
+        import pandas as pd
+        return pd.DataFrame({"artist_upper": pdf["artist"].str.upper()})
+
+    got = DataStream(music).map(project, "artist_upper string").df
+    assert got.columns == ["artist_upper"]
+    assert got.count() == music.count()
+
+
+def test_foreach_side_effect(spark, music):
+    """DataStreamTest.scala:434-439: foreach visits every row, stream
+    unchanged; counted via accumulator (fn runs on executors)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def visit(pdf):
+        acc.add(len(pdf))
+
+    ds = DataStream(music).foreach(visit)
+    assert ds.size() == music.count()
+    assert acc.value == music.count()
+
+
+def test_replace_field(spark, music):
+    """DataStream.scala:356-366 replaceField: in-place definition swap."""
+    ds = DataStream(music).replace_field("year", "year_str", "string")
+    assert [f.name for f in ds.df.schema.fields] == \
+        [("year_str" if f.name == "year" else f.name)
+         for f in music.schema.fields]
+    assert ds.df.schema["year_str"].dataType.simpleString() == "string"
+    assert ds.size() == music.count()

@@ -171,3 +171,51 @@ def test_compactor(spark, tmp_path):
     tbl.compact(spark, 2)
     assert len(tbl.current().files) == 2
     assert tbl.read(spark).count() == 1000
+
+
+def test_csv_header_first_comment(spark, tmp_path):
+    """CsvSourceTest.scala:74-83 ('support first comment header'): names
+    come from the first comment line, every non-comment row is data."""
+    p = tmp_path / "comments.csv"
+    p.write_text("#a,b,c\ne,f,g\n1,2,3\n4,5,6\n")
+    src = CsvSource(str(p), header="first_comment")
+    out = src.load(spark)
+    assert out.columns == ["a", "b", "c"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("e", "f", "g"), ("1", "2", "3"), ("4", "5", "6")}
+
+
+def test_csv_header_none(spark, tmp_path):
+    """CsvSourceTest: Header.None names columns by ordinal."""
+    p = tmp_path / "nohdr.csv"
+    p.write_text("e,f,g\n1,2,3\n")
+    out = CsvSource(str(p), header=False).load(spark)
+    assert out.columns == ["0", "1", "2"]
+    assert out.count() == 2
+
+
+def test_csv_skip_rows(spark, tmp_path):
+    """CsvSource.scala:48 withSkipRows: preamble lines before the header."""
+    p = tmp_path / "skip.csv"
+    p.write_text("junk preamble\nmore junk\na,b\n1,2\n3,4\n")
+    out = CsvSource(str(p)).with_skip_rows(2).load(spark)
+    assert out.columns == ["a", "b"]
+    assert sorted(tuple(r) for r in out.collect()) == [("1", "2"), ("3", "4")]
+    # skip + headerless
+    out2 = CsvSource(str(p), header=False).with_skip_rows(3).load(spark)
+    assert out2.columns == ["0", "1"]
+    assert out2.count() == 2
+
+
+def test_merge_schema_across_files(spark, tmp_path):
+    """AvroSchemaMerge.scala:10-32 / reference.conf:52
+    (eel.parquet.mergeSchemas): one table view over files whose schemas
+    evolved."""
+    d = str(tmp_path / "merged")
+    spark.createDataFrame([(1, "x")], "id int, a string") \
+        .write.parquet(d + "/f1")
+    spark.createDataFrame([(2, 7.5)], "id int, b double") \
+        .write.parquet(d + "/f2")
+    out = ParquetSource(d + "/*").with_merge_schema().load(spark)
+    assert sorted(out.columns) == ["a", "b", "id"]
+    assert out.count() == 2

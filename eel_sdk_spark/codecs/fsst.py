@@ -8,10 +8,17 @@ expressible as whole-array numpy ops — the north rule forbids per-row
 Python, and a longest-match trie encoder cannot be vectorized in numpy.
 
 Train: iteratively merge the most frequent adjacent code pair on a bounded
-sample (greedy-left overlap resolution, fully vectorized). Encode: replay
-the learned merges over the concatenated column bytes, then bit-pack the
-final code stream (codes < 256 + n_merges). Decode: expand each code to its
-byte expansion via one object-array gather + join.
+sample (greedy-left overlap resolution, fully vectorized), stopping early
+when the best pair's sample frequency falls below ``min_pair_frac`` (the
+Zipf tail: merges cost a full replay pass each but stop paying for
+themselves once rare — the stop rule is the measured knee of the
+ratio/throughput curve). Encode: replay the learned merges over the
+concatenated column bytes; the final code stream is stored as raw uint16
+(BYTE-ALIGNED, not bit-packed: measured on webtext, the zstd cascade both
+compresses aligned codes better — 26.2x -> 28.5x with full merges — and
+runs ~10x faster on them, because bit-packing destroys the byte-aligned
+repeats zstd's match finder needs). Decode: expand each code to its byte
+expansion via one object-array gather + join.
 
 The reference has no text codec at all (strings go to parquet dictionary
 pages, RowParquetWriterFn.scala:44); this is a from-scratch addition
@@ -28,10 +35,18 @@ from .bitpack import bit_width, pack_uints, unpack_uints
 
 NAME = "fsst"
 
-MAX_MERGES = 240  # final code space fits in 9 bits at 256, caps at 496 codes
+MAX_MERGES = 240  # code space caps at 496 codes (fits uint16 storage)
 SAMPLE_CAP = 1 << 16  # train on at most 64 KiB (measured: ratio within 4%
                       # of a 256 KiB sample at 3x lower training cost)
 MIN_PAIR_COUNT = 8  # stop when the best pair is this rare in the sample
+# adaptive stop: end training when the best pair covers less than this
+# fraction of the (shrinking) sample — each merge costs one full replay
+# pass over the real data, and past this knee the ratio gain no longer
+# pays for it (measured on webtext: 0 -> 240 merges @2.6 MB/s/core,
+# 0.006 -> ~50 merges @6.5 MB/s/core at ~40% of the extra ratio; the
+# outer zstd-9 cascade recovers most of the rest on aligned codes).
+# min_pair_frac=0.0 restores exhaustive merging (max-ratio archival).
+MIN_PAIR_FRAC = 0.006
 
 
 def _apply_merge(codes: np.ndarray, a: int, b: int, new: int) -> np.ndarray:
@@ -51,7 +66,8 @@ def _apply_merge(codes: np.ndarray, a: int, b: int, new: int) -> np.ndarray:
     return codes[keep]
 
 
-def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
+def train(sample: bytes, max_merges: int = MAX_MERGES,
+          min_pair_frac: float = MIN_PAIR_FRAC) -> list[tuple[int, int]]:
     """Learn merge rules from a byte sample. Returns ordered (a, b) pairs."""
     if len(sample) > SAMPLE_CAP:
         sample = sample[:SAMPLE_CAP]
@@ -63,7 +79,7 @@ def train(sample: bytes, max_merges: int = MAX_MERGES) -> list[tuple[int, int]]:
         pairs = codes[:-1].astype(np.int64) * 0x10000 + codes[1:]
         uniq, counts = np.unique(pairs, return_counts=True)
         j = int(np.argmax(counts))
-        if counts[j] < MIN_PAIR_COUNT:
+        if counts[j] < max(MIN_PAIR_COUNT, min_pair_frac * codes.size):
             break
         best = int(uniq[j])
         a, b = best >> 16, best & 0xFFFF
@@ -97,32 +113,39 @@ def apply_merges(data: bytes, merges: list[tuple[int, int]]) -> np.ndarray:
 
 def encode(lengths: np.ndarray, data: bytes,
            merges: list[tuple[int, int]] | None = None) -> Encoded:
-    """lengths/data: the bytes_view of a non-null string column."""
+    """lengths/data: the bytes_view of a non-null string column.
+
+    Code stream stored as raw little-endian uint16 (``w: 0``): byte
+    alignment lets the outer zstd cascade find the repeats the merges did
+    not cover (measured better AND faster than bit-packing, module doc)."""
     if merges is None:
         merges = train(data)
     codes = apply_merges(data, merges)
-    width = bit_width(255 + len(merges))
-    payload = pack_uints(codes.astype(np.uint64), width)
+    payload = codes.astype("<u2").tobytes()
     lens_enc = for_.encode(lengths.astype(np.int64))
     merge_arr = np.array(merges, dtype=np.uint16).tobytes() if merges else b""
     return Encoded(
         NAME,
         payload,
-        {"n": len(lengths), "nc": codes.size, "w": width,
+        {"n": len(lengths), "nc": codes.size, "w": 0,
          "nm": len(merges), "lp": lens_enc.params},
         {"merges": merge_arr, "lens": lens_enc.payload},
     )
 
 
 def decode(payload: bytes, params: dict, tables: dict) -> tuple[np.ndarray, bytes]:
-    """Returns (lengths, data) matching bytes_view."""
+    """Returns (lengths, data) matching bytes_view. ``w > 0`` decodes the
+    round-1 bit-packed layout (back-compat for already-written blocks)."""
     nm = params["nm"]
     merges = (
         [tuple(p) for p in np.frombuffer(tables["merges"], dtype=np.uint16)
          .reshape(nm, 2).astype(int)]
         if nm else []
     )
-    codes = unpack_uints(payload, params["w"], params["nc"]).astype(np.int64)
+    if params["w"]:
+        codes = unpack_uints(payload, params["w"], params["nc"]).astype(np.int64)
+    else:
+        codes = np.frombuffer(payload, dtype="<u2").astype(np.int64)
     table = _expansions(merges)
     data = b"".join(table[codes]) if codes.size else b""
     lengths = for_.decode(tables["lens"], params["lp"], {})
@@ -130,7 +153,10 @@ def decode(payload: bytes, params: dict, tables: dict) -> tuple[np.ndarray, byte
 
 
 def estimate_ratio(sample: bytes, merges: list[tuple[int, int]]) -> float:
-    """Estimated encoded-bits-per-original-byte on a sample (selector hook)."""
+    """Estimated encoded-bits-per-original-byte on a sample (selector hook).
+    Uses the effective post-zstd width: the uint16 stream's high bytes are
+    near-constant and vanish in the cascade, so the pre-cascade cost is
+    ~bit_width bits per code."""
     if not sample:
         return 1.0
     sample = sample[:SAMPLE_CAP]

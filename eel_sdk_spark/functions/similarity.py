@@ -52,33 +52,111 @@ def _lite_centroids(emb: DataFrame, vec_col: str, n_list: int) -> np.ndarray:
     return cents / np.clip(norms, 1e-12, None)
 
 
-def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
-             query_vec: list[float], k: int = 10, n_list: int = 16,
-             n_probe: int = 4) -> DataFrame:
-    """IVF approximate top-k: probe the n_probe nearest centroid cells."""
-    cents = _lite_centroids(emb, vec_col, n_list)
-    if len(cents) == 0:
-        return brute_force_topk(emb, id_col, vec_col, query_vec, k)
-    n_list = len(cents)  # clamped for small tables
-    n_probe = min(n_probe, n_list)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_cells = np.argsort(-(cents @ qn))[:n_probe].tolist()
-
+def _cell_expr(cents: np.ndarray, vec_col: str) -> F.Column:
+    """argmax over centroid dot products as a JVM expression tree — the
+    per-vector cell assignment, usable both at query time and write time."""
     cent_arrays = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    # cell assignment: argmax over centroid dots (JVM expression tree)
     dots = [F.aggregate(F.zip_with(F.col(vec_col), ca, lambda x, y: x * y),
                         F.lit(0.0), lambda acc, x: acc + x)
             for ca in cent_arrays]
     best = F.lit(0)
     best_dot = dots[0]
-    for i in range(1, n_list):
+    for i in range(1, len(cents)):
         is_better = dots[i] > best_dot
         best = F.when(is_better, F.lit(i)).otherwise(best)
         best_dot = F.when(is_better, dots[i]).otherwise(best_dot)
-    assigned = emb.withColumn("cell", best)
+    return best
+
+
+def _probe_cells(cents: np.ndarray, query_vec: list[float],
+                 n_probe: int) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    return np.argsort(-(cents @ qn))[:n_probe].tolist()
+
+
+def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
+             query_vec: list[float], k: int = 10, n_list: int = 16,
+             n_probe: int = 4) -> DataFrame:
+    """IVF approximate top-k WITHOUT a persisted index: assigns cells at
+    query time (one pass — costs a full scan, like any one-shot query).
+    For repeated queries build an :class:`IvfIndex` once; its probes read
+    only the probed cells' files."""
+    cents = _lite_centroids(emb, vec_col, n_list)
+    if len(cents) == 0:
+        return brute_force_topk(emb, id_col, vec_col, query_vec, k)
+    n_probe = min(n_probe, len(cents))
+    probe_cells = _probe_cells(cents, query_vec, n_probe)
+    assigned = emb.withColumn("cell", _cell_expr(cents, vec_col))
     pruned = assigned.filter(F.col("cell").isin(probe_cells))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (pruned.select(F.col(id_col),
                           F.round(cosine(F.col(vec_col), qlit), 4).alias("cos"))
             .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+
+
+class IvfIndex:
+    """Persisted IVF index: cell assignment happens at WRITE time — vectors
+    land in a manifest table hive-partitioned by ``cell``, centroids ride
+    in the manifest properties. A probe resolves its cells driver-side
+    (n_list-sized matrix) and reads ONLY those cells' files via
+    manifest-side partition pruning — the encoded analogue of the
+    reference's metastore partition pruning (HiveSource.scala:104-133).
+    At 10^12 vectors a probe touches n_probe/n_list of the data; nothing
+    else is listed, let alone scanned."""
+
+    CELL = "cell"
+
+    def __init__(self, table):
+        self.table = table
+
+    @classmethod
+    def build(cls, emb: DataFrame, id_col: str, vec_col: str,
+              root: str, name: str, n_list: int = 16) -> "IvfIndex":
+        from ..table import ManifestTable
+
+        cents = _lite_centroids(emb, vec_col, n_list)
+        if len(cents) == 0:
+            raise ValueError("cannot build an IVF index over an empty table")
+        assigned = emb.withColumn(cls.CELL, _cell_expr(cents, vec_col))
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in assigned.schema.fields)
+        tbl = ManifestTable(root, name)
+        tbl.write_df(assigned, ddl,
+                     properties={"ivf": {"centroids": cents.tolist(),
+                                         "id_col": id_col,
+                                         "vec_col": vec_col}},
+                     partition_by=[cls.CELL])
+        return cls(tbl)
+
+    @classmethod
+    def load(cls, root: str, name: str) -> "IvfIndex":
+        from ..table import ManifestTable
+
+        return cls(ManifestTable(root, name))
+
+    def _props(self) -> dict:
+        return self.table.current().properties["ivf"]
+
+    def probe_files(self, query_vec: list[float], n_probe: int) -> list[str]:
+        """The exact file set a probe will read (for IO assertions/plans)."""
+        p = self._props()
+        cents = np.asarray(p["centroids"])
+        cells = _probe_cells(cents, query_vec, min(n_probe, len(cents)))
+        snap = self.table.current()
+        from ..partition import PartitionIn
+
+        c = PartitionIn(self.CELL, tuple(cells))
+        return [f for f, pv in zip(snap.files, snap.partitions) if c.eval(pv)]
+
+    def search(self, spark, query_vec: list[float], k: int = 10,
+               n_probe: int = 4) -> DataFrame:
+        from ..partition import PartitionIn
+
+        p = self._props()
+        cents = np.asarray(p["centroids"])
+        cells = _probe_cells(cents, query_vec, min(n_probe, len(cents)))
+        probed = self.table.read(
+            spark, constraints=[PartitionIn(self.CELL, tuple(cells))])
+        return brute_force_topk(probed, p["id_col"], p["vec_col"],
+                                query_vec, k)

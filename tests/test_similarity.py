@@ -73,3 +73,39 @@ def test_ivf_small_table_degrades_gracefully(spark):
     empty = tiny.filter("vec_id < 0")
     assert ivf_topk(empty, "vec_id", "embedding", [1.0, 0.0, 0.0],
                     k=2, n_list=8).count() == 0
+
+
+def test_ivf_index_probe_prunes_files(spark, emb, tmp_path):
+    """Write-time cell assignment: a probe reads ONLY the probed cells'
+    files (manifest-side pruning), and full-probe search == brute force."""
+    from eel_sdk_spark.functions.similarity import IvfIndex, brute_force_topk
+
+    idx = IvfIndex.build(emb, "vec_id", "embedding", str(tmp_path), "ivf",
+                         n_list=8)
+    snap = idx.table.current()
+    n_cells = len({pv["cell"] for pv in snap.partitions})
+    assert n_cells > 1
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    # IO assertion: 2-probe file set is a strict, cell-aligned subset
+    probe2 = idx.probe_files(q, n_probe=2)
+    assert 0 < len(probe2) < len(snap.files)
+    probed_cells = {pv["cell"] for f, pv in zip(snap.files, snap.partitions)
+                    if f in set(probe2)}
+    assert len(probed_cells) <= 2
+    # and the probed fraction tracks n_probe/n_list at file granularity
+    assert len(probe2) <= len(snap.files) * (2 / n_cells) + 1
+
+    # full probe == exact brute force (same rows, same scores)
+    got = idx.search(spark, q, k=5, n_probe=8).collect()
+    want = brute_force_topk(emb, "vec_id", "embedding", q, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # partial probe returns k rows from probed cells only
+    part = idx.search(spark, q, k=5, n_probe=2)
+    assert part.count() == 5
+    # load() round-trip sees the same index
+    idx2 = IvfIndex.load(str(tmp_path), "ivf")
+    got2 = idx2.search(spark, q, k=5, n_probe=8).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want]

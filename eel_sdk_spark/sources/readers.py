@@ -75,20 +75,32 @@ class ParquetSource(_FileSource):
 
     FORMAT = "parquet"
 
-    def statistics(self) -> dict:
+    def statistics(self, max_workers: int = 16) -> dict:
+        """Footer-only scan, parallelized across files: footer reads are
+        IO-latency-bound, so a thread pool covers manifests of thousands
+        of files without a serial driver loop (the reference reads footers
+        serially per part, ParquetSource.scala:58-75)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        count = compressed = uncompressed = 0
-        for p in self.paths():
+        def one(p: str) -> tuple[int, int, int]:
             meta = pq.ParquetFile(p).metadata
-            count += meta.num_rows
+            comp = unc = 0
             for rg in range(meta.num_row_groups):
                 g = meta.row_group(rg)
-                compressed += sum(g.column(c).total_compressed_size
-                                  for c in range(g.num_columns))
-                uncompressed += g.total_byte_size
-        return {"count": count, "compressed": compressed,
-                "uncompressed": uncompressed}
+                comp += sum(g.column(c).total_compressed_size
+                            for c in range(g.num_columns))
+                unc += g.total_byte_size
+            return meta.num_rows, comp, unc
+
+        paths = self.paths()
+        with ThreadPoolExecutor(max_workers=min(max_workers,
+                                                max(1, len(paths)))) as ex:
+            parts = list(ex.map(one, paths))
+        return {"count": sum(p[0] for p in parts),
+                "compressed": sum(p[1] for p in parts),
+                "uncompressed": sum(p[2] for p in parts)}
 
 
 class OrcSource(_FileSource):
@@ -250,7 +262,9 @@ class JdbcSource:
 
     def with_bucket_partitioning(self, column: str,
                                  values: list) -> "JdbcSource":
-        preds = [f"{column} = {v!r}" for v in values]
+        # ANSI-quoted identifier: Spark's JDBC writer creates case-exact
+        # quoted columns, so an unquoted name would be case-folded away
+        preds = [f'"{column}" = {v!r}' for v in values]
         return replace(self, predicates=preds)
 
     def with_hash_partitioning(self, hash_expr: str, n: int) -> "JdbcSource":
@@ -269,3 +283,33 @@ class JdbcSource:
                 lowerBound=self.lower_bound, upperBound=self.upper_bound,
                 numPartitions=self.num_partitions, properties=props)
         return spark.read.jdbc(self.url, self.table, properties=props)
+
+
+@dataclass
+class JdbcStoredProcSource:
+    """JdbcStoredProcSource.scala:15-79: the result set of a parameterized
+    stored procedure. Spark's JDBC source has no CallableStatement channel,
+    so the proc invocation is expressed as its defining query and pushed
+    down as a derived table — one round trip, executed database-side like
+    the reference's `{call proc(?)}`. Positional ``params`` are inlined as
+    SQL literals in ``?`` order (the reference binds them via setObject,
+    JdbcStoredProcSource.scala:35-43)."""
+
+    url: str
+    query: str
+    params: tuple = ()
+    properties: dict = field(default_factory=dict)
+    fetch_size: int = 1000
+
+    def _bound_query(self) -> str:
+        q = self.query
+        for p in self.params:
+            lit = str(p) if isinstance(p, (int, float)) else \
+                "'" + str(p).replace("'", "''") + "'"
+            q = q.replace("?", lit, 1)
+        return q
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        props = {"fetchsize": str(self.fetch_size), **self.properties}
+        return spark.read.jdbc(self.url, f"({self._bound_query()}) sp",
+                               properties=props)

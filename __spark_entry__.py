@@ -372,6 +372,24 @@ def q_fingerprint(spark, sf):
     return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp16"))
 
 
+def q_rep_ratio(spark, sf):
+    """Gopher-style repetition quality signal."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.dup_token_ratio(F.col("text")), 4).alias("dup_ratio"))
+
+
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test split: content-hash routed, stable
+    across runs/cluster sizes/row order."""
+    d = _t(spark, sf, "documents")
+    split = T.hash_split(F.col("doc_id").cast("string"), [80, 10, 10],
+                         ["train", "val", "test"])
+    return (d.select(split.alias("split"))
+            .groupBy("split").agg(F.count("*").alias("n")))
+
+
 def _query_vec(spark, sf):
     row = (_t(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
            .select("embedding").first())
@@ -565,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "rep_ratio": q_rep_ratio,
+        "hash_split": q_hash_split,
         "ann_brute": q_ann_brute,
         "near_dup_brute": q_near_dup_brute,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
@@ -855,6 +875,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp16 FROM documents""",
+        "rep_ratio": f"""
+            SELECT doc_id,
+                   round(CASE WHEN len({_TOKS}) > 0 THEN
+                       1.0 - len(list_distinct({_TOKS}))
+                             / len({_TOKS})::DOUBLE
+                       ELSE 0.0 END, 4) AS dup_ratio
+            FROM documents""",
+        "hash_split": """
+            SELECT CASE
+                     WHEN b < 80 THEN 'train'
+                     WHEN b < 90 THEN 'val'
+                     ELSE 'test'
+                   END AS split, count(*) AS n
+            FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                         % 100 AS b
+                  FROM documents)
+            GROUP BY 1""",
         "ann_brute": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -108,3 +108,34 @@ def fingerprint_rolling(col: Column, window: int = 8) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: col.substr(i, F.lit(window)))
     return F.array_min(F.transform(grams, F.xxhash64))
+
+
+def dup_token_ratio(col: Column) -> Column:
+    """Repetition quality signal (the Gopher-rules family: a high
+    duplicate-token fraction marks boilerplate/spam): 1 - distinct/total
+    tokens; 0.0 for empty docs. Pure array expressions."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+
+
+def hash_split(key: Column, weights: list[int],
+               labels: list[str] | None = None) -> Column:
+    """Deterministic train/val/test assignment from a stable key hash:
+    bucket = md5(key) mod 100 routed by cumulative ``weights`` (summing to
+    100). Content-derived and engine-portable (md5 family, DuckDB twin) —
+    the split never changes across runs, cluster sizes, or row order,
+    which is what makes held-out sets trustworthy at corpus scale."""
+    if sum(weights) != 100:
+        raise ValueError("weights must sum to 100")
+    labels = labels or [f"split_{i}" for i in range(len(weights))]
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.encode(key, "utf-8")), 1, 8),
+                           16, 10).cast("long"), F.lit(100))
+    expr = None
+    acc = 0
+    for w, lab in zip(weights, labels):
+        acc += w
+        expr = (F.when(bucket < acc, lab) if expr is None
+                else expr.when(bucket < acc, lab))
+    return expr.otherwise(labels[-1])

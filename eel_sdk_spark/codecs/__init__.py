@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import blocks
-from . import dictionary, for_, fsst, plain, rle
+from . import alp, dictionary, for_, fsst, plain, rle
 from .base import (
     Encoded,
     bytes_to_arrow,
@@ -33,7 +33,7 @@ from .base import (
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
 
-CODEC_NAMES = ("for", "rle", "dict", "fsst", "raw", "rawf", "shuf", "plain")
+CODEC_NAMES = ("for", "rle", "dict", "fsst", "raw", "rawf", "shuf", "alp", "plain")
 
 
 def _compress_tables(enc: Encoded) -> None:
@@ -78,6 +78,8 @@ def encode_values(values: pa.Array, kind: str, codec: str,
             return plain.encode_floats(np.asarray(values))
         if codec == "shuf":
             return plain.encode_floats_shuffled(np.asarray(values))
+        if codec == "alp":
+            return alp.encode(np.asarray(values))
     elif kind == "bytes":
         if codec == "dict":
             return dictionary.encode_bytes(values)
@@ -113,6 +115,8 @@ def decode_values(codec: str, kind: str, payload: bytes, params: dict,
         if codec == "shuf":
             return pa.array(plain.decode_floats_shuffled(payload, params, tables),
                             type=typ)
+        if codec == "alp":
+            return pa.array(alp.decode(payload, params, tables), type=typ)
     elif kind == "bytes":
         if codec == "dict":
             lengths, data = dictionary.decode_bytes(payload, params, tables)

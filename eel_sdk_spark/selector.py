@@ -73,15 +73,23 @@ def _choose_int(st: dict) -> str:
 
 
 def _choose_float(values: pa.Array, profile: str) -> str:
-    """Trial-encode a bounded sample both ways (raw vs byte-shuffled) under
-    the zstd cascade and keep the smaller — floats are cheap enough that
-    measuring beats modeling."""
+    """Measured, not modeled: (1) if a sample round-trips as scaled
+    decimals bit-exactly, ALP-style scale-to-int + FOR wins by an order of
+    magnitude (prices, ratings, sensor readings); (2) otherwise
+    trial-encode raw vs byte-shuffled under the zstd cascade and keep the
+    smaller."""
     import numpy as np
 
     n = len(values)
     sample = np.asarray(values.slice(0, min(n, 4096)))
     if sample.nbytes < 4096:
         return "rawf"
+    if sample.dtype == np.float64:
+        from .codecs import alp
+
+        _, frac = alp.probe(sample)
+        if frac >= 0.98:
+            return "alp"
     raw = _ZSTD_TRIAL.compress(sample.tobytes(), asbytes=True)
     planes = np.ascontiguousarray(
         sample.view(np.uint8).reshape(-1, sample.dtype.itemsize).T).tobytes()

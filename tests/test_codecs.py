@@ -217,3 +217,62 @@ def test_decimal_and_map_roundtrip():
                   type=pa.map_(pa.string(), pa.int64()))
     h, p, _ = encode_column(mp)
     assert decode_column(h, p).equals(mp)
+
+
+class TestAlp:
+    """ALP-style decimal doubles: scale-to-int + FOR, exceptions patched."""
+
+    def test_decimal_roundtrip(self):
+        import numpy as np
+
+        from eel_sdk_spark.codecs import alp
+
+        vals = np.round(np.linspace(1.0, 99999.99, 10_000), 2)
+        enc = alp.encode(vals)
+        assert enc.params["e"] == 2 and enc.params["nx"] == 0
+        out = alp.decode(enc.payload, enc.params, enc.tables)
+        assert out.view(np.uint64).tolist() == vals.view(np.uint64).tolist()
+        # the scaled ints FOR-pack far below 8 bytes/value
+        assert len(enc.payload) < vals.nbytes / 2
+
+    def test_exceptions_patched_bit_exact(self):
+        import numpy as np
+
+        from eel_sdk_spark.codecs import alp
+
+        vals = np.round(np.arange(1000, dtype=np.float64) * 0.01, 2)
+        vals[10] = np.pi
+        vals[500] = np.nan
+        vals[999] = np.inf
+        vals[3] = -0.0
+        enc = alp.encode(vals)
+        assert enc.params["nx"] >= 3
+        out = alp.decode(enc.payload, enc.params, enc.tables)
+        assert out.view(np.uint64).tolist() == vals.view(np.uint64).tolist()
+
+    def test_non_decimal_probe_rejects(self):
+        import numpy as np
+
+        from eel_sdk_spark.codecs import alp
+
+        rng = np.random.default_rng(7)
+        vals = rng.standard_normal(4096)  # full-precision: not decimal
+        _, frac = alp.probe(vals)
+        assert frac < 0.5
+
+    def test_selector_routes_prices_to_alp(self, spark=None):
+        import numpy as np
+        import pyarrow as pa
+
+        from eel_sdk_spark import selector
+        from eel_sdk_spark.codecs import decode_column, encode_column
+
+        prices = pa.array(np.round(
+            np.random.default_rng(3).uniform(1, 9e4, 20_000), 2))
+        assert selector.choose(prices, "float") == "alp"
+        h, p, info = encode_column(prices)
+        assert info["codec"] == "alp"
+        assert decode_column(h, p).equals(prices)
+        # and genuinely random doubles do NOT route to alp
+        noise = pa.array(np.random.default_rng(4).standard_normal(8192))
+        assert selector.choose(noise, "float") in ("rawf", "shuf")

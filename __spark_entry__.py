@@ -402,6 +402,16 @@ def q_ann_brute(spark, sf):
                                        _query_vec(spark, sf), k=10)
 
 
+def q_ann_batch(spark, sf):
+    """Many query vectors, one corpus pass: only (qid, id, cos) shuffles."""
+    emb = _t(spark, sf, "embeddings")
+    queries = (emb.filter(F.col("vec_id").isin(0, 1, 2))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return similarity.batch_topk(emb, queries, "vec_id", "embedding",
+                                 "qid", "qvec", k=5)
+
+
 def q_near_dup_brute(spark, sf):
     emb = _t(spark, sf, "embeddings")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
@@ -480,6 +490,21 @@ def q_sessionization(spark, sf):
     brk = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (e.select("user_id", brk.alias("brk"))
             .groupBy("user_id").agg(F.sum("brk").alias("n_sessions")))
+
+
+def q_session_stats(spark, sf):
+    """Native session_window (streaming-capable, batch twin here): session
+    bounds as epoch-micros so the compare is tz-free."""
+    from eel_sdk_spark.streaming.pipeline import session_aggregate
+
+    e = _t(spark, sf, "events")
+    s = session_aggregate(e, ts_col="ts", key_col="user_id",
+                          gap="30 minutes", value_col="value")
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s_start"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("s_end"),
+        "n_events", "sv")
 
 
 def q_roundtrip_verify(spark, sf):  # rows-only: block codecs aren't SQL
@@ -586,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_ratio": q_rep_ratio,
         "hash_split": q_hash_split,
         "ann_brute": q_ann_brute,
+        "ann_batch": q_ann_batch,
         "near_dup_brute": q_near_dup_brute,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "ann_ivf": q_ann_ivf,
@@ -594,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "events_window": q_events_window,
         "sessionization": q_sessionization,
+        "session_stats": q_session_stats,
         "roundtrip_verify": q_roundtrip_verify,
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_embeddings": q_roundtrip_embeddings,
@@ -929,6 +956,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.4""",
+        "ann_batch": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2))
+            SELECT qid, vec_id, cos FROM (
+                SELECT q.qid, e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.qe::DOUBLE[]), 4) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY round(list_cosine_similarity(
+                               e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4)
+                               DESC, e.vec_id) AS rn
+                FROM embeddings e, q)
+            WHERE rn <= 5""",
         # full-probe IVF must equal exact brute-force top-k
         "ann_ivf": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -996,4 +1037,26 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS brk
                 FROM events)
             SELECT user_id, sum(brk) AS n_sessions FROM x GROUP BY user_id""",
+        # session_window semantics: a new session starts when the gap to
+        # the previous event is >= 30min (Spark merges only if ts < end);
+        # end = last event + gap
+        "session_stats": """
+            WITH x AS (
+                SELECT user_id, epoch_us(ts) AS e, value,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts)
+                                 >= 1800000000
+                            OR lag(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, e, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+            SELECT user_id, min(e) AS s_start,
+                   max(e) + 1800000000 AS s_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sv
+            FROM s GROUP BY user_id, sid""",
     }

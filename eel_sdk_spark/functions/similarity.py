@@ -28,6 +28,29 @@ def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
+def batch_topk(emb: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, qid_col: str, qvec_col: str,
+               k: int = 10) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in one corpus pass.
+
+    Plan shape for scale: the query set is broadcast (it is the small
+    side by definition); the corpus is scanned ONCE, scoring every
+    (row, query) pair JVM-side; only the narrow (qid, id, cos) projection
+    — never the vectors — moves through the top-k shuffle, so shuffle
+    bytes are ~24·n·Q regardless of embedding width."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(qid_col).alias("__qid"),
+                       F.col(qvec_col).alias("__qvec"))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .select(F.col("__qid").alias(qid_col), F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+                      .alias("cos")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def _lite_centroids(emb: DataFrame, vec_col: str, n_list: int) -> np.ndarray:
     """Deterministic centroids: hash-ordered sample (TakeOrderedAndProject —
     a parallel top-k over xxhash64 of the vector, NOT first-partition-biased

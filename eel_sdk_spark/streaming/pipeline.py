@@ -125,3 +125,25 @@ def streaming_encode(stream_df: DataFrame, table, key: str = "url",
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def session_aggregate(events: DataFrame, ts_col: str = "ts",
+                      key_col: str = "user_id", gap: str = "30 minutes",
+                      watermark: str | None = None,
+                      value_col: str = "value") -> DataFrame:
+    """Gap-based session windows via Spark's native session_window —
+    the streaming-capable twin of the batch lag/cumsum sessionization:
+    works identically on a bounded DataFrame and on readStream input
+    (state merged incrementally; pass ``watermark`` for streaming so
+    closed sessions can be emitted and state dropped)."""
+    e = events
+    if watermark:
+        e = e.withWatermark(ts_col, watermark)
+    return (e.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                      F.col(key_col))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(value_col), 2).alias("sv"))
+            .select(key_col,
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sv"))

@@ -124,3 +124,34 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
         "url", F.concat(F.lit("e1-"), F.col("url")))
     assert encode_epoch(tbl, batch2, 1, key="url", n_parts=4) is True
     assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 500
+
+
+def test_session_aggregate_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window: the streaming run over the same files must
+    produce exactly the batch result (the operator is mode-agnostic)."""
+    import shutil
+
+    from eel_sdk_spark.streaming.pipeline import session_aggregate
+
+    watch_dir = tmp_path / "sess_in"
+    watch_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", watch_dir / "events.parquet")
+
+    batch = session_aggregate(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        gap="30 minutes")
+    stream = file_watcher_stream(spark, str(watch_dir), EVENTS_DDL)
+    q = (session_aggregate(stream, gap="30 minutes",
+                           watermark="1 minute")
+         .writeStream.outputMode("complete").format("memory")
+         .queryName("sess_out").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sess_out")
+        assert got.count() == batch.count()
+        assert got.exceptAll(batch).count() == 0
+        # every event lands in exactly one session
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got.agg(F.sum("n_events")).first()[0] == n_events
+    finally:
+        q.stop()

@@ -424,3 +424,75 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
         .sortWithinPartitions("part_id", "block_seq")
         .mapInArrow(_decode, schema_ddl)
     )
+
+
+def decode_files_df(spark, files: list[str], schema_ddl: str,
+                    columns: list[str] | None = None,
+                    n_tasks: int | None = None) -> DataFrame:
+    """Zero-shuffle decode FROM STORAGE: the unit of work is the FILE.
+
+    ``decode_blocks_df`` over a re-read table must either shuffle to
+    regroup or trust Spark's input splits not to cut a block group in
+    half (they can: parquet splits by byte ranges). Here each task takes
+    whole file paths and reads them with pyarrow directly, so block
+    groups are complete by construction — groups are written adjacently
+    within each encode output file. No Exchange anywhere; parallelism is
+    the file count (the encode layout already sizes files to parts).
+
+    This is the manifest-driven read path a 100 TB table actually wants:
+    ``ManifestTable.read_decoded`` feeds it the snapshot's (optionally
+    partition-pruned) file list. Projection pushdown: only the requested
+    columns' block rows are materialized from parquet
+    (``filters=[('col', 'in', ...)]`` reaches the parquet reader)."""
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType.fromDDL(schema_ddl)
+    col_order = [f.name for f in out_schema.fields]
+    if columns is not None:
+        col_order = [c for c in col_order if c in columns]
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in out_schema.fields if f.name in col_order)
+    n_cols = len(col_order)
+
+    def _read_decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                # single-threaded per task: N tasks already saturate the
+                # cores, arrow's internal pool would only oversubscribe
+                t = pq.read_table(
+                    path,
+                    columns=["part_id", "block_seq", "writer_uid", "col",
+                             "header", "payload"],
+                    filters=[("col", "in", col_order)],
+                    use_threads=False)
+                pending: dict[tuple, dict[str, pa.Array]] = {}
+                for tb in t.to_batches():
+                    keys = zip(tb.column("part_id").to_pylist(),
+                               tb.column("block_seq").to_pylist(),
+                               tb.column("writer_uid").to_pylist(),
+                               tb.column("col").to_pylist())
+                    headers = tb.column("header")
+                    payloads = tb.column("payload")
+                    for i, (part, seq, uid, name) in enumerate(keys):
+                        key = (part, seq, uid)
+                        group = pending.setdefault(key, {})
+                        group[name] = decode_column(
+                            headers[i].as_py(), payloads[i].as_buffer())
+                        if len(group) == n_cols:
+                            yield pa.record_batch(
+                                [group[c] for c in col_order],
+                                names=col_order)
+                            del pending[key]
+                if pending:
+                    raise ValueError(
+                        f"{len(pending)} incomplete block groups in {path} "
+                        f"(block files must hold whole groups)")
+
+    n_tasks = n_tasks or min(
+        len(files), spark.sparkContext.defaultParallelism * 2) or 1
+    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(n_tasks)
+    return fdf.mapInArrow(_read_decode, schema_ddl)

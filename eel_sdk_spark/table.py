@@ -134,6 +134,26 @@ class ManifestTable:
         # does by hand, Spark does from the layout)
         return spark.read.option("basePath", self.data_dir).parquet(*files)
 
+    def read_decoded(self, spark, schema_ddl: str,
+                     columns: list[str] | None = None,
+                     constraints: list | None = None):
+        """Decode an encoded-blocks table straight from its snapshot file
+        list with ZERO shuffle: whole files per task (encode.py's
+        decode_files_df — block groups are file-adjacent by construction).
+        ``constraints`` prune files manifest-side first."""
+        from .encode import decode_files_df
+
+        snap = self.current()
+        if snap is None or not snap.files:
+            raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
+        files = snap.files
+        if constraints:
+            parts = snap.partitions or [{} for _ in files]
+            files = [f for f, pv in zip(files, parts)
+                     if all(c.eval(pv) for c in constraints)]
+        df = decode_files_df(spark, files, schema_ddl, columns=columns)
+        return df
+
     def partition_values(self, keys: list[str] | None = None,
                          constraints: list | None = None) -> list[dict]:
         """Partition-only query answered purely from the manifest — zero

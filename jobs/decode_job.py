@@ -50,23 +50,26 @@ def main(argv=None) -> None:
 
     from pyspark.sql import functions as F
 
-    from eel_sdk_spark.encode import decode_blocks_df
     from eel_sdk_spark.session import get_spark
     from eel_sdk_spark.table import ManifestTable
 
     spark = get_spark(app="decode")
     try:
-        blocks = ManifestTable(args.warehouse, args.table).read(spark)
+        tbl = ManifestTable(args.warehouse, args.table)
         cols = args.columns.split(",") if args.columns else None
         if args.where:
             from eel_sdk_spark.predicate import decode_with_predicate
 
             pred = _parse_where(args.where)
-            decoded = decode_with_predicate(blocks, args.schema, pred)
+            decoded = decode_with_predicate(tbl.read(spark), args.schema, pred)
             if cols:
                 decoded = decoded.select(*cols)
         else:
-            decoded = decode_blocks_df(blocks, args.schema, columns=cols)
+            # zero-shuffle storage decode: whole block files per task
+            # (groups are file-adjacent by construction), no regroup
+            # exchange — decode_blocks_df remains the path for predicate
+            # pushdown with block-stat pruning above
+            decoded = tbl.read_decoded(spark, args.schema, columns=cols)
         out: dict = {}
         if args.output:
             decoded.write.mode("overwrite").parquet(args.output)

@@ -169,3 +169,27 @@ def test_decode_auto_detects_grouped_blocks(spark, corpus):
         assert REGROUP in plan3, plan3
         assert dec3.count() == N_ROWS
     blocks.unpersist()
+
+
+def test_decode_from_storage_zero_shuffle(spark, corpus, tmp_path):
+    """decode_files_df / ManifestTable.read_decoded: whole files per task,
+    groups complete by construction, NO exchange of any kind — the
+    storage-read twin of the auto-grouped in-memory decode."""
+    from eel_sdk_spark.encode import decode_files_df
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path), "t")
+    tbl.write_df(encode_df(corpus, key="url", n_parts=8),
+                 "blocks")
+
+    decoded = tbl.read_decoded(spark, SCHEMA_DDL)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+    # projection pushdown: only requested columns decoded
+    proj = decode_files_df(spark, tbl.current().files, SCHEMA_DDL,
+                           columns=["url", "lang"])
+    assert proj.columns == ["url", "lang"]
+    assert proj.count() == N_ROWS

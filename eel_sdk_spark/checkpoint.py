@@ -94,6 +94,7 @@ def encode_with_checkpoint(
     codec_overrides: dict[str, str] | None = None,
     fail_after_commit_parts: int | None = None,
     verify_fingerprint: bool = True,
+    shuffle: bool | str = True,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
 
@@ -148,8 +149,17 @@ def encode_with_checkpoint(
         keep = set(remaining[:fail_after_commit_parts])
         tagged = tagged.filter(F.col(PART_COL).isin(*keep))
 
+    # shuffle='local' keeps resume lineage valid (content-derived part
+    # assignment) without moving the corpus through shuffle storage;
+    # shuffle=False (layout-derived parts) is rejected here because its
+    # lineage breaks under any input-split change — exactly what a resume
+    # on a different cluster size does
+    if shuffle is False:
+        raise ValueError("encode_with_checkpoint requires content-derived "
+                         "part ids: use shuffle=True or shuffle='local'")
     blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt, salt_by,
-                       profile=profile, codec_overrides=codec_overrides)
+                       profile=profile, codec_overrides=codec_overrides,
+                       shuffle=shuffle)
 
     job_dir = tbl.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)

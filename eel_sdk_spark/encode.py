@@ -224,35 +224,43 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
 def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               salt: int = 1, salt_by: str | None = None,
               codec_overrides: dict[str, str] | None = None,
-              profile: str = "speed", shuffle: bool = True) -> DataFrame:
+              profile: str = "speed",
+              shuffle: bool | str = True) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
-    The physical plan is: project + hash (JVM) -> shuffle on part_id ->
-    sort within partitions (JVM) -> one Python/Arrow stage. ``.explain``
-    shows a single Exchange; the Python stage is the only non-codegen op.
+    ``shuffle`` picks the layout/lineage trade (all three keep decode and
+    resume correct; they differ in physical cost and block locality):
 
-    ``shuffle=False`` is the zero-shuffle fast path: part_id = the physical
-    input partition (TaskContext), no Exchange at all — the whole plan is
-    narrow. Use when the input's own layout is already acceptable (e.g.
-    re-encoding files, or a source pre-bucketed by key). At 100 TB this
-    skips writing+reading the entire corpus through shuffle storage. The
-    trade-off: part_ids then depend on input split planning, so resume
-    lineage is only valid for identical input files + split config —
-    content-derived hashing (the default) stays valid across any layout.
+    - ``True`` (default): project + hash (JVM) -> Exchange on part_id ->
+      sort within partitions -> one Python/Arrow stage. One part = one
+      output locality; point lookups touch 1/n_parts of the files.
+    - ``'local'``: content-derived part_ids WITHOUT the Exchange — only a
+      narrow per-partition sort, so each task emits one block run per
+      part_id it happens to hold. Resume lineage stays fully valid
+      (part assignment is a pure function of the key, not of layout);
+      the cost moved to read side: a part's blocks are spread over up to
+      n_input_partitions files (parquet row-group pruning still skips
+      them cheaply). At 100 TB this skips writing+reading the entire
+      corpus through shuffle storage while keeping lineage portable.
+    - ``False``: part_id = the physical input partition (TaskContext),
+      no hashing at all. Fastest; lineage only valid for identical input
+      files + split config.
     """
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
-    if not shuffle:
+    if shuffle is False:
         out = df.mapInArrow(
             lambda it: _encode_batches_by_task(it, overrides, profile),
             BLOCK_SCHEMA_DDL)
     else:
-        prepared = (
-            with_part_id(df, key, n_parts, salt, salt_by)
-            .repartition(n_parts, F.col(PART_COL))
-            .sortWithinPartitions(PART_COL)
-        )
+        prepared = with_part_id(df, key, n_parts, salt, salt_by)
+        if shuffle == "local":
+            prepared = prepared.sortWithinPartitions(PART_COL)
+        else:
+            prepared = (prepared
+                        .repartition(n_parts, F.col(PART_COL))
+                        .sortWithinPartitions(PART_COL))
         out = prepared.mapInArrow(
             lambda it: _encode_batches(it, overrides, profile),
             BLOCK_SCHEMA_DDL)

@@ -200,14 +200,26 @@ class ManifestTable:
         return self.commit(self.list_written_files(job_dir), schema_ddl,
                            properties, mode)
 
-    def compact(self, spark, n_files: int) -> Snapshot:
+    def compact(self, spark, n_files: int,
+                by: list[str] | None = None) -> Snapshot:
         """Small-file compaction: rewrite the current snapshot to exactly
         ``n_files`` files in one new snapshot (reference: Compactor.compactTo,
         eel-hive/src/main/scala/io/eels/component/hive/Compactor.scala:16-21;
         Iceberg's rewrite_data_files). Old files stay on disk for time
-        travel; the new snapshot references only the rewritten set."""
-        df = self.read(spark).repartition(n_files)
+        travel; the new snapshot references only the rewritten set.
+
+        ``by`` keeps co-location through the rewrite (hash repartition on
+        those columns instead of round-robin). For encoded-blocks tables
+        this is REQUIRED to preserve the groups-whole-per-file invariant
+        that the zero-shuffle ``read_decoded`` path relies on — the
+        auto-detect below applies ``part_id`` when the schema is a blocks
+        schema and the caller did not choose."""
+        df = self.read(spark)
         snap = self.current()
+        if by is None and {"part_id", "block_seq", "col"} <= set(df.columns):
+            by = ["part_id"]
+        df = (df.repartition(n_files, *by).sortWithinPartitions(*by)
+              if by else df.repartition(n_files))
         job_dir = self.new_data_path()
         df.write.mode("overwrite").parquet(job_dir)
         return self.commit(self.list_written_files(job_dir),

@@ -32,7 +32,7 @@ import time
 
 def run(cpus: int, rows: int, with_decode: bool = True,
         profile: str = "speed", parts: int = 64, repeat: int = 1,
-        with_ref: bool = True, shuffle: bool = True) -> dict:
+        with_ref: bool = True, shuffle: bool | str = True) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
 
@@ -122,8 +122,16 @@ if __name__ == "__main__":
     p.add_argument("--parts", type=int, default=64)
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--no-shuffle", action="store_true")
+    p.add_argument("--shuffle-mode", choices=["true", "false", "local"],
+                   default=None,
+                   help="overrides --no-shuffle: true=hash exchange, "
+                        "local=content-derived parts w/o exchange, "
+                        "false=layout-derived parts")
     args = p.parse_args()
     out = run(args.cpus, args.rows, with_decode=not args.no_decode,
               profile=args.profile, parts=args.parts, repeat=args.repeat,
-              with_ref=not args.no_ref, shuffle=not args.no_shuffle)
+              with_ref=not args.no_ref,
+              shuffle={"true": True, "false": False, "local": "local"}
+              [args.shuffle_mode] if args.shuffle_mode
+              else not args.no_shuffle)
     sys.stdout.write(json.dumps(out) + "\n")

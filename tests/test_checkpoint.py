@@ -164,3 +164,28 @@ def test_resume_rejects_changed_input(spark, tmp_path):
     # same input resumes fine
     encode_with_checkpoint(spark, df, tbl, run_id="r2")
     assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 500
+
+
+def test_kill_and_resume_local_mode(spark, tmp_path):
+    """shuffle='local' (no Exchange) must resume as correctly as the
+    shuffled mode: part ids are content-derived either way, so lineage is
+    layout-independent — here the resume even runs in the OTHER mode."""
+    import pytest
+
+    df = webtext_df(spark, 2000, parts=4).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    r1 = encode_with_checkpoint(spark, df, tbl, n_parts=PARTS, run_id="r1",
+                                fail_after_commit_parts=3, shuffle="local")
+    assert len(r1["part_ids"]) == 3
+    # cross-mode resume: shuffled run finishes what the local run started
+    r2 = encode_with_checkpoint(spark, df, tbl, n_parts=PARTS, run_id="r2")
+    assert set(r1["part_ids"]).isdisjoint(r2["part_ids"])
+    assert len(r1["part_ids"]) + len(r2["part_ids"]) == PARTS
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == 2000
+    assert decoded.select("url").distinct().count() == 2000
+
+    with pytest.raises(ValueError, match="content-derived"):
+        encode_with_checkpoint(spark, df, tbl, run_id="bad", shuffle=False)
+    df.unpersist()

@@ -193,3 +193,43 @@ def test_decode_from_storage_zero_shuffle(spark, corpus, tmp_path):
                            columns=["url", "lang"])
     assert proj.columns == ["url", "lang"]
     assert proj.count() == N_ROWS
+
+
+def test_compact_preserves_block_grouping(spark, corpus, tmp_path):
+    """Compaction of an encoded table must keep block groups whole per
+    file (hash-repartition on part_id, auto-detected), or the zero-shuffle
+    storage decode would see split groups."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path), "tc")
+    tbl.write_df(encode_df(corpus, key="url", n_parts=8), "blocks")
+    n_before = len(tbl.current().files)
+    tbl.compact(spark, 2)
+    assert len(tbl.current().files) <= 2 < n_before
+    decoded = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+
+def test_local_mode_content_lineage_no_exchange(spark, corpus):
+    """shuffle='local': content-derived part_ids with a narrow plan (no
+    Exchange), bit-identical decode, and part assignment identical to the
+    shuffled mode — lineage is layout-independent."""
+    blocks = encode_df(corpus, key="url", n_parts=8, shuffle="local")
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+    # same (url -> part_id) mapping as the shuffled mode: compare the
+    # per-part row counts (content-derived, so they must agree exactly)
+    from eel_sdk_spark.encode import with_part_id
+
+    expect = {r["__eel_part"]: r["cnt"] for r in
+              with_part_id(corpus, "url", 8)
+              .groupBy("__eel_part").agg(F.count("*").alias("cnt")).collect()}
+    got = {r["part_id"]: r["n"] for r in
+           blocks.filter(F.col("col") == "url")
+           .groupBy("part_id").agg(F.sum("n_values").alias("n")).collect()}
+    assert got == expect

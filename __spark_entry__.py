@@ -479,6 +479,15 @@ def q_events_window(spark, sf):
                  F.round(F.sum("value"), 2).alias("sv")))
 
 
+def q_json_extract(spark, sf):
+    """Semi-structured payloads: JSON field extraction (§2.7 superset —
+    the reference has no json functions at all)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy(k.alias("k")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+
+
 def q_sessionization(spark, sf):
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -619,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": q_simhash_md5,
         "multimodal_meta": q_multimodal_meta,
         "events_window": q_events_window,
+        "json_extract": q_json_extract,
         "sessionization": q_sessionization,
         "session_stats": q_session_stats,
         "roundtrip_verify": q_roundtrip_verify,
@@ -1013,6 +1023,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS win_start,
                    event_type, count(*) AS n, round(sum(value), 2) AS sv
             FROM events GROUP BY 1, 2""",
+        "json_extract": """
+            SELECT json_extract_string(props, '$.k')::INT AS k,
+                   count(*) AS n, round(sum(value), 2) AS sv
+            FROM events GROUP BY 1""",
         # round-trip gates: the oracle states the EXPECTED verification
         # result (every row matches after encode->decode); a codec bug on
         # the Spark side breaks the hash compare

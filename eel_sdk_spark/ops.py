@@ -91,8 +91,14 @@ class DataStream:
         """DataStream.scala:705-733 (projection / projectionExpression)."""
         return DataStream(self.df.select(*cols))
 
-    def remove_field(self, *names: str) -> "DataStream":
-        """DataStream.scala:464-513 (removeField/dropField variants)."""
+    def remove_field(self, *names: str,
+                     case_sensitive: bool = True) -> "DataStream":
+        """DataStream.scala:464-513 (removeField/dropField variants, incl.
+        the case-insensitive and if-exists forms: Spark's drop silently
+        ignores missing columns, which IS dropFieldIfExists)."""
+        if not case_sensitive:
+            lowered = {n.lower() for n in names}
+            names = tuple(c for c in self.df.columns if c.lower() in lowered)
         return DataStream(self.df.drop(*names))
 
     def remove_fields_regex(self, pattern: str) -> "DataStream":
@@ -116,6 +122,18 @@ class DataStream:
     def replace_field_type(self, name: str, new_type: str) -> "DataStream":
         """DataStream.scala:868-885 — here with a real cast of the values."""
         return DataStream(self.df.withColumn(name, F.col(name).cast(new_type)))
+
+    def replace_field_type_regex(self, pattern: str,
+                                 new_type: str) -> "DataStream":
+        """DataStream.scala:344-354 (replaceFieldType(regex, dt)): re-type
+        every column whose name matches."""
+        import re
+
+        df = self.df
+        for c in df.columns:
+            if re.fullmatch(pattern, c):
+                df = df.withColumn(c, F.col(c).cast(new_type))
+        return DataStream(df)
 
     def align(self, columns: Sequence[str]) -> "DataStream":
         """DataStream.scala:110-135: reorder to target schema, drop extras,
@@ -190,6 +208,13 @@ class DataStream:
         """DataStream.scala:49-65 (mapField; NB the reference's version is
         a no-op bug — it reassigns the old value; we implement the intent)."""
         return DataStream(self.df.withColumn(name, fn(F.col(name))))
+
+    def map_field_if_exists(self, name: str,
+                            fn: Callable[[Column], Column]) -> "DataStream":
+        """DataStream.scala:49-65 (mapFieldIfExists): no-op when absent."""
+        if name not in self.df.columns:
+            return self
+        return self.map_field(name, fn)
 
     def update_field(self, name: str, from_value, target) -> "DataStream":
         """DataStream.scala:630-645: conditional substitution in one column."""
@@ -328,6 +353,18 @@ class DataStream:
     # -- actions (DataStream.scala:890-943, 1018-1021) --------------------
     def collect(self):
         return self.df.collect()
+
+    def to_vector(self) -> list:
+        """DataStream.scala:890-905 (toVector: rows as value tuples)."""
+        return [tuple(r) for r in self.df.collect()]
+
+    def to_set(self) -> set:
+        """DataStream.scala:890-905 (toSet)."""
+        return {tuple(r) for r in self.df.collect()}
+
+    def collect_values(self, column: str) -> list:
+        """DataStream.scala:1018-1021 (collectValues: one column's values)."""
+        return [r[0] for r in self.df.select(column).collect()]
 
     def size(self) -> int:
         """DataStream.scala:910-922."""

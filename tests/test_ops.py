@@ -343,3 +343,23 @@ def test_replace_field(spark, music):
          for f in music.schema.fields]
     assert ds.df.schema["year_str"].dataType.simpleString() == "string"
     assert ds.size() == music.count()
+
+
+def test_small_operator_variants(spark, music):
+    """mapFieldIfExists / case-insensitive drop / regex re-type /
+    toVector-toSet-collectValues (DataStream.scala:49-65, 481-492,
+    344-354, 890-924, 1018-1021)."""
+    ds = DataStream(music)
+    assert ds.map_field_if_exists("nope", lambda c: c * 2).df is music
+    up = ds.map_field_if_exists("artist", F.upper)
+    assert up.filter(F.col("artist") == "ELTON JOHN").size() == 5
+    assert ds.remove_field("ARTIST", case_sensitive=False).df.columns == \
+        ["year", "album", "sales"]
+    assert ds.remove_field("no_such_col").df.columns == music.columns  # if-exists
+    rt = ds.replace_field_type_regex("(year|sales)", "string")
+    assert [f.dataType.simpleString() for f in rt.df.schema.fields] == \
+        ["string", "string", "string", "string"]
+    assert len(ds.to_vector()) == 10
+    assert len(ds.to_set()) == 10
+    assert sorted(ds.projection("artist").distinct()
+                  .collect_values("artist")) == ["Elton John", "Kate Bush"]

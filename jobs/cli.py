@@ -56,6 +56,38 @@ def cmd_analyze(args) -> None:
     sys.stdout.write(json.dumps(st) + "\n")
 
 
+def cmd_analyze_table(args) -> None:
+    """Encoded-table stats from the manifest alone — zero data reads, no
+    Spark session (the HiveStats-style metadata-only answer,
+    eel-hive/.../HiveStats.scala:15-79): rows, raw/encoded bytes, ratio,
+    codec mix, runs, files."""
+    from eel_sdk_spark.table import ManifestTable
+
+    snap = ManifestTable(args.warehouse, args.table).current()
+    if snap is None:
+        raise SystemExit(f"no committed snapshot in {args.warehouse}/{args.table}")
+    runs = snap.properties.get("runs", [])
+    mix: dict[str, int] = {}
+    rows = raw = enc = 0
+    for r in runs:
+        rows += r.get("n_rows", 0)
+        raw += r.get("raw_bytes", 0)
+        enc += r.get("enc_bytes", 0)
+        for k, v in r.get("codec_mix", {}).items():
+            mix[k] = mix.get(k, 0) + v
+    sys.stdout.write(json.dumps({
+        "snapshot_id": snap.snapshot_id,
+        "files": len(snap.files),
+        "runs": len(runs),
+        "rows": rows,
+        "raw_bytes": raw,
+        "enc_bytes": enc,
+        "ratio": round(raw / enc, 3) if enc else None,
+        "codec_mix": mix,
+        "part_ids": sorted({p for r in runs for p in r.get("part_ids", [])}),
+    }) + "\n")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -75,9 +107,13 @@ def main(argv=None) -> None:
     a = sub.add_parser("analyze")
     a.add_argument("--source", required=True)
 
+    at = sub.add_parser("analyze-table")
+    at.add_argument("--warehouse", required=True)
+    at.add_argument("--table", default="blocks")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
-     "analyze": cmd_analyze}[args.cmd](args)
+     "analyze": cmd_analyze, "analyze-table": cmd_analyze_table}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,10 @@ def main(argv=None) -> None:
                         "(ParquetSink.scala:13-26) as explicit overrides")
     p.add_argument("--profile", default="speed",
                    choices=["speed", "compression"])
+    p.add_argument("--shuffle-mode", default="true",
+                   choices=["true", "local"],
+                   help="'local' keeps content-derived lineage without the "
+                        "part_id Exchange (blocks spread across tasks' files)")
     p.add_argument("--run-id", default="run")
     args = p.parse_args(argv)
 
@@ -66,7 +70,8 @@ def main(argv=None) -> None:
         run = encode_with_checkpoint(
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
-            profile=args.profile, codec_overrides=overrides or None)
+            profile=args.profile, codec_overrides=overrides or None,
+            shuffle="local" if args.shuffle_mode == "local" else True)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

@@ -80,3 +80,32 @@ def test_column_timestamps(xs):
     arr = pa.array(xs, type=pa.int64()).cast(pa.timestamp("us", tz="UTC"))
     header, payload, _ = encode_column(arr)
     assert decode_column(header, payload).equals(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.integers(min_value=-10**10, max_value=10**10).map(
+        lambda i: i / 100.0),  # decimal-ish values: the ALP sweet spot
+), max_size=300))
+def test_alp_any_doubles(xs):
+    """Any float64 array — decimal, random-precision, NaN/Inf/-0.0 —
+    round-trips BIT-identically through alp (exceptions catch the rest)."""
+    from eel_sdk_spark.codecs import alp
+
+    vals = np.array(xs, dtype=np.float64)
+    enc = alp.encode(vals)
+    out = alp.decode(enc.payload, enc.params, enc.tables)
+    np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(allow_nan=False, allow_infinity=False,
+                                    width=64)),
+                min_size=1, max_size=200))
+def test_column_nullable_doubles_alp(xs):
+    """Full column path with nulls, forced through alp."""
+    arr = pa.array(xs, type=pa.float64())
+    h, p, _ = encode_column(arr, codec="alp")
+    assert decode_column(h, p).equals(arr)

@@ -363,3 +363,29 @@ def test_small_operator_variants(spark, music):
     assert len(ds.to_set()) == 10
     assert sorted(ds.projection("artist").distinct()
                   .collect_values("artist")) == ["Elton John", "Kate Bush"]
+
+
+def test_minhash_xxhash_family_agrees_on_exact_dups(spark, sf_dir):
+    """The production xxhash64 minhash family finds the same exact-dup
+    candidate pairs as the oracle-checkable md5 family (hash family
+    changes bucketing noise, not exact-duplicate behavior)."""
+    from eel_sdk_spark.functions import dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    md5_pairs = dedup.minhash_candidate_pairs(
+        d, "text", "doc_id", n_hashes=4, band_size=2)
+    xx_pairs = dedup.minhash_candidate_pairs(
+        d, "text", "doc_id", n_hashes=4, band_size=2, hash_family="xxhash")
+    # exact duplicates (identical text) MUST appear under both families
+    dups = dedup.exact_dup_groups(d, "text", "doc_id")
+    n_dup_groups = dups.count()
+    if n_dup_groups:
+        fp = F.md5(F.encode(F.col("text"), "utf-8"))
+        ids = d.select(fp.alias("fp"), "doc_id")
+        same_text = (ids.alias("x").join(ids.alias("y"), "fp")
+                     .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+                     .select(F.col("x.doc_id").alias("a"),
+                             F.col("y.doc_id").alias("b")))
+        for pairs in (md5_pairs, xx_pairs):
+            missed = same_text.join(pairs, ["a", "b"], "left_anti").count()
+            assert missed == 0

@@ -57,9 +57,45 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
         parts_expr = F.array(F.pmod(F.xxhash64(kv), F.lit(n_parts))
                              .cast("int"))
     parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
-    blocks = tbl.read(spark).filter(F.col("part_id").isin(*parts))
+    files = prune_files_by_part(snap.files, parts)
+    blocks = (spark.read.parquet(*files)
+              .filter(F.col("part_id").isin(*parts)))
     return decode_blocks_df(blocks, schema_ddl).filter(
         F.col(key) == key_value)
+
+
+def prune_files_by_part(files: list[str], part_ids: set[int],
+                        max_workers: int = 16) -> list[str]:
+    """Footer-stats file pruning: keep only files whose part_id row-group
+    min/max ranges can contain one of ``part_ids``. Blocks are sorted by
+    part_id within each file, so ranges are tight — a point lookup on a
+    10k-file table opens 10k footers (parallel, metadata-only) but scans
+    only the handful of files actually holding the part. Mirrors the
+    reference's stats-based row-group dropping one level up, at the file
+    manifest (ParquetPredicateBuilder.scala:96-119)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def keep(path: str) -> bool:
+        meta = pq.ParquetFile(path).metadata
+        idx = next((i for i in range(meta.num_columns)
+                    if meta.schema.column(i).name == "part_id"), None)
+        if idx is None:
+            return True  # not a blocks file: cannot prune, keep
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return True  # no stats: conservatively keep
+            if any(st.min <= p <= st.max for p in part_ids):
+                return True
+        return False
+
+    with ThreadPoolExecutor(max_workers=min(max_workers,
+                                            max(1, len(files)))) as ex:
+        kept = [f for f, k in zip(files, ex.map(keep, files)) if k]
+    # empty parquet read is invalid; fall back to one file (filter drops all)
+    return kept or files[:1]
 
 
 def input_fingerprint(df: DataFrame, key: str) -> str:

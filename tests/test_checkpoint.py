@@ -189,3 +189,25 @@ def test_kill_and_resume_local_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="content-derived"):
         encode_with_checkpoint(spark, df, tbl, run_id="bad", shuffle=False)
     df.unpersist()
+
+
+def test_point_lookup_prunes_files_by_footer_stats(spark, tmp_path):
+    """A point lookup must not even LIST most of the table: footer
+    part_id min/max drops whole files before the scan."""
+    from eel_sdk_spark.checkpoint import point_lookup, prune_files_by_part
+
+    df = webtext_df(spark, 3000, parts=6).cache()
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    encode_with_checkpoint(spark, df, tbl, n_parts=12, run_id="r1")
+    files = tbl.current().files
+    url = df.select("url").first()["url"]
+
+    # the file subset for any single part is strictly smaller
+    kept = prune_files_by_part(files, {3})
+    assert 0 < len(kept) < len(files)
+
+    row = point_lookup(spark, tbl, url, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == url
+    want = df.filter(F.col("url") == url).first()
+    assert row["text"] == want["text"]
+    df.unpersist()

@@ -352,6 +352,20 @@ def q_jaccard_pairs(spark, sf):
                                n_hashes=4, band_size=2)
 
 
+def q_clean_corpus(spark, sf):
+    """The full training-data cleanup pipeline in ONE oracle-checked plan:
+    exact dedup -> LSH near-dup removal (jaccard-verified) -> quality
+    filter -> deterministic split assignment."""
+    from eel_sdk_spark.functions.pipeline import clean_corpus
+
+    d = _t(spark, sf, "documents")
+    out = clean_corpus(d, "text", "doc_id",
+                       near_dup_threshold=0.5, n_hashes=4, band_size=2,
+                       min_quality=0.3, splits=[80, 10, 10],
+                       split_labels=["train", "val", "test"])
+    return out.select("doc_id", "lang", "split")
+
+
 def q_text_quality(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -614,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -862,6 +877,78 @@ def oracle_sql() -> dict[str, str]:
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.band_key = y.band_key
              AND x.doc_id < y.doc_id""",
+        # the full cleanup pipeline, composed from the already-verified
+        # pieces: exact dedup + minhash/LSH + jaccard>=0.5 + quality>=0.3
+        # + md5 split routing
+        "clean_corpus": f"""
+            WITH fp AS (SELECT doc_id, text, lang, md5(text) AS f
+                        FROM documents),
+            reps AS (SELECT f, min(doc_id) AS keep FROM fp GROUP BY f),
+            k1 AS (SELECT fp.doc_id, fp.text, fp.lang FROM fp
+                   JOIN reps ON fp.f = reps.f AND fp.doc_id = reps.keep),
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                           AS tok
+                FROM (SELECT doc_id, {_TOKS} AS w FROM k1)
+            ), sigs AS (
+                SELECT doc_id,
+                       {", ".join(f"min(md5('{i}:' || tok)) AS sig_{i}"
+                                  for i in range(4))}
+                FROM toks GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band,
+                       md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+                UNION ALL
+                SELECT doc_id, 1 AS band,
+                       md5(sig_2 || '|' || sig_3) AS band_key FROM sigs
+            ), cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                FROM (SELECT doc_id, {_TOKS} AS w FROM k1)
+            ), losers AS (
+                SELECT DISTINCT b FROM cands
+                JOIN grams ga ON ga.doc_id = a
+                JOIN grams gb ON gb.doc_id = b
+                WHERE round(len(list_intersect(ga.g, gb.g))
+                            / len(list_distinct(
+                                  list_concat(ga.g, gb.g)))::DOUBLE, 4)
+                      >= 0.5
+            ), k2 AS (
+                SELECT * FROM k1
+                WHERE doc_id NOT IN (SELECT b FROM losers)
+            ), scored AS (
+                SELECT doc_id, lang,
+                   round((
+                       least(len({_TOKS}) / 100.0, 1.0)
+                     + least((CASE WHEN len({_TOKS_LOWER}) > 0 THEN
+                           len(list_filter({_TOKS_LOWER},
+                               x -> list_contains({STOP_SQL}, x)))
+                           / len({_TOKS_LOWER})::DOUBLE ELSE 0 END) * 4, 1.0)
+                     + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
+                            '[.,!?;:]', '', 'g'))) / length(text)
+                           ELSE 0 END) * 5)
+                   ) / 3.0, 4) AS quality
+                FROM k2
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                         % 100 AS b
+                  FROM scored WHERE quality >= 0.3)""",
         "text_quality": f"""
             SELECT doc_id,
                    len({_TOKS}) AS n_tokens,

@@ -389,3 +389,29 @@ def test_minhash_xxhash_family_agrees_on_exact_dups(spark, sf_dir):
         for pairs in (md5_pairs, xx_pairs):
             missed = same_text.join(pairs, ["a", "b"], "left_anti").count()
             assert missed == 0
+
+
+def test_clean_corpus_stages(spark, sf_dir):
+    """Stage toggles compose: each enabled stage only ever removes rows;
+    split covers every surviving row; dedup keeps min-id representatives."""
+    from eel_sdk_spark.functions.pipeline import clean_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+
+    only_exact = clean_corpus(d, near_dup_threshold=None, min_quality=None)
+    n_exact = only_exact.count()
+    assert n_exact <= n
+    assert only_exact.select(
+        F.md5(F.encode("text", "utf-8"))).distinct().count() == n_exact
+
+    full = clean_corpus(d, near_dup_threshold=0.5, min_quality=0.3,
+                        splits=[80, 10, 10],
+                        split_labels=["train", "val", "test"])
+    rows = full.count()
+    assert 0 < rows <= n_exact
+    splits = {r["split"]: r["n"] for r in
+              full.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(splits.values()) == rows
+    assert set(splits) <= {"train", "val", "test"}
+    assert splits.get("train", 0) > splits.get("val", 0)

@@ -386,6 +386,13 @@ def q_fingerprint(spark, sf):
     return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp16"))
 
 
+def q_tokens_bpe(spark, sf):
+    """BPE-ish regex token counting (tokenizer cost accounting)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id",
+                    T.token_count_bpe(F.col("text")).alias("n_bpe"))
+
+
 def q_rep_ratio(spark, sf):
     """Gopher-style repetition quality signal."""
     d = _t(spark, sf, "documents")
@@ -483,6 +490,32 @@ def q_multimodal_meta(spark, sf):
     d = _t(spark, sf, "documents")
     blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     return multimodal.media_metadata(blob, "doc_id", "blob")
+
+
+def q_frame_sample(spark, sf):
+    """Multimodal 1->N fan-out plumbing (video frame sampling): vectorized
+    row expansion inside the Arrow batch, fully oracle-replayable since
+    the fake frame geometry is a pure function of byte length."""
+    d = _t(spark, sf, "documents")
+    blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    return multimodal.sample_frames(blob, "doc_id", "blob", every=2)
+
+
+def q_media_features(spark, sf):
+    """Feature-extraction plumbing: binary -> fixed-dim vector. The
+    histogram fake is not SQL-expressible, so the oracle states the
+    purity property: identical blobs yield identical feature vectors."""
+    d = _t(spark, sf, "documents")
+    blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    feats = multimodal.extract_features(blob, "doc_id", "blob", dim=16)
+    j = (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
+                  "doc_id")
+         .join(feats, "doc_id"))
+    per = j.groupBy("fp").agg(
+        F.count_distinct(F.col("features").cast("string")).alias("nd"))
+    return per.agg(F.count("*").alias("n_groups"),
+                   F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+                   .alias("n_consistent"))
 
 
 def q_events_window(spark, sf):
@@ -632,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "tokens_bpe": q_tokens_bpe,
         "rep_ratio": q_rep_ratio,
         "hash_split": q_hash_split,
         "ann_brute": q_ann_brute,
@@ -642,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_md5": q_simhash_md5,
         "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+        "media_features": q_media_features,
         "events_window": q_events_window,
         "json_extract": q_json_extract,
         "sessionization": q_sessionization,
@@ -999,6 +1035,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "fingerprint": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp16 FROM documents""",
+        "tokens_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
+                       AS n_bpe
+            FROM documents""",
         "rep_ratio": f"""
             SELECT doc_id,
                    round(CASE WHEN len({_TOKS}) > 0 THEN
@@ -1105,6 +1147,22 @@ def oracle_sql() -> dict[str, str]:
                    (octet_length(encode(text)) % 640)::INTEGER AS fake_width,
                    (octet_length(encode(text)) % 480)::INTEGER AS fake_height,
                    (octet_length(encode(text)) % 7)::INTEGER AS fake_frames
+            FROM documents""",
+        "frame_sample": """
+            WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+                              octet_length(encode(text)) % 7 AS f
+                       FROM documents)
+            SELECT doc_id, u::INTEGER AS frame_idx,
+                   u * (nb // CASE WHEN f = 0 THEN 1 ELSE f END) AS frame_off
+            FROM (SELECT doc_id, nb, f,
+                         unnest(CASE WHEN f > 0 THEN
+                                generate_series(0, f - 1) ELSE [] END) AS u
+                  FROM m)
+            WHERE u % 2 = 0""",
+        # purity property: one feature vector per distinct blob
+        "media_features": """
+            SELECT count(DISTINCT md5(text)) AS n_groups,
+                   count(DISTINCT md5(text)) AS n_consistent
             FROM documents""",
         "events_window": """
             SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS win_start,

@@ -73,3 +73,78 @@ def media_metadata(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
 def frame_sample_positions(n_frames: int, every: int = 5) -> list[int]:
     """Frame-sampling policy (pure, shared with tests)."""
     return list(range(0, max(n_frames, 0), every))
+
+
+FRAME_DDL = "doc_id bigint, frame_idx int, frame_off bigint"
+
+
+def sample_frames(df: DataFrame, id_col: str, blob_col: str,
+                  every: int = 2) -> DataFrame:
+    """Video-style frame sampling plumbing: one output row per sampled
+    frame (1->N fan-out INSIDE the Arrow batch — np.repeat expansion, no
+    per-row Python, no shuffle). Frame count/offsets come from the same
+    deterministic byte-length fake as ``media_metadata`` (real containers
+    would parse the header here); ``frame_off`` is the byte offset a real
+    demuxer would seek to."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = np.asarray(b.column(id_col).cast(pa.int64()))
+            blobs = b.column(blob_col).cast(pa.large_binary())
+            offsets = np.frombuffer(blobs.buffers()[1], dtype=np.int64,
+                                    count=len(blobs) + 1,
+                                    offset=blobs.offset * 8)
+            n_bytes = np.diff(offsets)
+            f = n_bytes % 7  # fake frame count (matches media_metadata)
+            counts = np.where(f > 0, (f - 1) // every + 1, 0).astype(np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            local = np.arange(total) - starts
+            frame_idx = (local * every).astype(np.int32)
+            rep_nb = np.repeat(n_bytes, counts)
+            rep_f = np.repeat(f, counts)
+            frame_off = frame_idx * (rep_nb // np.maximum(rep_f, 1))
+            yield pa.record_batch(
+                [pa.array(np.repeat(ids, counts), type=pa.int64()),
+                 pa.array(frame_idx, type=pa.int32()),
+                 pa.array(frame_off, type=pa.int64())],
+                names=["doc_id", "frame_idx", "frame_off"])
+
+    return df.select(id_col, blob_col).mapInArrow(run, FRAME_DDL)
+
+
+def extract_features(df: DataFrame, id_col: str, blob_col: str,
+                     dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: binary in, fixed-dim float vector out,
+    one mapInArrow stage. The deterministic fake feature is the normalized
+    ``dim``-bucket byte histogram (a real deployment swaps in the model
+    forward pass here — same schema, same batch shape). Whole-batch numpy:
+    one bincount over (row * dim + bucket)."""
+    assert 256 % dim == 0
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        shift = 8 - (dim - 1).bit_length()
+        for b in batches:
+            ids = b.column(id_col).cast(pa.int64())
+            blobs = b.column(blob_col).cast(pa.large_binary())
+            bufs = blobs.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64,
+                                    count=len(blobs) + 1,
+                                    offset=blobs.offset * 8)
+            data = np.frombuffer(bufs[2], dtype=np.uint8,
+                                 count=int(offsets[-1]))[offsets[0]:]
+            n = len(blobs)
+            n_bytes = np.diff(offsets)
+            row_of_byte = np.repeat(np.arange(n, dtype=np.int64), n_bytes)
+            buckets = (data >> shift).astype(np.int64)
+            hist = np.bincount(row_of_byte * dim + buckets,
+                               minlength=n * dim).reshape(n, dim)
+            feats = hist / np.maximum(n_bytes, 1)[:, None]
+            yield pa.record_batch(
+                [ids, pa.array(list(feats.astype(np.float32)))],
+                names=["doc_id", "features"])
+
+    return df.select(id_col, blob_col).mapInArrow(
+        run, "doc_id bigint, features array<float>")

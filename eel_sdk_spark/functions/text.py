@@ -139,3 +139,15 @@ def hash_split(key: Column, weights: list[int],
         expr = (F.when(bucket < acc, lab) if expr is None
                 else expr.when(bucket < acc, lab))
     return expr.otherwise(labels[-1])
+
+
+# engine-portable BPE-ish pre-tokenizer: contraction suffixes, letter runs,
+# digit runs, non-space symbol runs — the GPT-2 pattern family minus
+# lookaheads (RE2/DuckDB has none, so the oracle can replay it exactly)
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Subword-style token count (whitespace-free, punctuation-aware) —
+    the cheap proxy for tokenizer cost accounting over a corpus."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))

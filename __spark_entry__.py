@@ -423,6 +423,20 @@ def q_ann_brute(spark, sf):
                                        _query_vec(spark, sf), k=10)
 
 
+def q_label_centroids(spark, sf):
+    """Per-label embedding centroids, long format — only (label, pos,
+    partial sum) triples shuffle, never vectors."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.label_centroids(emb, "label", "embedding")
+
+
+def q_vec_norms(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id", F.round(similarity.l2_norm(F.col("embedding")), 4)
+        .alias("l2"))
+
+
 def q_ann_batch(spark, sf):
     """Many query vectors, one corpus pass: only (qid, id, cos) shuffles."""
     emb = _t(spark, sf, "embeddings")
@@ -669,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_ratio": q_rep_ratio,
         "hash_split": q_hash_split,
         "ann_brute": q_ann_brute,
+        "label_centroids": q_label_centroids,
+        "vec_norms": q_vec_norms,
         "ann_batch": q_ann_batch,
         "near_dup_brute": q_near_dup_brute,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
@@ -1095,6 +1111,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4) >= 0.4""",
+        "label_centroids": """
+            SELECT label, (i - 1)::INTEGER AS pos,
+                   round(avg(embedding[i]::DOUBLE), 4) AS value
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY label, pos""",
+        "vec_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_inner_product(embedding::DOUBLE[],
+                                                 embedding::DOUBLE[])), 4)
+                       AS l2
+            FROM embeddings""",
         "ann_batch": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id IN (0, 1, 2))

@@ -28,6 +28,32 @@ def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
+def l2_norm(vec) -> F.Column:
+    """L2 norm of an array column — JVM higher-order functions."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def normalize(vec) -> F.Column:
+    """Unit-normalize an array column (zero vectors pass through)."""
+    n = l2_norm(vec)
+    return F.when(n > 0, F.transform(
+        vec, lambda x: x.cast("double") / n)).otherwise(
+            F.transform(vec, lambda x: x.cast("double")))
+
+
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid in long format (label, pos, value): posexplode +
+    one map-side-combinable groupBy — the scale shape for class prototypes
+    / cluster summaries over 10^12 vectors (the vectors never shuffle,
+    only (label, pos, partial-sum) triples)."""
+    return (emb.select(F.col(label_col),
+                       F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy(label_col, "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("value")))
+
+
 def batch_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                vec_col: str, qid_col: str, qvec_col: str,
                k: int = 10) -> DataFrame:

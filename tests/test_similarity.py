@@ -109,3 +109,14 @@ def test_ivf_index_probe_prunes_files(spark, emb, tmp_path):
     idx2 = IvfIndex.load(str(tmp_path), "ivf")
     got2 = idx2.search(spark, q, k=5, n_probe=8).collect()
     assert [tuple(r) for r in got2] == [tuple(r) for r in want]
+
+
+def test_normalize_and_norms(spark, emb):
+    from eel_sdk_spark.functions.similarity import l2_norm, normalize
+
+    from pyspark.sql import functions as F
+    normed = emb.select(normalize(F.col("embedding")).alias("e"))
+    bad = normed.select(
+        (F.abs(l2_norm(F.col("e")) - 1.0) > 1e-9).alias("bad")) \
+        .filter("bad").count()
+    assert bad == 0

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .encode import BLOCK_SCHEMA_DDL, encode_df
-from .table import ManifestTable, Snapshot
+from .table import ManifestTable
 
 
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,

@@ -31,7 +31,7 @@ import numpy as np
 
 from . import for_
 from .base import Encoded
-from .bitpack import bit_width, pack_uints, unpack_uints
+from .bitpack import bit_width, unpack_uints
 
 NAME = "fsst"
 

@@ -261,6 +261,27 @@ def q_concat_zip(spark, sf):
             .projection("n_name", "r_name").df)
 
 
+def q_asof_join(spark, sf):
+    """As-of join (union + partitioned running-last window — one shuffle,
+    no range explosion) vs DuckDB's native ASOF JOIN: for each click, the
+    user's latest purchase at or before it."""
+    from eel_sdk_spark.ops import as_of_join
+
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").alias("pts"),
+                     F.round("value", 2).alias("pvalue")))
+    j = as_of_join(clicks, purch, on="user_id",
+                   left_ts="ts", right_ts="pts")
+    return j.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.col("pts").cast("timestamp")).alias("purchase_us"),
+        "pvalue")
+
+
 def q_cartesian(spark, sf):
     r = DataStream(_t(spark, sf, "region").select("r_name"))
     n = DataStream(_t(spark, sf, "nation").select("n_name"))
@@ -665,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "window_running": q_window_running,
         "concat_zip": q_concat_zip,
+        "asof_join": q_asof_join,
         "cartesian": q_cartesian,
         "string_funcs": q_string_funcs,
         "cube": q_cube,
@@ -854,6 +876,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, r_name FROM a JOIN b USING (rn)""",
         "cartesian": """
             SELECT r_name, n_name FROM region CROSS JOIN nation""",
+        "asof_join": """
+            SELECT l.event_id,
+                   epoch_us(l.ts) AS click_us,
+                   epoch_us(r.ts) AS purchase_us,
+                   round(r.value, 2) AS pvalue
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "string_funcs": """
             SELECT p_partkey,
                    upper(p_name) AS uname,

@@ -75,6 +75,56 @@ def with_global_index(df: DataFrame, order_by, idx_col: str = "__rn",
             .drop("__pid", "__off"))
 
 
+def as_of_join(left: DataFrame, right: DataFrame, on: str,
+               left_ts: str, right_ts: str,
+               tolerance_us: int | None = None) -> DataFrame:
+    """As-of join: for every left row, the LATEST right row with the same
+    key and ``right_ts <= left_ts`` (left-outer: no match -> nulls). The
+    reference has no such operator (SURVEY §2.4 'as-of joins: absent');
+    Spark lacks it natively too.
+
+    Scale shape: NOT a range join (no interval explosion, no O(n*m)
+    per-key blowup) — both sides union into one frame tagged by side, one
+    hash shuffle on the key, and a running ``last(ignorenulls)`` window
+    carries the most recent right payload forward onto each left row. At
+    equal timestamps the right row sorts first, so exact-tie matches are
+    included (ASOF ``>=`` semantics, same as DuckDB's ASOF JOIN).
+
+    ``tolerance_us``: matches older than this many microseconds are
+    nulled out (the pandas ``merge_asof`` tolerance semantic).
+    """
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    rcols = [c for c in right.columns if c != on]
+    l2 = left.select(
+        F.col(on), F.col(left_ts).alias("__ats"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in rcols])
+    r2 = right.select(
+        F.col(on), F.col(right_ts).alias("__ats"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in rcols])
+    u = l2.unionByName(r2)
+    w = (Window.partitionBy(on).orderBy("__ats", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.select(
+        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+               for c in rcols])
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        ts_col = next(c for c in rcols if c == right_ts)
+        age = (F.unix_micros(F.col("__ats").cast("timestamp"))
+               - F.unix_micros(F.col(f"__f_{ts_col}").cast("timestamp")))
+        within = F.col(f"__f_{ts_col}").isNotNull() & (age <= tolerance_us)
+        out = out.select(
+            on, "__ats", "__side", *lcols,
+            *[F.when(within, F.col(f"__f_{c}")).otherwise(F.lit(None))
+              .alias(f"__f_{c}") for c in rcols])
+    return out.select(
+        F.col(on), F.col("__ats").alias(left_ts), *lcols,
+        *[F.col(f"__f_{c}").alias(c) for c in rcols])
+
+
 class DataStream:
     """Fluent wrapper; ``.df`` exposes the underlying DataFrame at any point."""
 
@@ -265,6 +315,13 @@ class DataStream:
     def cartesian(self, other: "DataStream") -> "DataStream":
         """DataStream.scala:258-283."""
         return DataStream(self.df.crossJoin(other.df))
+
+    def as_of_join(self, other: "DataStream", on: str, left_ts: str,
+                   right_ts: str,
+                   tolerance_us: int | None = None) -> "DataStream":
+        """Module-level :func:`as_of_join` as a stream method."""
+        return DataStream(as_of_join(self.df, other.df, on, left_ts,
+                                     right_ts, tolerance_us))
 
     def concat_zip(self, other: "DataStream", order_left: str,
                    order_right: str) -> "DataStream":

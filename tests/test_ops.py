@@ -415,3 +415,35 @@ def test_clean_corpus_stages(spark, sf_dir):
     assert sum(splits.values()) == rows
     assert set(splits) <= {"train", "val", "test"}
     assert splits.get("train", 0) > splits.get("val", 0)
+
+
+def test_as_of_join_semantics(spark):
+    """Latest right row at-or-before each left row; exact ties match;
+    no prior right -> nulls; tolerance nulls out stale matches."""
+    from eel_sdk_spark.ops import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 09:00:00", "c")],
+        "k int, ts string, tag string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100.0),   # exact tie with 'a'
+         (1, "2024-01-01 11:00:00", 200.0),
+         (2, "2024-01-01 09:30:00", 300.0)],  # AFTER 'c': no match
+        "k int, rts string, px double").withColumn(
+            "rts", F.col("rts").cast("timestamp"))
+
+    out = {r["tag"]: r for r in
+           as_of_join(left, right, "k", "ts", "rts").collect()}
+    assert out["a"]["px"] == 100.0       # tie included (>= semantics)
+    assert out["b"]["px"] == 200.0       # latest, not first
+    assert out["c"]["px"] is None        # nothing at-or-before
+
+    # tolerance: 'b' is 1h after its match; a 30min tolerance voids it
+    tol = {r["tag"]: r for r in
+           as_of_join(left, right, "k", "ts", "rts",
+                      tolerance_us=30 * 60 * 1_000_000).collect()}
+    assert tol["a"]["px"] == 100.0
+    assert tol["b"]["px"] is None

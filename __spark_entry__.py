@@ -282,6 +282,26 @@ def q_asof_join(spark, sf):
         "pvalue")
 
 
+def q_range_join(spark, sf):
+    """Bucketized interval join (clicks within 20min after a signup) —
+    equi-join on (key, time bucket) + residual filter, never a per-key
+    nested loop."""
+    from eel_sdk_spark.ops import range_join
+
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    signups = (e.filter(F.col("event_type") == "signup")
+               .select("user_id", F.col("event_id").alias("signup_id"),
+                       F.col("ts").alias("w_start"),
+                       (F.col("ts") + F.expr("INTERVAL 20 MINUTES"))
+                       .alias("w_end")))
+    j = range_join(clicks, signups, on="user_id", ts_col="ts",
+                   start_col="w_start", end_col="w_end",
+                   bucket="20 minutes")
+    return j.select("click_id", "signup_id")
+
+
 def q_cartesian(spark, sf):
     r = DataStream(_t(spark, sf, "region").select("r_name"))
     n = DataStream(_t(spark, sf, "nation").select("n_name"))
@@ -687,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "concat_zip": q_concat_zip,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "cartesian": q_cartesian,
         "string_funcs": q_string_funcs,
         "cube": q_cube,
@@ -885,6 +906,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_join": """
+            SELECT c.event_id AS click_id, s.event_id AS signup_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id
+             AND c.ts >= s.ts
+             AND c.ts <= s.ts + INTERVAL 20 MINUTE""",
         "string_funcs": """
             SELECT p_partkey,
                    upper(p_name) AS uname,

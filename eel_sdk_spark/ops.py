@@ -125,6 +125,45 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(f"__f_{c}").alias(c) for c in rcols])
 
 
+def range_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
+               start_col: str, end_col: str,
+               bucket: str = "20 minutes") -> DataFrame:
+    """Interval containment join (left.ts BETWEEN right.start AND
+    right.end, inclusive), equi-key on ``on`` — the second join the
+    reference lacks (SURVEY §2.4 'range joins: absent') and Spark would
+    otherwise plan as a per-key nested loop.
+
+    Scale shape: time is bucketized at ``bucket`` width; each right
+    interval explodes into the buckets it covers (intervals/bucket_width
+    rows — bounded, not O(rows)); the join is then a plain equi-join on
+    (key, bucket) plus the residual BETWEEN filter. Each left row lives in
+    exactly ONE bucket, so a matching interval meets it exactly once — no
+    dedup pass needed."""
+    w_us = F.lit(_interval_us(bucket))
+    l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    l2 = left.withColumn("__b", F.floor(l_us / w_us))
+    r2 = (right
+          .withColumn("__bs", F.floor(s_us / w_us))
+          .withColumn("__be", F.floor(e_us / w_us))
+          .withColumn("__b", F.explode(F.sequence("__bs", "__be")))
+          .drop("__bs", "__be"))
+    joined = l2.join(r2, [on, "__b"])
+    resid = ((F.unix_micros(F.col(ts_col).cast("timestamp"))
+              >= F.unix_micros(F.col(start_col).cast("timestamp")))
+             & (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                <= F.unix_micros(F.col(end_col).cast("timestamp"))))
+    return joined.filter(resid).drop("__b")
+
+
+def _interval_us(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult * 1_000_000
+
+
 class DataStream:
     """Fluent wrapper; ``.df`` exposes the underlying DataFrame at any point."""
 

@@ -447,3 +447,25 @@ def test_as_of_join_semantics(spark):
                       tolerance_us=30 * 60 * 1_000_000).collect()}
     assert tol["a"]["px"] == 100.0
     assert tol["b"]["px"] is None
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketized interval join must plan as a HASH equi-join (on key
+    + bucket) with a residual filter, never BroadcastNestedLoopJoin."""
+    from eel_sdk_spark.ops import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1), (1, "2024-01-01 11:05:00", 2),
+         (2, "2024-01-01 10:05:00", 3)],
+        "k int, ts string, lid int").withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 9)],
+        "k int, s string, e string, rid int") \
+        .withColumn("s", F.col("s").cast("timestamp")) \
+        .withColumn("e", F.col("e").cast("timestamp"))
+    out = range_join(left, right, "k", "ts", "s", "e", bucket="20 minutes")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
+    rows = out.collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 9)]

@@ -393,6 +393,17 @@ def q_jaccard_pairs(spark, sf):
                                n_hashes=4, band_size=2)
 
 
+def q_dup_clusters(spark, sf):
+    """Connected components over verified near-dup pairs: exact
+    keep-one-per-cluster dedup even when duplicates chain (a~b, b~c
+    without a~c). Iterative min-label propagation on Spark vs a recursive
+    CTE in DuckDB."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2,
+                                n_hashes=4, band_size=2).select("a", "b")
+    return dedup.connected_components(pairs)
+
+
 def q_clean_corpus(spark, sf):
     """The full training-data cleanup pipeline in ONE oracle-checked plan:
     exact dedup -> LSH near-dup removal (jaccard-verified) -> quality
@@ -718,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "clean_corpus": q_clean_corpus,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -988,6 +1000,46 @@ def oracle_sql() -> dict[str, str]:
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.band_key = y.band_key
              AND x.doc_id < y.doc_id""",
+        # connected components via recursive CTE over the same verified
+        # near-dup pairs the Spark side computes
+        "dup_clusters": minhash_cte.replace("WITH toks", "WITH RECURSIVE toks") + """
+            , bands AS (
+                SELECT doc_id, 0 AS band,
+                       md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+                UNION ALL
+                SELECT doc_id, 1 AS band,
+                       md5(sig_2 || '|' || sig_3) AS band_key FROM sigs)
+            , cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id)
+            , grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w
+                      FROM documents))
+            , pairs AS (
+                SELECT a, b FROM cands
+                JOIN grams ga ON ga.doc_id = a
+                JOIN grams gb ON gb.doc_id = b
+                WHERE round(len(list_intersect(ga.g, gb.g))
+                            / len(list_distinct(
+                                  list_concat(ga.g, gb.g)))::DOUBLE, 4)
+                      >= 0.2)
+            , edges AS (SELECT a AS src, b AS dst FROM pairs
+                        UNION SELECT b, a FROM pairs)
+            , nodes AS (SELECT DISTINCT src AS id FROM edges)
+            , reach(id, lab) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, r.lab FROM reach r
+                JOIN edges e ON e.src = r.id)
+            SELECT id, min(lab) AS component FROM reach GROUP BY id""",
         # the full cleanup pipeline, composed from the already-verified
         # pieces: exact dedup + minhash/LSH + jaccard>=0.5 + quality>=0.3
         # + md5 split routing

@@ -272,3 +272,43 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     return (pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4)
                          .alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+# -- duplicate clusters (connected components) ------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a pair list (a, b) -> (id, component)
+    where component = the smallest id reachable from ``id``. Iterative
+    min-label propagation: each round every node adopts the minimum label
+    among itself and its neighbours; converges in O(graph diameter)
+    rounds (checked per round, early exit). Near-dup clusters are
+    shallow — the LSH min-id collides with every member — so real corpora
+    converge in 2-3 rounds.
+
+    Scale shape per round: one groupBy over the edge list (labels carried
+    on 8-byte ids; document text never appears) + a convergence count.
+    This turns the pair-wise dedup approximation (drop every ``b``) into
+    the exact keep-one-per-cluster semantics when clusters chain."""
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst")))
+             .distinct().cache())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.src == labels.id)
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.min("component").alias("n_comp")))
+        merged = (labels.join(neigh, "id", "left")
+                  .select("id", F.least(
+                      "component",
+                      F.coalesce("n_comp", "component")).alias("component"))
+                  .cache())
+        changed = (merged.alias("m").join(labels.alias("l"), "id")
+                   .filter(F.col("m.component") != F.col("l.component"))
+                   .count())
+        labels = merged
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

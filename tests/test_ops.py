@@ -469,3 +469,17 @@ def test_range_join_is_equi_join(spark):
     assert "Join" in plan
     rows = out.collect()
     assert [(r["lid"], r["rid"]) for r in rows] == [(1, 9)]
+
+
+def test_connected_components_chains(spark):
+    """Chained duplicates (a~b, b~c, no a~c) collapse into ONE component
+    labeled by the minimum id — the case pair-wise removal approximates."""
+    from eel_sdk_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a bigint, b bigint")
+    out = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}

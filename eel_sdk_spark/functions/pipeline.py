@@ -35,6 +35,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  exact: bool = True,
                  near_dup_threshold: float | None = 0.5,
+                 cluster_exact: bool = False,
                  n_hashes: int = 4, band_size: int = 2,
                  min_quality: float | None = 0.3,
                  splits: list[int] | None = None,
@@ -50,7 +51,15 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         pairs = dedup.jaccard_pairs(out, text_col, id_col,
                                     threshold=near_dup_threshold,
                                     n_hashes=n_hashes, band_size=band_size)
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        if cluster_exact:
+            # exact keep-one-per-cluster: connected components over the
+            # verified pairs (handles chained duplicates; O(diameter)
+            # label-propagation rounds)
+            comps = dedup.connected_components(pairs.select("a", "b"))
+            losers = (comps.filter(F.col("id") != F.col("component"))
+                      .select(F.col("id").alias(id_col)))
+        else:
+            losers = pairs.select(F.col("b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
     if min_quality is not None:
         # quality_score is 4dp-rounded; the text_quality oracle proves both

@@ -483,3 +483,20 @@ def test_connected_components_chains(spark):
            for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_clean_corpus_cluster_exact(spark, sf_dir):
+    """cluster_exact keeps exactly one representative per connected
+    near-dup cluster; the pair-wise default can only drop MORE."""
+    from eel_sdk_spark.functions.pipeline import clean_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact_mode = clean_corpus(d, near_dup_threshold=0.2,
+                              cluster_exact=True, min_quality=None)
+    pairwise = clean_corpus(d, near_dup_threshold=0.2, min_quality=None)
+    assert pairwise.count() <= exact_mode.count()
+    # no two survivors of exact mode are still a verified near-dup pair
+    from eel_sdk_spark.functions import dedup
+    leftover = dedup.jaccard_pairs(exact_mode, "text", "doc_id",
+                                   threshold=0.2, n_hashes=4, band_size=2)
+    assert leftover.count() == 0

@@ -147,6 +147,7 @@ def encode_with_checkpoint(
     the first K parts — the hook the kill-and-resume test uses.
     Returns run metrics (also persisted in the manifest).
     """
+    cur_fp = None  # computed at most ONCE (it is a full key-column scan)
     snap0 = tbl.current()
     prior_runs = snap0.properties.get("runs", []) if snap0 else []
     if prior_runs:
@@ -166,7 +167,7 @@ def encode_with_checkpoint(
         salt_by, key = adopted["salt_by"], adopted["key"]
         if verify_fingerprint:
             prior_fp = last.get("fingerprint")
-            cur_fp = input_fingerprint(df, key)
+            cur_fp = input_fingerprint(df, key)  # reused in the run record
             if prior_fp is not None and cur_fp != prior_fp:
                 raise ValueError(
                     f"resume input mismatch: fingerprint {cur_fp} != "
@@ -234,7 +235,8 @@ def encode_with_checkpoint(
         "raw_bytes": sum(int(r["raw"]) for r in stats),
         "enc_bytes": sum(int(r["enc"]) for r in stats),
         "codec_mix": codec_mix,
-        "fingerprint": input_fingerprint(df, key),
+        "fingerprint": (cur_fp if cur_fp is not None
+                        else input_fingerprint(df, key)),
         "n_parts": n_parts,
         "salt": salt,
         "salt_by": salt_by,

@@ -95,13 +95,31 @@ def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int = 8,
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             n_hashes: int = 8, band_size: int = 2,
-                            hash_family: str = "md5") -> DataFrame:
+                            hash_family: str = "md5",
+                            max_bucket: int | None = 1000) -> DataFrame:
     """Near-dup candidate pairs (a < b) sharing at least one LSH band.
     The join is per-bucket (band, band_key) — the only all-pairs blow-up
-    possible is inside one bucket, which salting/band-size controls."""
+    possible is inside one bucket.
+
+    ``max_bucket`` guards the degenerate-bucket quadratic: ONE band key
+    shared by k docs yields k·(k−1)/2 pairs, and at web scale a single
+    boilerplate/empty-text signature can put millions of docs in one
+    bucket — a straggler task that never finishes. Buckets larger than
+    ``max_bucket`` members are excluded from the pair join (they are
+    near-certain boilerplate; exact dedup upstream already collapsed true
+    exact duplicates, and a capped bucket is recoverable by a second pass
+    at a coarser band). The size count rides the same (band, band_key)
+    shuffle as the join via a window — no extra pass over the corpus.
+    ``max_bucket=None`` disables the guard (small-corpus oracle replay)."""
+    from pyspark.sql import Window
+
     bands = lsh_bands(minhash_signatures(df, text_col, id_col, n_hashes,
                                          hash_family=hash_family),
                       id_col, n_hashes, band_size, hash_family=hash_family)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        bands = (bands.withColumn("__bsz", F.count("*").over(w))
+                 .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     a = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("b"))
     return (a.join(b, ["band", "band_key"])
@@ -123,10 +141,12 @@ def ngram_set(col: Column, n: int = 3) -> Column:
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   n: int = 3, threshold: float = 0.5,
-                  n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+                  n_hashes: int = 8, band_size: int = 2,
+                  max_bucket: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from minhash LSH: LSH
     prunes, Jaccard verifies — the standard two-phase web-dedup shape."""
-    cands = minhash_candidate_pairs(df, text_col, id_col, n_hashes, band_size)
+    cands = minhash_candidate_pairs(df, text_col, id_col, n_hashes, band_size,
+                                    max_bucket=max_bucket)
     grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("g"))
     ga = grams.select(F.col(id_col).alias("a"), F.col("g").alias("ga"))
     gb = grams.select(F.col(id_col).alias("b"), F.col("g").alias("gb"))
@@ -286,29 +306,47 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     converge in 2-3 rounds.
 
     Scale shape per round: one groupBy over the edge list (labels carried
-    on 8-byte ids; document text never appears) + a convergence count.
-    This turns the pair-wise dedup approximation (drop every ``b``) into
-    the exact keep-one-per-cluster semantics when clusters chain."""
+    on 8-byte ids; document text never appears). The convergence signal
+    is FOLDED into the merge result as a 0/1 column and summed off the
+    same materialization — no second labels-vs-labels join per round.
+    Each round's labels are ``localCheckpoint``-ed: lineage stays FLAT
+    (round k does not replay rounds 1..k-1 — the round-over-round plan
+    growth that stalls high-diameter graphs), and the previous round's
+    blocks are released as the old frame is garbage collected.
+
+    Exits with a ``RuntimeWarning`` if ``max_iter`` rounds did not
+    converge (labels are then a correct-but-coarser upper approximation:
+    some clusters may still carry >1 label)."""
+    import warnings
+
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(pairs.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
-             .distinct().cache())
+             .distinct().localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
+    changed = None
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.src == labels.id)
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("component").alias("n_comp")))
         merged = (labels.join(neigh, "id", "left")
-                  .select("id", F.least(
-                      "component",
-                      F.coalesce("n_comp", "component")).alias("component"))
-                  .cache())
-        changed = (merged.alias("m").join(labels.alias("l"), "id")
-                   .filter(F.col("m.component") != F.col("l.component"))
-                   .count())
-        labels = merged
+                  .select(
+                      "id",
+                      F.least("component",
+                              F.coalesce("n_comp", "component"))
+                      .alias("component"),
+                      (F.col("n_comp") < F.col("component"))
+                      .cast("int").alias("__chg"))
+                  .localCheckpoint(eager=True))
+        changed = merged.agg(F.coalesce(F.sum("__chg"), F.lit(0))).first()[0]
+        labels = merged.drop("__chg")
         if changed == 0:
             break
-    edges.unpersist()
+    if changed:
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still moving) — graph diameter exceeds "
+            f"max_iter; returned components are unmerged supersets",
+            RuntimeWarning, stacklevel=2)
     return labels

@@ -46,12 +46,19 @@ def with_global_index(df: DataFrame, order_by, idx_col: str = "__rn",
     keeps equal keys in one partition, so tie behaviour matches the
     single-window plan.
 
-    Everything is ONE query: the range exchange feeds both the counts
-    aggregate and the main branch, so Spark's exchange reuse
-    (ReusedExchange) guarantees both read the SAME shuffle output — range
-    boundary sampling must not run twice, since its sample timing is not
-    deterministic across jobs (measured: recomputation skews offsets and
-    drops/duplicates indexes).
+    The range exchange feeds both the counts aggregate and the main
+    branch, and range-boundary *sampling is not deterministic across
+    executions* — if the two branches each ran their own exchange they
+    could disagree on partition boundaries and the index would silently
+    gain duplicates and gaps. Spark's static ReuseExchange rule does NOT
+    deduplicate this plan (only AQE's runtime stage cache does), so we
+    must not rely on it: the ranged frame is materialized ONCE with
+    ``localCheckpoint(eager=False)`` and both branches read the same
+    stored blocks. This is correct under any combination of
+    ``spark.sql.adaptive.enabled`` / ``spark.sql.exchange.reuse``, at the
+    cost of one materialization — the honest price of a global-order
+    operator (the blocks are freed by the ContextCleaner when the frame
+    is garbage collected).
     """
     cols = _order_cols(order_by)
     spark = df.sparkSession
@@ -62,7 +69,8 @@ def with_global_index(df: DataFrame, order_by, idx_col: str = "__rn",
         except (TypeError, ValueError):  # "auto" under some AQE configs
             n_partitions = 32
     ranged = (df.repartitionByRange(n_partitions, *cols)
-              .withColumn("__pid", F.spark_partition_id()))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     sizes = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))

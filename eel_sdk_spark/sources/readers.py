@@ -293,7 +293,18 @@ class JdbcStoredProcSource:
     down as a derived table — one round trip, executed database-side like
     the reference's `{call proc(?)}`. Positional ``params`` are inlined as
     SQL literals in ``?`` order (the reference binds them via setObject,
-    JdbcStoredProcSource.scala:35-43)."""
+    JdbcStoredProcSource.scala:35-43).
+
+    Binding is a real tokenizer, not ``str.replace``: ``?`` inside quoted
+    string/identifier literals and ``--``/``/* */`` comments is left
+    alone. Literal quoting is ANSI (quote-doubling); for dialects where
+    backslash is an escape character (MySQL with default sql_mode),
+    backslashes are doubled too — accepted superset, a doubled backslash
+    is still a backslash under ANSI rules only if the dialect treats it
+    literally, so pass pre-quoted params via ``str`` only for ANSI-ish
+    databases. Params are INLINED — treat ``params`` as trusted values,
+    never raw user input (the reference avoids this by server-side
+    binding; Spark's JDBC reader offers no bind channel)."""
 
     url: str
     query: str
@@ -301,13 +312,58 @@ class JdbcStoredProcSource:
     properties: dict = field(default_factory=dict)
     fetch_size: int = 1000
 
+    @staticmethod
+    def _literal(p) -> str:
+        if p is None:
+            return "NULL"
+        if isinstance(p, bool):  # before int: bool is an int subclass
+            return "TRUE" if p else "FALSE"
+        if isinstance(p, (int, float)):
+            return str(p)
+        s = str(p).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
+
     def _bound_query(self) -> str:
-        q = self.query
-        for p in self.params:
-            lit = str(p) if isinstance(p, (int, float)) else \
-                "'" + str(p).replace("'", "''") + "'"
-            q = q.replace("?", lit, 1)
-        return q
+        q, out, i, params = self.query, [], 0, list(self.params)
+        n = len(q)
+        while i < n:
+            ch = q[i]
+            if ch in ("'", '"'):  # string / quoted-identifier literal
+                j = i + 1
+                while j < n:
+                    if q[j] == ch:
+                        if j + 1 < n and q[j + 1] == ch:  # doubled quote
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(q[i:j + 1])
+                i = j + 1
+            elif ch == "-" and q[i:i + 2] == "--":  # line comment
+                j = q.find("\n", i)
+                j = n if j == -1 else j
+                out.append(q[i:j])
+                i = j
+            elif ch == "/" and q[i:i + 2] == "/*":  # block comment
+                j = q.find("*/", i)
+                j = n if j == -1 else j + 2
+                out.append(q[i:j])
+                i = j
+            elif ch == "?":
+                if not params:
+                    raise ValueError(
+                        f"query has more '?' placeholders than params "
+                        f"({len(self.params)} given): {self.query!r}")
+                out.append(self._literal(params.pop(0)))
+                i += 1
+            else:
+                out.append(ch)
+                i += 1
+        if params:
+            raise ValueError(
+                f"{len(params)} unbound param(s) left over — query has "
+                f"fewer '?' placeholders than params: {self.query!r}")
+        return "".join(out)
 
     def load(self, spark: SparkSession) -> DataFrame:
         props = {"fetchsize": str(self.fetch_size), **self.properties}

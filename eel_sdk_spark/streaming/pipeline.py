@@ -87,17 +87,26 @@ def encode_epoch(table, batch_df: DataFrame, epoch_id: int, key: str,
     from ..table import ManifestTable
 
     snap = table.current()
-    epochs = dict((snap.properties.get("epochs") or {}) if snap else {})
-    if epoch_id <= epochs.get(stream_id, -1):
+    props = snap.properties if snap else {}
+    # one flat property key PER stream ("epoch.<stream_id>"): commit()
+    # re-reads the current snapshot and shallow-merges top-level keys, so
+    # two streams committing to one table can never erase each other's
+    # watermark — a read-modify-write of a shared {"epochs": {...}} dict
+    # built from a stale snapshot could (and re-enabled duplicate appends
+    # on the other stream's next replay). Legacy "epochs" dicts from older
+    # manifests are still honored on the read side.
+    legacy = (props.get("epochs") or {}).get(stream_id, -1)
+    last = max(int(props.get(f"epoch.{stream_id}", -1)), int(legacy))
+    if epoch_id <= last:
         return False  # replayed epoch: its commit already landed
     if batch_df.isEmpty():
         return False
     blocks = encode_df(batch_df, key=key, n_parts=n_parts, profile=profile)
     job_dir = table.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)
-    epochs[stream_id] = epoch_id
     table.commit(ManifestTable.list_written_files(job_dir),
-                 BLOCK_SCHEMA_DDL, {"epochs": epochs}, mode="append")
+                 BLOCK_SCHEMA_DDL, {f"epoch.{stream_id}": epoch_id},
+                 mode="append")
     return True
 
 

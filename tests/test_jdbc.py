@@ -71,6 +71,30 @@ def test_jdbc_stored_proc_query(spark, derby_url, people):
     assert sum(got.values()) == 20
 
 
+def test_stored_proc_binding_tokenizer():
+    """'?' inside string literals / quoted identifiers / comments must not
+    be consumed as placeholders; bools bind as TRUE/FALSE (not 'True' —
+    bool is an int subclass); arity mismatches raise instead of silently
+    binding the wrong position."""
+    bq = lambda q, p: JdbcStoredProcSource("u", q, params=p)._bound_query()  # noqa: E731
+
+    assert bq("SELECT * FROM t WHERE u = '?' AND id = ?", (7,)) == \
+        "SELECT * FROM t WHERE u = '?' AND id = 7"
+    assert bq('SELECT "a?b" FROM t WHERE x = ?', ("it's",)) == \
+        'SELECT "a?b" FROM t WHERE x = \'it\'\'s\''
+    assert bq("SELECT 1 -- why?\n FROM t WHERE b = ?", (True,)) == \
+        "SELECT 1 -- why?\n FROM t WHERE b = TRUE"
+    assert bq("SELECT /* eh? */ ? FROM t", (False,)) == \
+        "SELECT /* eh? */ FALSE FROM t"
+    assert bq("SELECT 'it''s?' , ?", (None,)) == "SELECT 'it''s?' , NULL"
+    assert bq("x = ?", ("a\\b",)) == "x = 'a\\\\b'"
+    import pytest
+    with pytest.raises(ValueError, match="more '\\?' placeholders"):
+        bq("a = ? AND b = ?", (1,))
+    with pytest.raises(ValueError, match="unbound param"):
+        bq("a = ?", (1, 2))
+
+
 def test_jdbc_append_mode(spark, derby_url, people):
     extra = spark.createDataFrame([(100, "late", 9)],
                                   "id int, name string, grp int")

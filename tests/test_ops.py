@@ -271,7 +271,11 @@ def test_order_dependent_ops_have_no_single_task_plan(spark):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange SinglePartition") == tiny_exchanges, plan
-        assert "rangepartitioning" in plan
+        # the range partitioning is materialized ONCE behind a lazy
+        # localCheckpoint (so both the counts branch and the window branch
+        # read identical partitions even with exchange reuse disabled);
+        # downstream plans read the checkpointed RDD
+        assert "Scan ExistingRDD" in plan
         # every window over data rows runs partitioned (per __pid):
         # the only unpartitioned window spec is the offsets cumsum on __cnt
         import re
@@ -298,6 +302,33 @@ def test_order_dependent_ops_values(spark):
     z = ds.concat_zip(DataStream(df.select((1001 - F.col("id")).alias("j"))),
                       order_left="id", order_right="j").df
     assert z.filter(F.col("id") != F.col("j")).count() == 0
+
+
+def test_global_index_dense_without_exchange_reuse(spark):
+    """Regression: the counts branch and the window branch of
+    with_global_index must read the SAME range partitioning. Spark's
+    static ReuseExchange never deduplicates this plan, and with AQE off
+    the two exchanges used to sample boundaries independently — producing
+    duplicate and missing indexes. The lazy localCheckpoint materializes
+    the partitioning once, so the index must be a dense 1..n permutation
+    under ANY reuse configuration."""
+    from eel_sdk_spark.ops import with_global_index
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        df = spark.range(0, 50_000).withColumn(
+            "k", F.xxhash64(F.col("id")))  # non-trivial sampled sort key
+        got = with_global_index(df, "k", idx_col="rn")
+        n, n_distinct, mn, mx = got.agg(
+            F.count("*"), F.count_distinct("rn"),
+            F.min("rn"), F.max("rn")).first()
+        assert (n, n_distinct, mn, mx) == (50_000, 50_000, 1, 50_000)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.exchange.reuse", old_reuse)
 
 
 def test_map_vectorized(spark, music):
@@ -483,6 +514,65 @@ def test_connected_components_chains(spark):
            for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_deep_chain_flat_lineage(spark):
+    """A 40-hop path graph needs ~40 label-propagation rounds: with the
+    per-round localCheckpoint the logical plan must stay FLAT (constant
+    size round over round) instead of replaying every previous round, and
+    the labels must still fully converge."""
+    from eel_sdk_spark.functions.dedup import connected_components
+
+    n = 40
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "a bigint, b bigint")
+    out = connected_components(pairs, max_iter=60)
+    # flat lineage: the returned frame reads a checkpointed RDD, not a
+    # 60-round join tower
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert len(plan) < 20_000, len(plan)
+    rows = {r["id"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    """Diameter > max_iter: correct-but-coarser labels + RuntimeWarning,
+    never a silent wrong answer."""
+    import warnings
+
+    from eel_sdk_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "a bigint, b bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=2).collect()
+    assert any(issubclass(x.category, RuntimeWarning)
+               and "not converged" in str(x.message) for x in w)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """5k docs sharing ONE minhash signature (identical shingle sets by
+    construction) would make the band self-join quadratic (~12.5M pairs
+    per band); the max_bucket guard must exclude the degenerate bucket so
+    the candidate set stays bounded, while normal-size buckets pass."""
+    from eel_sdk_spark.functions.dedup import minhash_candidate_pairs
+
+    base = "alpha beta gamma delta epsilon zeta"  # one shared shingle set
+    rows = [(i, f"{base}") for i in range(5000)]
+    # plus a small genuine near-dup group that must SURVIVE the cap
+    rows += [(10_000 + i, "unique zebra quokka wombat text " + "x " * i)
+             for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = minhash_candidate_pairs(df, "text", "doc_id",
+                                     n_hashes=4, band_size=2,
+                                     max_bucket=100)
+    pairs = capped.collect()
+    # the 5k-doc bucket (12,497,500 pairs uncapped) is gone; only pairs
+    # among the small group (and none from the degenerate bucket) remain
+    assert len(pairs) <= 100, len(pairs)
+    assert all(r["a"] >= 10_000 for r in pairs)
 
 
 def test_clean_corpus_cluster_exact(spark, sf_dir):

@@ -126,6 +126,39 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 500
 
 
+def test_two_streams_epoch_watermarks_are_independent(spark, tmp_path):
+    """Two streams (distinct stream_id) committing to ONE table must not
+    erase each other's epoch watermark: the watermark lives in one flat
+    property key per stream, merged against the snapshot current AT COMMIT
+    time. Interleaved commits followed by replays of each stream's old
+    epochs must all be skipped."""
+    from eel_sdk_spark.corpus import webtext_df
+    from eel_sdk_spark.streaming.pipeline import encode_epoch
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path), "stream_blocks")
+    mk = lambda tag, n: webtext_df(spark, n, parts=2).withColumn(  # noqa: E731
+        "url", F.concat(F.lit(tag), F.col("url")))
+
+    assert encode_epoch(tbl, mk("a0-", 50), 0, key="url", n_parts=2,
+                        stream_id="A") is True
+    assert encode_epoch(tbl, mk("b0-", 50), 0, key="url", n_parts=2,
+                        stream_id="B") is True
+    assert encode_epoch(tbl, mk("a1-", 50), 1, key="url", n_parts=2,
+                        stream_id="A") is True
+    # replays of already-committed epochs from BOTH streams: all no-ops
+    snap = tbl.current().snapshot_id
+    assert encode_epoch(tbl, mk("a0-", 50), 0, key="url", n_parts=2,
+                        stream_id="A") is False
+    assert encode_epoch(tbl, mk("b0-", 50), 0, key="url", n_parts=2,
+                        stream_id="B") is False
+    assert encode_epoch(tbl, mk("a1-", 50), 1, key="url", n_parts=2,
+                        stream_id="A") is False
+    assert tbl.current().snapshot_id == snap
+    props = tbl.current().properties
+    assert props["epoch.A"] == 1 and props["epoch.B"] == 0
+
+
 def test_session_aggregate_streaming_matches_batch(spark, sf_dir, tmp_path):
     """Native session_window: the streaming run over the same files must
     produce exactly the batch result (the operator is mode-agnostic)."""

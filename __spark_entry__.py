@@ -2,12 +2,18 @@
 
 ``entry``   — flagship: full encode->decode->verify round-trip of the
               columnar engine over a webtext-shaped table at sf0.001.
-``queries`` — one entry per implemented operator (SURVEY.md §2 surface +
-              training-data-pipeline functions), each exercising
-              ``eel_sdk_spark`` code paths.
-``oracle_sql`` — DuckDB twins. Omitted only for ops whose hash family
-              (xxhash64) or engine (our block codecs) has no DuckDB
-              equivalent; those get the driver's rows-only check.
+``queries`` — exactly 50 entries covering the implemented operator
+              surface (SURVEY.md §2 + training-data-pipeline functions),
+              each exercising ``eel_sdk_spark`` code paths. Sized to the
+              driver gate's 50-entry window so EVERY registered query
+              lands a CORRECTNESS row; related scalar ops are folded
+              into multi-column queries (the hash compare still
+              validates each constituent column exactly).
+``oracle_sql`` — a DuckDB twin for ALL 50. Codec round-trips state the
+              expected verification result (every row matches after
+              encode->decode: a codec bug breaks the hash compare);
+              media_features states the purity property (identical
+              blobs -> identical vectors).
 """
 
 from __future__ import annotations
@@ -123,28 +129,19 @@ def q_join_multi(spark, sf):
                  F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
 
 
-def q_union_all(spark, sf):
+def q_set_ops(spark, sf):
+    """union + substract [sic] + intersection (DataStream.scala:240-276)
+    composed in ONE multiset-exact plan: (all \\ (urgent ∪ high)) ∩ open.
+    The hash compare validates all three operators' ALL-semantics at
+    once — a bag-vs-set slip in any of them shifts the result counts."""
     o = DataStream(_t(spark, sf, "orders"))
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT") \
-         .projection("o_orderkey", "o_orderstatus")
-    b = o.filter(F.col("o_orderstatus") == "F") \
-         .projection("o_orderkey", "o_orderstatus")
-    return a.union(b).df
-
-
-def q_except_all(spark, sf):
-    o = DataStream(_t(spark, sf, "orders"))
-    all_c = o.projection("o_custkey")
-    urgent_c = o.filter(F.col("o_orderpriority") == "1-URGENT") \
-                .projection("o_custkey")
-    return all_c.subtract(urgent_c).df
-
-
-def q_intersect_all(spark, sf):
-    o = DataStream(_t(spark, sf, "orders"))
-    a = o.filter(F.col("o_orderstatus") == "O").projection("o_custkey")
-    b = o.filter(F.col("o_orderpriority") == "2-HIGH").projection("o_custkey")
-    return a.intersection(b).df
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+              .projection("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH") \
+            .projection("o_custkey")
+    openo = o.filter(F.col("o_orderstatus") == "O").projection("o_custkey")
+    allc = o.projection("o_custkey")
+    return allc.subtract(urgent.union(high)).intersection(openo).df
 
 
 def q_distinct(spark, sf):
@@ -168,18 +165,17 @@ def q_tpch_q1(spark, sf):
 
 
 def q_global_agg(spark, sf):
+    """aggregated() global summary + minBy/maxBy arg-extrema in one row
+    (DataStream.scala:300-344): count/min/max/avg plus the order ids that
+    carry the extreme prices."""
     return (DataStream(_t(spark, sf, "orders")).aggregated()
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.min("o_totalprice"), 2).alias("min_price"),
                  F.round(F.max("o_totalprice"), 2).alias("max_price"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
-            .to_datastream().df)
-
-
-def q_arg_extrema(spark, sf):
-    o = _t(spark, sf, "orders")
-    return o.agg(F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+                 F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
                  F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"))
+            .to_datastream().df)
 
 
 def q_topk_per_group(spark, sf):
@@ -376,11 +372,6 @@ def q_dedup_exact(spark, sf):
             .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id")))
 
 
-def q_minhash_sigs(spark, sf):
-    d = _t(spark, sf, "documents")
-    return dedup.minhash_signatures(d, "text", "doc_id", n_hashes=4)
-
-
 def q_minhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.minhash_candidate_pairs(d, "text", "doc_id",
@@ -418,49 +409,25 @@ def q_clean_corpus(spark, sf):
     return out.select("doc_id", "lang", "split")
 
 
-def q_text_quality(spark, sf):
+def q_text_metrics(spark, sf):
+    """The whole per-document text-analysis panel in ONE pass — token
+    count, punctuation/stopword ratios, Gopher-style repetition, quality
+    score, n-gram lang-id, BPE-ish token count, md5 fingerprint. The hash
+    compare validates every scalar function's exact values per doc; one
+    scan instead of seven (also the shape a real pipeline runs: compute
+    all signals in a single pass over the corpus). (hash_split routing is
+    gate-checked inside clean_corpus, which assigns splits the same way.)"""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
         F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
-        T.quality_score(F.col("text")).alias("quality"))
-
-
-def q_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
-
-
-def q_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", T.fingerprint_md5(F.col("text")).alias("fp16"))
-
-
-def q_tokens_bpe(spark, sf):
-    """BPE-ish regex token counting (tokenizer cost accounting)."""
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id",
-                    T.token_count_bpe(F.col("text")).alias("n_bpe"))
-
-
-def q_rep_ratio(spark, sf):
-    """Gopher-style repetition quality signal."""
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.round(T.dup_token_ratio(F.col("text")), 4).alias("dup_ratio"))
-
-
-def q_hash_split(spark, sf):
-    """Deterministic train/val/test split: content-hash routed, stable
-    across runs/cluster sizes/row order."""
-    d = _t(spark, sf, "documents")
-    split = T.hash_split(F.col("doc_id").cast("string"), [80, 10, 10],
-                         ["train", "val", "test"])
-    return (d.select(split.alias("split"))
-            .groupBy("split").agg(F.count("*").alias("n")))
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        F.round(T.dup_token_ratio(F.col("text")), 4).alias("dup_ratio"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe"),
+        T.fingerprint_md5(F.col("text")).alias("fp16"))
 
 
 def _query_vec(spark, sf):
@@ -499,20 +466,10 @@ def q_ann_batch(spark, sf):
                                  "qid", "qvec", k=5)
 
 
-def q_near_dup_brute(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    cos = F.round(dedup.cosine(F.col("va"), F.col("vb")), 4)
-    # threshold 0.4: the synthetic embeddings carry no planted near-dups
-    # (max pairwise cosine 0.51 at sf0.01), so 0.8 compared empty sets —
-    # a vacuous oracle; 0.4 yields a real result set (59 pairs at sf0.01)
-    return (pairs.select("a", "b", cos.alias("cos"))
-            .filter(F.col("cos") >= 0.4))
-
-
 def q_embedding_lsh_near_dups(spark, sf):
+    # threshold 0.3: the synthetic embeddings carry no planted near-dups
+    # (max pairwise cosine 0.51 at sf0.01) — higher thresholds compare
+    # empty sets, a vacuous oracle; 0.3 yields a real result set (17 rows)
     emb = _t(spark, sf, "embeddings")
     return dedup.embedding_near_dups(emb, "vec_id", "embedding",
                                      threshold=0.3, n_planes=8,
@@ -531,40 +488,28 @@ def q_ann_ivf(spark, sf):
                                n_list=8, n_probe=8)
 
 
-def q_simhash(spark, sf):
-    """xxhash64 SimHash has no DuckDB twin, so the oracle states the
-    expected *property* instead: simhash is a pure function of the text —
-    every exact-duplicate text group carries exactly one distinct
-    signature. (simhash_md5 hash-compares exact signature values.)"""
-    d = _t(spark, sf, "documents")
-    sh = dedup.simhash(d, "text", "doc_id")
-    j = (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
-                  "doc_id")
-         .join(sh, "doc_id"))
-    per = j.groupBy("fp").agg(F.count_distinct("simhash").alias("nd"))
-    return per.agg(F.count("*").alias("n_groups"),
-                   F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
-                   .alias("n_consistent"))
-
-
-def q_simhash_md5(spark, sf):  # oracle-checkable md5 hash family
+def q_simhash_md5(spark, sf):
+    """SimHash with the md5 hash family so DuckDB can replay the exact
+    signature values. (The xxhash64 production variant is the same
+    construction — asserted signature-identical per text group in
+    tests/test_ops.py.)"""
     d = _t(spark, sf, "documents")
     return dedup.simhash_md5(d, "text", "doc_id")
 
 
-def q_multimodal_meta(spark, sf):
+def q_multimodal_frames(spark, sf):
+    """Multimodal plumbing in one gate row: typed metadata extraction
+    (media_metadata) joined onto the 1->N frame-sampling fan-out
+    (sample_frames) — vectorized row expansion inside the Arrow batch,
+    fully oracle-replayable since the fake frame geometry is a pure
+    function of byte length."""
     d = _t(spark, sf, "documents")
     blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
-    return multimodal.media_metadata(blob, "doc_id", "blob")
-
-
-def q_frame_sample(spark, sf):
-    """Multimodal 1->N fan-out plumbing (video frame sampling): vectorized
-    row expansion inside the Arrow batch, fully oracle-replayable since
-    the fake frame geometry is a pure function of byte length."""
-    d = _t(spark, sf, "documents")
-    blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
-    return multimodal.sample_frames(blob, "doc_id", "blob", every=2)
+    meta = multimodal.media_metadata(blob, "doc_id", "blob")
+    frames = multimodal.sample_frames(blob, "doc_id", "blob", every=2)
+    return frames.join(meta, "doc_id").select(
+        "doc_id", "frame_idx", "frame_off",
+        "n_bytes", "fake_width", "fake_height", "fake_frames")
 
 
 def q_media_features(spark, sf):
@@ -646,9 +591,11 @@ def q_roundtrip_verify(spark, sf):  # rows-only: block codecs aren't SQL
               .otherwise(0)).alias("lang_ok"))
 
 
-def q_roundtrip_lineitem(spark, sf):  # rows-only: block codecs aren't SQL
-    """Engine generality: encode/decode a TPC-H-shaped table (ints,
-    doubles, strings, timestamp_ntz) — not just the webtext schema."""
+def q_roundtrip_tables(spark, sf):
+    """Engine generality in ONE gate row: a TPC-H-shaped table (ints,
+    doubles, strings, timestamp_ntz) AND a nested-type table
+    (array<float> riding the Arrow-IPC plain codec) both encode/decode
+    exactly through the full Spark pipeline."""
     from eel_sdk_spark.encode import decode_blocks_df, encode_df
 
     li = _t(spark, sf, "lineitem")
@@ -668,45 +615,83 @@ def q_roundtrip_lineitem(spark, sf):  # rows-only: block codecs aren't SQL
                          F.lit(2147483647))).alias("h"))
 
     d, o = sig(decoded).first(), sig(li).first()
-    return spark.createDataFrame(
-        [(int(d["n"]), int(o["n"]), bool(d["n"] == o["n"]),
-          bool(d["h"] == o["h"]))],
-        "decoded_rows bigint, orig_rows bigint, rows_match boolean, "
-        "content_match boolean")
-
-
-def q_roundtrip_embeddings(spark, sf):
-    """Nested types end-to-end: array<float> rides the Arrow-IPC plain
-    codec through the full Spark encode/decode pipeline."""
-    from eel_sdk_spark.encode import decode_blocks_df, encode_df
 
     emb = _t(spark, sf, "embeddings")
-    blocks = encode_df(emb, key="vec_id", n_parts=4)
-    decoded = decode_blocks_df(
-        blocks, "vec_id bigint, embedding array<float>, label int")
-    j = decoded.alias("d").join(emb.alias("o"), "vec_id")
+    eblocks = encode_df(emb, key="vec_id", n_parts=4)
+    edecoded = decode_blocks_df(
+        eblocks, "vec_id bigint, embedding array<float>, label int")
+    j = edecoded.alias("d").join(emb.alias("o"), "vec_id")
     vec_eq = F.col("d.embedding").eqNullSafe(F.col("o.embedding"))
     lab_eq = F.col("d.label").eqNullSafe(F.col("o.label"))
+    e = j.agg(F.count("*").alias("rows"),
+              F.sum(F.when(vec_eq & lab_eq, 1).otherwise(0))
+              .alias("vectors_ok")).first()
+    return spark.createDataFrame(
+        [(int(d["n"]), int(o["n"]), bool(d["n"] == o["n"]),
+          bool(d["h"] == o["h"]), int(e["rows"]), int(e["vectors_ok"]))],
+        "decoded_rows bigint, orig_rows bigint, rows_match boolean, "
+        "content_match boolean, emb_rows bigint, vectors_ok bigint")
+
+
+def q_gorilla_roundtrip(spark, sf):
+    """Continuous float telemetry through the codec engine: event
+    timestamps as epoch-seconds doubles (the Gorilla-XOR codec's home
+    turf — full-precision, non-decimal, slowly varying) plus the value
+    column, encode->decode->join, every value must come back
+    bit-identical. The oracle states the expected verification result;
+    codec ROUTING (selector picks 'gor' on ramp-shaped series) is
+    asserted separately in tests/test_codecs.py."""
+    from eel_sdk_spark.encode import decode_blocks_df, encode_df
+
+    e = _t(spark, sf, "events")
+    sensor = e.select(
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0)
+        .alias("t_sec"),
+        F.col("value"))
+    blocks = encode_df(sensor, key="event_id", n_parts=4)
+    decoded = decode_blocks_df(
+        blocks, "event_id bigint, t_sec double, value double")
+    j = decoded.alias("d").join(sensor.alias("o"), "event_id")
+    ok = (F.col("d.t_sec").eqNullSafe(F.col("o.t_sec"))
+          & F.col("d.value").eqNullSafe(F.col("o.value")))
     return j.agg(F.count("*").alias("rows"),
-                 F.sum(F.when(vec_eq & lab_eq, 1).otherwise(0))
-                 .alias("vectors_ok"))
+                 F.sum(F.when(ok, 1).otherwise(0)).alias("vals_ok"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's gate records the first 50 dict
+    entries, so the registry is SIZED to the gate: every registered query
+    gets a CORRECTNESS row (round 2 registered 62 and the 12 past the
+    window went unrecorded). Redundant variants were folded in, never
+    silently dropped: minhash_sigs is exercised inside minhash_pairs;
+    the xxhash simhash/near_dup_brute baselines live in pytest;
+    hash_split routing is gate-checked inside clean_corpus; the text
+    scalar panel, the set-ops trio, arg-extrema, the multimodal pair and
+    the lineitem+embeddings roundtrips are each ONE multi-column query
+    whose hash compare still validates every constituent exactly.
+    Highest-stakes queries (codec roundtrips, sessionization) lead."""
     return {
+        "roundtrip_verify": q_roundtrip_verify,
+        "roundtrip_tables": q_roundtrip_tables,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "sessionization": q_sessionization,
+        "session_stats": q_session_stats,
+        "events_window": q_events_window,
+        "json_extract": q_json_extract,
+        "simhash_md5": q_simhash_md5,
+        "multimodal_frames": q_multimodal_frames,
+        "media_features": q_media_features,
         "filter_projection": q_filter_projection,
         "project_transform": q_project_transform,
         "update_field": q_update_field,
         "replace_nulls": q_replace_nulls,
         "broadcast_join_agg": q_broadcast_join_agg,
         "join_multi": q_join_multi,
-        "union_all": q_union_all,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
+        "set_ops": q_set_ops,
         "distinct": q_distinct,
         "tpch_q1": q_tpch_q1,
         "global_agg": q_global_agg,
-        "arg_extrema": q_arg_extrema,
         "topk_per_group": q_topk_per_group,
         "take_ordered": q_take_ordered,
         "sample_every_k": q_sample_every_k,
@@ -726,36 +711,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "map_rows": q_map_rows,
         "dedup_exact": q_dedup_exact,
-        "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "clean_corpus": q_clean_corpus,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "tokens_bpe": q_tokens_bpe,
-        "rep_ratio": q_rep_ratio,
-        "hash_split": q_hash_split,
+        "text_metrics": q_text_metrics,
         "ann_brute": q_ann_brute,
         "label_centroids": q_label_centroids,
         "vec_norms": q_vec_norms,
         "ann_batch": q_ann_batch,
-        "near_dup_brute": q_near_dup_brute,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "ann_ivf": q_ann_ivf,
-        "simhash": q_simhash,
-        "simhash_md5": q_simhash_md5,
-        "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
-        "media_features": q_media_features,
-        "events_window": q_events_window,
-        "json_extract": q_json_extract,
-        "sessionization": q_sessionization,
-        "session_stats": q_session_stats,
-        "roundtrip_verify": q_roundtrip_verify,
-        "roundtrip_lineitem": q_roundtrip_lineitem,
-        "roundtrip_embeddings": q_roundtrip_embeddings,
     }
 
 
@@ -765,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = ("list_filter(string_split(text, ' '), x -> x <> '')")
 _TOKS_LOWER = ("list_filter(string_split(lower(text), ' '), x -> x <> '')")
+# BPE-ish token regex as a DuckDB SQL string literal (RE2-safe, no
+# lookaheads; '' = escaped quote inside the SQL literal)
+_BPE_RE = r"'''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -811,20 +780,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
-        "union_all": """
-            SELECT o_orderkey, o_orderstatus FROM orders
-            WHERE o_orderpriority = '1-URGENT'
-            UNION ALL
-            SELECT o_orderkey, o_orderstatus FROM orders
-            WHERE o_orderstatus = 'F'""",
-        "except_all": """
-            SELECT o_custkey FROM orders
-            EXCEPT ALL
-            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
-        "intersect_all": """
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        "set_ops": """
+            WITH pri AS (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                UNION ALL
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '2-HIGH'),
+            rem AS (
+                SELECT o_custkey FROM orders
+                EXCEPT ALL
+                SELECT o_custkey FROM pri)
+            SELECT o_custkey FROM rem
             INTERSECT ALL
-            SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'""",
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
         "distinct": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
         "tpch_q1": f"""
@@ -844,10 +813,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_orders,
                    round(min(o_totalprice), 2) AS min_price,
                    round(max(o_totalprice), 2) AS max_price,
-                   round(avg(o_totalprice), 4) AS avg_price
-            FROM orders""",
-        "arg_extrema": """
-            SELECT arg_max(o_orderkey, o_totalprice) AS top_order,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   arg_max(o_orderkey, o_totalprice) AS top_order,
                    arg_min(o_orderkey, o_totalprice) AS bottom_order
             FROM orders""",
         "topk_per_group": """
@@ -957,7 +924,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, count(*) AS n_dups,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY md5(text)""",
-        "minhash_sigs": minhash_cte + " SELECT * FROM sigs",
         "jaccard_pairs": minhash_cte + """
             , bands AS (
                 SELECT doc_id, 0 AS band,
@@ -1112,7 +1078,7 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                          % 100 AS b
                   FROM scored WHERE quality >= 0.3)""",
-        "text_quality": f"""
+        "text_metrics": f"""
             SELECT doc_id,
                    len({_TOKS}) AS n_tokens,
                    round(CASE WHEN length(text) > 0 THEN
@@ -1134,10 +1100,7 @@ def oracle_sql() -> dict[str, str]:
                            (length(text) - length(regexp_replace(text,
                             '[.,!?;:]', '', 'g'))) / length(text)
                            ELSE 0 END) * 5)
-                   ) / 3.0, 4) AS quality
-            FROM documents""",
-        "lang_id": """
-            SELECT doc_id,
+                   ) / 3.0, 4) AS quality,
                 CASE
                   WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
                   WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
@@ -1158,33 +1121,16 @@ def oracle_sql() -> dict[str, str]:
                       + CASE WHEN position(' una ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END) >= 2
                       THEN 'es'
                   ELSE 'en'
-                END AS lang_guess
+                END AS lang_guess,
+                round(CASE WHEN len({_TOKS}) > 0 THEN
+                    1.0 - len(list_distinct({_TOKS}))
+                          / len({_TOKS})::DOUBLE
+                    ELSE 0.0 END, 4) AS dup_ratio,
+                len(regexp_extract_all(text,
+                    {_BPE_RE}))
+                    AS n_bpe,
+                substr(md5(text), 1, 16) AS fp16
             FROM documents""",
-        "fingerprint": """
-            SELECT doc_id, substr(md5(text), 1, 16) AS fp16 FROM documents""",
-        "tokens_bpe": r"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text,
-                       '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'))
-                       AS n_bpe
-            FROM documents""",
-        "rep_ratio": f"""
-            SELECT doc_id,
-                   round(CASE WHEN len({_TOKS}) > 0 THEN
-                       1.0 - len(list_distinct({_TOKS}))
-                             / len({_TOKS})::DOUBLE
-                       ELSE 0.0 END, 4) AS dup_ratio
-            FROM documents""",
-        "hash_split": """
-            SELECT CASE
-                     WHEN b < 80 THEN 'train'
-                     WHEN b < 90 THEN 'val'
-                     ELSE 'test'
-                   END AS split, count(*) AS n
-            FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                         % 100 AS b
-                  FROM documents)
-            GROUP BY 1""",
         "ann_brute": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -1215,13 +1161,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4)
                   >= 0.3""",
-        "near_dup_brute": """
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 4) >= 0.4""",
         "label_centroids": """
             SELECT label, (i - 1)::INTEGER AS pos,
                    round(avg(embedding[i]::DOUBLE), 4) AS value
@@ -1255,11 +1194,6 @@ def oracle_sql() -> dict[str, str]:
                                                 qe::DOUBLE[]), 4) AS cos
             FROM embeddings, q
             ORDER BY cos DESC, vec_id LIMIT 10""",
-        # simhash determinism property: one signature per distinct text
-        "simhash": """
-            SELECT count(DISTINCT md5(text)) AS n_groups,
-                   count(DISTINCT md5(text)) AS n_consistent
-            FROM documents""",
         "simhash_md5": f"""
             WITH toks AS (
                 SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
@@ -1279,19 +1213,16 @@ def oracle_sql() -> dict[str, str]:
                        f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT "
                        f"ELSE 0 END" for b in range(60))}) AS simhash
             FROM sums""",
-        "multimodal_meta": """
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   (octet_length(encode(text)) % 640)::INTEGER AS fake_width,
-                   (octet_length(encode(text)) % 480)::INTEGER AS fake_height,
-                   (octet_length(encode(text)) % 7)::INTEGER AS fake_frames
-            FROM documents""",
-        "frame_sample": """
+        "multimodal_frames": """
             WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb,
                               octet_length(encode(text)) % 7 AS f
                        FROM documents)
             SELECT doc_id, u::INTEGER AS frame_idx,
-                   u * (nb // CASE WHEN f = 0 THEN 1 ELSE f END) AS frame_off
+                   u * (nb // CASE WHEN f = 0 THEN 1 ELSE f END) AS frame_off,
+                   nb AS n_bytes,
+                   (nb % 640)::INTEGER AS fake_width,
+                   (nb % 480)::INTEGER AS fake_height,
+                   f::INTEGER AS fake_frames
             FROM (SELECT doc_id, nb, f,
                          unnest(CASE WHEN f > 0 THEN
                                 generate_series(0, f - 1) ELSE [] END) AS u
@@ -1316,12 +1247,14 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_verify": """
             SELECT count(*) AS rows, count(*) AS text_ok,
                    count(*) AS lang_ok FROM documents""",
-        "roundtrip_lineitem": """
-            SELECT count(*) AS decoded_rows, count(*) AS orig_rows,
-                   true AS rows_match, true AS content_match FROM lineitem""",
-        "roundtrip_embeddings": """
-            SELECT count(*) AS rows, count(*) AS vectors_ok
-            FROM embeddings""",
+        "roundtrip_tables": """
+            SELECT (SELECT count(*) FROM lineitem) AS decoded_rows,
+                   (SELECT count(*) FROM lineitem) AS orig_rows,
+                   true AS rows_match, true AS content_match,
+                   (SELECT count(*) FROM embeddings) AS emb_rows,
+                   (SELECT count(*) FROM embeddings) AS vectors_ok""",
+        "gorilla_roundtrip": """
+            SELECT count(*) AS rows, count(*) AS vals_ok FROM events""",
         "sessionization": """
             WITH x AS (
                 SELECT user_id,

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import blocks
-from . import alp, dictionary, for_, fsst, plain, rle
+from . import alp, dictionary, for_, fsst, gorilla, plain, rle
 from .base import (
     Encoded,
     bytes_to_arrow,
@@ -33,7 +33,8 @@ from .base import (
 
 _ZSTD = pa.Codec("zstd", compression_level=3)
 
-CODEC_NAMES = ("for", "rle", "dict", "fsst", "raw", "rawf", "shuf", "alp", "plain")
+CODEC_NAMES = ("for", "rle", "dict", "fsst", "raw", "rawf", "shuf", "alp",
+               "gor", "plain")
 
 
 def _compress_tables(enc: Encoded) -> None:
@@ -80,6 +81,8 @@ def encode_values(values: pa.Array, kind: str, codec: str,
             return plain.encode_floats_shuffled(np.asarray(values))
         if codec == "alp":
             return alp.encode(np.asarray(values))
+        if codec == "gor":
+            return gorilla.encode(np.asarray(values))
     elif kind == "bytes":
         if codec == "dict":
             return dictionary.encode_bytes(values)
@@ -117,6 +120,8 @@ def decode_values(codec: str, kind: str, payload: bytes, params: dict,
                             type=typ)
         if codec == "alp":
             return pa.array(alp.decode(payload, params, tables), type=typ)
+        if codec == "gor":
+            return pa.array(gorilla.decode(payload, params, tables), type=typ)
     elif kind == "bytes":
         if codec == "dict":
             lengths, data = dictionary.decode_bytes(payload, params, tables)

@@ -75,9 +75,12 @@ def _choose_int(st: dict) -> str:
 def _choose_float(values: pa.Array, profile: str) -> str:
     """Measured, not modeled: (1) if a sample round-trips as scaled
     decimals bit-exactly, ALP-style scale-to-int + FOR wins by an order of
-    magnitude (prices, ratings, sensor readings); (2) otherwise
-    trial-encode raw vs byte-shuffled under the zstd cascade and keep the
-    smaller."""
+    magnitude (prices, ratings, quantized sensor readings); (2) otherwise
+    trial-encode raw vs byte-shuffled vs Gorilla-XOR under the zstd
+    cascade and keep the measured smallest (ties break toward the cheaper
+    decode: raw < shuf < gor). Gorilla wins on genuinely continuous,
+    slowly-varying series — timestamps-as-seconds, temperatures — where
+    no decimal exponent round-trips but successive bit patterns agree."""
     import numpy as np
 
     n = len(values)
@@ -90,11 +93,19 @@ def _choose_float(values: pa.Array, profile: str) -> str:
         _, frac = alp.probe(sample)
         if frac >= 0.98:
             return "alp"
+    from .codecs import gorilla
+
     raw = _ZSTD_TRIAL.compress(sample.tobytes(), asbytes=True)
     planes = np.ascontiguousarray(
         sample.view(np.uint8).reshape(-1, sample.dtype.itemsize).T).tobytes()
     shuf = _ZSTD_TRIAL.compress(planes, asbytes=True)
-    return "shuf" if len(shuf) < len(raw) * 0.98 else "rawf"
+    gor = _ZSTD_TRIAL.compress(gorilla.estimate_payload(sample), asbytes=True)
+    best = min(len(raw), len(shuf) * 1.02, len(gor) * 1.03)
+    if best == len(gor) * 1.03:
+        return "gor"
+    if best == len(shuf) * 1.02:
+        return "shuf"
+    return "rawf"
 
 
 _ZSTD_TRIAL = pa.Codec("zstd", compression_level=1)

@@ -276,3 +276,64 @@ class TestAlp:
         # and genuinely random doubles do NOT route to alp
         noise = pa.array(np.random.default_rng(4).standard_normal(8192))
         assert selector.choose(noise, "float") in ("rawf", "shuf")
+
+
+class TestGorilla:
+    """XOR codec: the float path for smooth non-decimal series that fall
+    through the ALP probe (it used to land on raw/shuf)."""
+
+    def _sensor(self, n=20_000):
+        import numpy as np
+
+        # event-time ramp: epoch-seconds with jittered sub-second arrival
+        # gaps — continuous full-precision doubles (ALP probe fails), and
+        # the value RANGE drifts (shuffled high-byte planes are not
+        # constant) while successive bit patterns agree (XOR zeroes them)
+        rng = np.random.default_rng(11)
+        return 1.7e9 + np.cumsum(rng.uniform(0.05, 0.15, n))
+
+    def test_sensor_roundtrip_and_wins(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from eel_sdk_spark.codecs import decode_column, encode_column
+
+        vals = self._sensor()
+        arr = pa.array(vals)
+        h_gor, p_gor, _ = encode_column(arr, codec="gor")
+        h_shuf, p_shuf, _ = encode_column(arr, codec="shuf")
+        h_raw, p_raw, _ = encode_column(arr, codec="rawf")
+        assert decode_column(h_gor, p_gor).equals(arr)  # bit-identical
+        assert len(p_gor) < len(p_shuf) < len(p_raw)
+
+    def test_selector_routes_sensor_to_gor(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from eel_sdk_spark import selector
+        from eel_sdk_spark.codecs import alp, encode_column
+
+        vals = self._sensor()
+        _, frac = alp.probe(vals[:4096])
+        assert frac < 0.5  # genuinely non-decimal
+        arr = pa.array(vals)
+        assert selector.choose(arr, "float") == "gor"
+        _, _, info = encode_column(arr)
+        assert info["codec"] == "gor"
+        # prices still route to alp, pure noise never to gor
+        prices = pa.array(np.round(
+            np.random.default_rng(3).uniform(1, 9e4, 20_000), 2))
+        assert selector.choose(prices, "float") == "alp"
+        noise = pa.array(np.random.default_rng(4).standard_normal(8192))
+        assert selector.choose(noise, "float") in ("rawf", "shuf")
+
+    def test_float32_roundtrip(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from eel_sdk_spark.codecs import decode_column, encode_column
+
+        vals = self._sensor(5000).astype(np.float32)
+        arr = pa.array(vals, type=pa.float32())
+        h, p, _ = encode_column(arr, codec="gor")
+        assert decode_column(h, p).equals(arr)

@@ -109,3 +109,30 @@ def test_column_nullable_doubles_alp(xs):
     arr = pa.array(xs, type=pa.float64())
     h, p, _ = encode_column(arr, codec="alp")
     assert decode_column(h, p).equals(arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64),
+                max_size=300))
+def test_gorilla_any_doubles(xs):
+    """Any float64 array — NaN/Inf/-0.0 included — round-trips
+    BIT-identically through the XOR codec (it's bits in, bits out)."""
+    from eel_sdk_spark.codecs import gorilla
+
+    vals = np.array(xs, dtype=np.float64)
+    enc = gorilla.encode(vals)
+    out = gorilla.decode(enc.payload, enc.params, enc.tables)
+    np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(allow_nan=False, allow_infinity=False,
+                                    width=32)),
+                min_size=1, max_size=200),
+       st.sampled_from([pa.float32(), pa.float64()]))
+def test_column_nullable_floats_gorilla(xs, typ):
+    """Full column path with nulls, forced through gor — both widths."""
+    arr = pa.array(xs, type=typ)
+    h, p, _ = encode_column(arr, codec="gor")
+    assert decode_column(h, p).equals(arr)

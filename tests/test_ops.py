@@ -575,6 +575,65 @@ def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
     assert all(r["a"] >= 10_000 for r in pairs)
 
 
+def test_gate_folded_variants_stay_covered(spark, sf_dir):
+    """Variants folded out of the 50-entry driver gate keep local
+    evidence here: (a) xxhash64 SimHash is a pure function of the text —
+    one distinct signature per exact-duplicate group (same property the
+    md5 twin hash-compares in the gate); (b) minhash signatures are
+    deterministic and identical texts share identical signatures; (c)
+    hash_split is deterministic and ~[80/10/10]; (d) every LSH embedding
+    near-dup pair is confirmed by the brute-force baseline."""
+    from eel_sdk_spark.functions import dedup
+    from eel_sdk_spark.functions import text as T
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # (a) xxhash simhash purity per exact-dup group
+    sh = dedup.simhash(d, "text", "doc_id")
+    j = d.select(F.md5(F.encode("text", "utf-8")).alias("fp"),
+                 "doc_id").join(sh, "doc_id")
+    bad = (j.groupBy("fp").agg(F.count_distinct("simhash").alias("nd"))
+           .filter(F.col("nd") != 1).count())
+    assert bad == 0
+
+    # (b) minhash sigs: deterministic + equal text -> equal sigs
+    s1 = dedup.minhash_signatures(d, "text", "doc_id", n_hashes=4)
+    s2 = dedup.minhash_signatures(d, "text", "doc_id", n_hashes=4)
+    assert s1.exceptAll(s2).count() == 0
+    sig_cols = [c for c in s1.columns if c.startswith("sig_")]
+    assert len(sig_cols) == 4
+    per_text = (d.join(s1, "doc_id")
+                .groupBy(F.md5(F.encode("text", "utf-8")))
+                .agg(F.count_distinct(F.struct(*sig_cols)).alias("nd")))
+    assert per_text.filter(F.col("nd") != 1).count() == 0
+
+    # (c) hash_split: stable across physical layout, roughly 80/10/10
+    split = T.hash_split(F.col("doc_id").cast("string"), [80, 10, 10],
+                         ["train", "val", "test"])
+    a = d.select("doc_id", split.alias("s"))
+    b = d.repartition(7).select("doc_id", split.alias("s"))
+    assert a.exceptAll(b).count() == 0
+    fracs = {r["s"]: r["n"] for r in
+             a.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    n = sum(fracs.values())
+    assert 0.7 < fracs["train"] / n < 0.9
+
+    # (d) LSH near-dups are a subset of the brute-force pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = dedup.embedding_near_dups(emb, "vec_id", "embedding",
+                                    threshold=0.3, n_planes=8)
+    av = emb.select(F.col("vec_id").alias("a"),
+                    F.col("embedding").alias("va"))
+    bv = emb.select(F.col("vec_id").alias("b"),
+                    F.col("embedding").alias("vb"))
+    brute = (av.join(bv, F.col("a") < F.col("b"))
+             .select("a", "b", F.round(dedup.cosine(F.col("va"),
+                                                    F.col("vb")), 4)
+                     .alias("cos"))
+             .filter(F.col("cos") >= 0.3))
+    assert lsh.select("a", "b").exceptAll(brute.select("a", "b")).count() == 0
+
+
 def test_clean_corpus_cluster_exact(spark, sf_dir):
     """cluster_exact keeps exactly one representative per connected
     near-dup cluster; the pair-wise default can only drop MORE."""

@@ -105,9 +105,13 @@ def run_eelshape(spark) -> dict:
 
 def run_scaling() -> dict:
     results = {}
-    # more samples on the fast (4N) side: its short runs are the ones
-    # co-tenant noise can inflate past the efficiency bar
-    for cpus, repeat in ((1, 3), (4, 8)):
+    # enough warm samples that BOTH estimators (min and median) settle:
+    # co-tenant noise is additive-positive, so min converges fastest, but
+    # the median needs >half the samples in a quiet window — 5 long
+    # N-side runs and 12 short 4N-side runs give each side that margin
+    # (round-2 record: min 0.817 but median 0.752 from only 2/7 kept
+    # samples on the noisy sides)
+    for cpus, repeat in ((1, 5), (4, 12)):
         cmd = [sys.executable, "-m", "jobs.encode_bench",
                "--cpus", str(cpus), "--rows", str(SCALE_ROWS),
                "--profile", "compression", "--parts", "64",
@@ -147,7 +151,7 @@ def main() -> None:
     from jobs.encode_bench import run as bench_run
 
     enc_speed = bench_run(CPUS, ENC_ROWS, with_decode=True, profile="speed",
-                          parts=64, repeat=3)
+                          parts=64, repeat=3, with_channel_floor=True)
     enc_fast = bench_run(CPUS, ENC_ROWS, with_decode=False, profile="speed",
                          parts=64, repeat=3, with_ref=False, shuffle=False)
     enc_comp = bench_run(CPUS, SCALE_ROWS, with_decode=False,

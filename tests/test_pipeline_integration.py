@@ -19,6 +19,25 @@ from eel_sdk_spark.table import ManifestTable
 N = 3000
 
 
+def test_dedup_lines_removes_boilerplate(spark):
+    """Within-doc line dedup: repeated nav/footer lines collapse to their
+    first occurrence, order preserved; the ratio flags the worst docs."""
+    docs = spark.createDataFrame(
+        [(1, "Accept cookies\nReal content A\nAccept cookies\n"
+             "More content\nAccept cookies"),
+         (2, "only\nunique\nlines"),
+         (3, "x\nx\nx\nx")],
+        "id bigint, text string")
+    out = {r["id"]: (r["clean"], round(r["ratio"], 4)) for r in docs.select(
+        "id",
+        T.dedup_lines(F.col("text")).alias("clean"),
+        T.line_dup_ratio(F.col("text")).alias("ratio")).collect()}
+    assert out[1][0] == "Accept cookies\nReal content A\nMore content"
+    assert out[1][1] == 0.4  # 2 of 5 lines were repeats
+    assert out[2] == ("only\nunique\nlines", 0.0)
+    assert out[3] == ("x", 0.75)
+
+
 def test_full_pipeline(spark, tmp_path):
     raw = webtext_df(spark, N, parts=4)
 

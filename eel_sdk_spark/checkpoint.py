@@ -15,6 +15,8 @@ resume is valid across different cluster sizes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .encode import BLOCK_SCHEMA_DDL, encode_df
@@ -57,7 +59,10 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
         parts_expr = F.array(F.pmod(F.xxhash64(kv), F.lit(n_parts))
                              .cast("int"))
     parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
-    files = prune_files_by_part(snap.files, parts)
+    coverage: dict[str, list[int]] = {}
+    for r in snap.properties.get("runs", []):
+        coverage.update(r.get("file_parts", {}))
+    files = prune_files_by_part(snap.files, parts, coverage=coverage)
     blocks = (spark.read.parquet(*files)
               .filter(F.col("part_id").isin(*parts)))
     return decode_blocks_df(blocks, schema_ddl).filter(
@@ -65,17 +70,38 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
 
 
 def prune_files_by_part(files: list[str], part_ids: set[int],
-                        max_workers: int = 16) -> list[str]:
-    """Footer-stats file pruning: keep only files whose part_id row-group
-    min/max ranges can contain one of ``part_ids``. Blocks are sorted by
-    part_id within each file, so ranges are tight — a point lookup on a
-    10k-file table opens 10k footers (parallel, metadata-only) but scans
-    only the handful of files actually holding the part. Mirrors the
-    reference's stats-based row-group dropping one level up, at the file
-    manifest (ParquetPredicateBuilder.scala:96-119)."""
+                        max_workers: int = 16,
+                        coverage: dict[str, list[int]] | None = None,
+                        ) -> list[str]:
+    """File pruning for part-targeted reads, two tiers:
+
+    1. ``coverage`` (basename -> exact sorted part_id list, recorded in
+       the manifest at commit time from the same one-scan stats
+       aggregate): ZERO I/O — a point lookup on a 10k-file table decides
+       from the manifest alone which handful of files to open.
+    2. Footer-stats fallback for files without manifest coverage (tables
+       written before the coverage existed, or rewritten by a compactor):
+       parallel metadata-only reads of the part_id row-group min/max.
+       Blocks are sorted by part_id within each file, so ranges are tight.
+       Mirrors the reference's stats-based row-group dropping one level
+       up, at the file manifest (ParquetPredicateBuilder.scala:96-119)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
+
+    all_files = files
+    kept_manifest: list[str] = []
+    need_footer: list[str] = []
+    for f in files:
+        cov = (coverage or {}).get(os.path.basename(f))
+        if cov is None:
+            need_footer.append(f)
+        elif not part_ids.isdisjoint(cov):
+            kept_manifest.append(f)
+    files = need_footer
+    if not files:
+        # empty parquet read is invalid; keep one file (filter drops all)
+        return kept_manifest or all_files[:1]
 
     def keep(path: str) -> bool:
         meta = pq.ParquetFile(path).metadata
@@ -93,7 +119,8 @@ def prune_files_by_part(files: list[str], part_ids: set[int],
 
     with ThreadPoolExecutor(max_workers=min(max_workers,
                                             max(1, len(files)))) as ex:
-        kept = [f for f, k in zip(files, ex.map(keep, files)) if k]
+        kept = kept_manifest + [f for f, k in zip(files, ex.map(keep, files))
+                                if k]
     # empty parquet read is invalid; fall back to one file (filter drops all)
     return kept or files[:1]
 
@@ -203,16 +230,19 @@ def encode_with_checkpoint(
     files = ManifestTable.list_written_files(job_dir)
 
     # ONE scan, ONE action over the written blocks: a grouped aggregate on
-    # (part_id, col, codec) — cardinality n_parts x n_cols x codecs, tiny —
-    # carries everything the run record needs (part ids, rows, byte totals,
-    # codec mix). Parquet column pruning keeps the payload bytes unread.
-    # (Previously: isEmpty + min(col) + per-part counts + totals + codec mix
-    # = five scans of the encoded output; at 100 TB that is several extra
-    # passes.)
+    # (file, part_id, col, codec) — cardinality n_files x n_cols x codecs,
+    # tiny — carries everything the run record needs (part ids, rows, byte
+    # totals, codec mix) PLUS the per-file part_id coverage, recorded in
+    # the manifest so point lookups prune files with ZERO I/O (no footer
+    # pass at all). Parquet column pruning keeps the payload bytes unread.
+    # (Previously: isEmpty + min(col) + per-part counts + totals + codec
+    # mix = five scans of the encoded output; at 100 TB that is several
+    # extra passes.)
     stats = []
     if files:
         stats = (spark.read.parquet(job_dir)
-                 .groupBy("part_id", "col", "codec")
+                 .groupBy(F.input_file_name().alias("file"),
+                          "part_id", "col", "codec")
                  .agg(F.sum("n_values").alias("nv"),
                       F.sum("raw_bytes").alias("raw"),
                       F.sum("enc_bytes").alias("enc"),
@@ -224,9 +254,16 @@ def encode_with_checkpoint(
 
     first_col = min(r["col"] for r in stats)
     codec_mix: dict[str, int] = {}
+    fp_sets: dict[str, set[int]] = {}
     for r in stats:
         k = f"{r['col']}:{r['codec']}"
         codec_mix[k] = codec_mix.get(k, 0) + int(r["cnt"])
+        fp_sets.setdefault(os.path.basename(r["file"]), set()).add(
+            int(r["part_id"]))
+    # exact part membership per file (not a min/max range: AQE can
+    # coalesce several parts into one file, and a range would then match
+    # almost every lookup); total size across files = n_parts entries
+    file_parts = {f: sorted(ps) for f, ps in fp_sets.items()}
 
     run = {
         "run_id": run_id,
@@ -235,6 +272,8 @@ def encode_with_checkpoint(
         "raw_bytes": sum(int(r["raw"]) for r in stats),
         "enc_bytes": sum(int(r["enc"]) for r in stats),
         "codec_mix": codec_mix,
+        # basename -> sorted part_id list: manifest-side file pruning
+        "file_parts": file_parts,
         "fingerprint": (cur_fp if cur_fp is not None
                         else input_fingerprint(df, key)),
         "n_parts": n_parts,

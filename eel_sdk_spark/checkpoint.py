@@ -158,6 +158,7 @@ def encode_with_checkpoint(
     fail_after_commit_parts: int | None = None,
     verify_fingerprint: bool = True,
     shuffle: bool | str = True,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
 
@@ -223,7 +224,7 @@ def encode_with_checkpoint(
                          "part ids: use shuffle=True or shuffle='local'")
     blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt, salt_by,
                        profile=profile, codec_overrides=codec_overrides,
-                       shuffle=shuffle)
+                       shuffle=shuffle, sort_by=sort_by)
 
     job_dir = tbl.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)

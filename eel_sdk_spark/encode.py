@@ -225,7 +225,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               salt: int = 1, salt_by: str | None = None,
               codec_overrides: dict[str, str] | None = None,
               profile: str = "speed",
-              shuffle: bool | str = True) -> DataFrame:
+              shuffle: bool | str = True,
+              sort_by: list[str] | None = None) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
     ``shuffle`` picks the layout/lineage trade (all three keep decode and
@@ -245,22 +246,37 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     - ``False``: part_id = the physical input partition (TaskContext),
       no hashing at all. Fastest; lineage only valid for identical input
       files + split config.
+
+    ``sort_by``: an Iceberg-style table SORT ORDER — rows are sorted
+    within each part before encoding (the sort rides the
+    sortWithinPartitions the pipeline already pays, so it's close to
+    free). Sorting is the standard lever for making lightweight codecs
+    bite on real data: a clustered column's deltas collapse (FOR/delta),
+    equal values become runs (RLE/dict), and similar texts become
+    adjacent (zstd windows). Decode order within a block is
+    insignificant to the engine (verification joins on the key), so this
+    is purely a ratio/locality knob — measured on webtext, sorting by
+    warc_ts turns the timestamp column from bit-packed deltas into
+    near-free runs (see test_sort_by_improves_timestamp_ratio).
     """
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
+    extra_sort = [F.col(c) for c in (sort_by or [])]
     if shuffle is False:
+        if extra_sort:
+            df = df.sortWithinPartitions(*extra_sort)
         out = df.mapInArrow(
             lambda it: _encode_batches_by_task(it, overrides, profile),
             BLOCK_SCHEMA_DDL)
     else:
         prepared = with_part_id(df, key, n_parts, salt, salt_by)
         if shuffle == "local":
-            prepared = prepared.sortWithinPartitions(PART_COL)
+            prepared = prepared.sortWithinPartitions(PART_COL, *extra_sort)
         else:
             prepared = (prepared
                         .repartition(n_parts, F.col(PART_COL))
-                        .sortWithinPartitions(PART_COL))
+                        .sortWithinPartitions(PART_COL, *extra_sort))
         out = prepared.mapInArrow(
             lambda it: _encode_batches(it, overrides, profile),
             BLOCK_SCHEMA_DDL)

@@ -46,6 +46,11 @@ def main(argv=None) -> None:
                    help="'local' keeps content-derived lineage without the "
                         "part_id Exchange (blocks spread across tasks' files)")
     p.add_argument("--run-id", default="run")
+    p.add_argument("--sort-by", action="append", default=[],
+                   help="Iceberg-style table sort order: sort rows by "
+                        "these columns within each part before encoding "
+                        "(clusters values so FOR/RLE/dict/zstd bite; "
+                        "repeatable)")
     args = p.parse_args(argv)
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint
@@ -71,7 +76,8 @@ def main(argv=None) -> None:
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
             profile=args.profile, codec_overrides=overrides or None,
-            shuffle="local" if args.shuffle_mode == "local" else True)
+            shuffle="local" if args.shuffle_mode == "local" else True,
+            sort_by=args.sort_by or None)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

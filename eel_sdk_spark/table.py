@@ -252,3 +252,79 @@ class ManifestTable:
         df.write.mode("overwrite").parquet(job_dir)
         return self.commit(self.list_written_files(job_dir),
                            snap.schema_ddl, snap.properties, mode="overwrite")
+
+    # -- maintenance (Iceberg expireSnapshots / deleteOrphanFiles parity) --
+    def expire_snapshots(self, keep_last: int = 1,
+                         delete_files: bool = True) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        files referenced ONLY by expired ones (Iceberg's expire_snapshots;
+        the reference has no snapshot layer at all). At 100 TB every
+        compaction/overwrite strands a full copy of the table for time
+        travel — without expiry the footprint only grows. Runs under the
+        commit lock so a concurrent committer can't publish a snapshot
+        that references a file being deleted."""
+        import fcntl
+
+        with open(os.path.join(self.dir, ".commit_lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            cur = self.current()
+            if cur is None:
+                return {"expired_snapshots": 0, "deleted_files": 0}
+            keep_ids = []
+            s = cur
+            while s is not None and len(keep_ids) < keep_last:
+                keep_ids.append(s.snapshot_id)
+                try:
+                    s = (self.snapshot(s.parent_id)
+                         if s.parent_id is not None else None)
+                except FileNotFoundError:  # parent beyond a prior expiry
+                    s = None
+            live: set[str] = set()
+            for sid in keep_ids:
+                live.update(self.snapshot(sid).files)
+            expired, deleted = 0, 0
+            for name in os.listdir(self.manifest_dir):
+                m = re.fullmatch(r"m-(\d+)\.json", name)
+                if m is None:
+                    continue  # stale .tmp etc.
+                sid = int(m.group(1))
+                if sid in keep_ids:
+                    continue
+                old = self.snapshot(sid)
+                for f in old.files:
+                    if f not in live and delete_files and os.path.exists(f):
+                        os.unlink(f)
+                        deleted += 1
+                        live.add(f)  # count once
+                os.unlink(os.path.join(self.manifest_dir, name))
+                expired += 1
+        return {"expired_snapshots": expired, "deleted_files": deleted}
+
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> list[str]:
+        """Delete data files referenced by NO snapshot (crashed writes:
+        the job wrote its staging dir but died before commit — invisible
+        to readers but real bytes; Iceberg's remove_orphan_files). The
+        age guard keeps in-flight staging dirs safe: a writer that has
+        not committed within ``older_than_s`` of its last file touch is
+        presumed dead (same contract as Iceberg's default 3-day cutoff,
+        scaled for tests)."""
+        import fcntl
+
+        with open(os.path.join(self.dir, ".commit_lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            referenced: set[str] = set()
+            for name in os.listdir(self.manifest_dir):
+                m = re.fullmatch(r"m-(\d+)\.json", name)
+                if m is not None:
+                    referenced.update(self.snapshot(int(m.group(1))).files)
+            cutoff = time.time() - older_than_s
+            removed = []
+            for dirpath, _, names in os.walk(self.data_dir):
+                for n in names:
+                    path = os.path.join(dirpath, n)
+                    if path in referenced:
+                        continue
+                    if os.path.getmtime(path) <= cutoff:
+                        os.unlink(path)
+                        removed.append(path)
+        return removed

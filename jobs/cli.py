@@ -88,6 +88,20 @@ def cmd_analyze_table(args) -> None:
     }) + "\n")
 
 
+def cmd_gc(args) -> None:
+    """Table maintenance from the manifest alone, no Spark session:
+    expire old snapshots (+ their exclusively-referenced data files) and
+    delete orphaned staging files from crashed writes — Iceberg's
+    expire_snapshots / remove_orphan_files pair."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    out = tbl.expire_snapshots(keep_last=args.keep_last)
+    orphans = tbl.remove_orphan_files(older_than_s=args.orphan_age_s)
+    out["orphans_removed"] = len(orphans)
+    sys.stdout.write(json.dumps(out) + "\n")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,9 +125,16 @@ def main(argv=None) -> None:
     at.add_argument("--warehouse", required=True)
     at.add_argument("--table", default="blocks")
 
+    gc = sub.add_parser("gc")
+    gc.add_argument("--warehouse", required=True)
+    gc.add_argument("--table", default="blocks")
+    gc.add_argument("--keep-last", type=int, default=2)
+    gc.add_argument("--orphan-age-s", type=float, default=3600.0)
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
-     "analyze": cmd_analyze, "analyze-table": cmd_analyze_table}[args.cmd](args)
+     "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
+     "gc": cmd_gc}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -297,3 +297,39 @@ def test_point_lookup_prunes_from_manifest_zero_io(spark, tmp_path, monkeypatch)
     out = point_lookup(spark, tbl, target["url"], SCHEMA_DDL)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["text"] == target["text"]
+
+
+def test_expire_snapshots_and_orphans(spark, tmp_path):
+    """Iceberg-parity maintenance: expire_snapshots keeps the newest N
+    snapshots and deletes data files only THEY no longer reference (a
+    compaction's pre-image); remove_orphan_files clears crashed writes
+    that no snapshot ever referenced. Current reads stay exact."""
+    import os as _os
+
+    tbl = ManifestTable(str(tmp_path), "gc")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    tbl.write_df(df, "id bigint, v bigint")
+    tbl.write_df(spark.range(50).withColumn("v", F.lit(0)),
+                 "id bigint, v bigint")
+    tbl.compact(spark, 1)  # snapshot 3 rewrites everything
+    files_pre = set(tbl.current().files)
+
+    # a crashed write: staged but never committed
+    spark.range(7).write.mode("overwrite").parquet(tbl.new_data_path())
+
+    out = tbl.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == 2
+    assert out["deleted_files"] >= 2  # both pre-compaction snapshots' files
+    assert set(tbl.current().files) == files_pre
+    assert all(_os.path.exists(f) for f in files_pre)
+    assert tbl.read(spark).count() == 150  # data intact
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(1)  # time travel past the horizon is gone
+
+    orphans = tbl.remove_orphan_files(older_than_s=0.0)
+    assert len(orphans) >= 1  # the crashed write's files
+    assert tbl.read(spark).count() == 150
+    # second pass: nothing left to clean
+    assert tbl.remove_orphan_files(older_than_s=0.0) == []
+    assert tbl.expire_snapshots(keep_last=1)["expired_snapshots"] == 0

@@ -333,3 +333,36 @@ def test_expire_snapshots_and_orphans(spark, tmp_path):
     # second pass: nothing left to clean
     assert tbl.remove_orphan_files(older_than_s=0.0) == []
     assert tbl.expire_snapshots(keep_last=1)["expired_snapshots"] == 0
+
+
+def test_point_lookup_block_stats_with_sorted_key(spark, tmp_path):
+    """sort_by=[key] makes per-block key min/max ranges disjoint, so the
+    lookup's block-group pruning decodes ~one block per part instead of
+    all of them — and the answer stays exact (on unsorted tables the
+    ranges overlap and pruning is a no-op, also exact)."""
+    from eel_sdk_spark.checkpoint import point_lookup
+    from eel_sdk_spark.encode import prune_block_groups
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        df = webtext_df(spark, 4000, parts=4)
+        tbl = ManifestTable(str(tmp_path), "plsorted")
+        encode_with_checkpoint(spark, df, tbl, n_parts=2, run_id="s1",
+                               sort_by=["url"])
+        target = df.select("url", "text").collect()[999]
+        out = point_lookup(spark, tbl, target["url"], SCHEMA_DDL)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["text"] == target["text"]
+
+        # pruning effectiveness: with the key sorted within each part,
+        # block key-ranges are disjoint — only ~1 group per part survives
+        blocks = tbl.read(spark)
+        total = blocks.select("part_id", "block_seq").distinct().count()
+        kept = (prune_block_groups(blocks, "url", lower_s=target["url"],
+                                   upper_s=target["url"])
+                .select("part_id", "block_seq").distinct().count())
+        assert total >= 6 and kept <= 2, (total, kept)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)

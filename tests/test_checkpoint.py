@@ -309,7 +309,7 @@ def test_expire_snapshots_and_orphans(spark, tmp_path):
     tbl = ManifestTable(str(tmp_path), "gc")
     df = spark.range(100).withColumn("v", F.col("id") * 2)
     tbl.write_df(df, "id bigint, v bigint")
-    tbl.write_df(spark.range(50).withColumn("v", F.lit(0)),
+    tbl.write_df(spark.range(50).withColumn("v", F.lit(0).cast("bigint")),
                  "id bigint, v bigint")
     tbl.compact(spark, 1)  # snapshot 3 rewrites everything
     files_pre = set(tbl.current().files)

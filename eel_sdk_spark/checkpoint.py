@@ -273,10 +273,14 @@ def encode_with_checkpoint(
 
     first_col = min(r["col"] for r in stats)
     codec_mix: dict[str, int] = {}
+    col_bytes: dict[str, list[int]] = {}
     fp_sets: dict[str, set[int]] = {}
     for r in stats:
         k = f"{r['col']}:{r['codec']}"
         codec_mix[k] = codec_mix.get(k, 0) + int(r["cnt"])
+        cb = col_bytes.setdefault(r["col"], [0, 0])
+        cb[0] += int(r["raw"])
+        cb[1] += int(r["enc"])
         fp_sets.setdefault(os.path.basename(r["file"]), set()).add(
             int(r["part_id"]))
     # exact part membership per file (not a min/max range: AQE can
@@ -291,6 +295,9 @@ def encode_with_checkpoint(
         "raw_bytes": sum(int(r["raw"]) for r in stats),
         "enc_bytes": sum(int(r["enc"]) for r in stats),
         "codec_mix": codec_mix,
+        # col -> [raw_bytes, enc_bytes]: per-column ratio accounting (the
+        # signal that tells an operator WHICH column to re-profile/sort)
+        "col_bytes": col_bytes,
         # basename -> sorted part_id list: manifest-side file pruning
         "file_parts": file_parts,
         "fingerprint": (cur_fp if cur_fp is not None

@@ -68,6 +68,7 @@ def cmd_analyze_table(args) -> None:
         raise SystemExit(f"no committed snapshot in {args.warehouse}/{args.table}")
     runs = snap.properties.get("runs", [])
     mix: dict[str, int] = {}
+    cols: dict[str, list[int]] = {}
     rows = raw = enc = 0
     for r in runs:
         rows += r.get("n_rows", 0)
@@ -75,6 +76,10 @@ def cmd_analyze_table(args) -> None:
         enc += r.get("enc_bytes", 0)
         for k, v in r.get("codec_mix", {}).items():
             mix[k] = mix.get(k, 0) + v
+        for c, (craw, cenc) in r.get("col_bytes", {}).items():
+            cb = cols.setdefault(c, [0, 0])
+            cb[0] += craw
+            cb[1] += cenc
     sys.stdout.write(json.dumps({
         "snapshot_id": snap.snapshot_id,
         "files": len(snap.files),
@@ -84,6 +89,8 @@ def cmd_analyze_table(args) -> None:
         "enc_bytes": enc,
         "ratio": round(raw / enc, 3) if enc else None,
         "codec_mix": mix,
+        "col_ratio": {c: round(r0 / e0, 2) if e0 else None
+                      for c, (r0, e0) in sorted(cols.items())},
         "part_ids": sorted({p for r in runs for p in r.get("part_ids", [])}),
     }) + "\n")
 

@@ -136,3 +136,50 @@ def test_column_nullable_floats_gorilla(xs, typ):
     arr = pa.array(xs, type=typ)
     h, p, _ = encode_column(arr, codec="gor")
     assert decode_column(h, p).equals(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_whole_table_random_schema_roundtrip(data):
+    """Table-level fuzz: a random schema (1-6 columns over ints, floats,
+    strings, binary, bools, timestamps — nullable) encodes column by
+    column through the FULL selector-driven path and decodes
+    bit-identically. This is the schema-space sweep the fixed-table Spark
+    tests can't cover."""
+    col_strats = {
+        pa.int64(): st.one_of(st.none(), st.integers(-2**62, 2**62)),
+        pa.int32(): st.one_of(st.none(), st.integers(-2**31, 2**31 - 1)),
+        pa.float64(): st.one_of(st.none(), st.floats(
+            allow_nan=True, allow_infinity=True, width=64)),
+        pa.float32(): st.one_of(st.none(), st.floats(
+            allow_nan=False, allow_infinity=False, width=32)),
+        pa.large_string(): st.one_of(st.none(), st.text(max_size=40)),
+        pa.large_binary(): st.one_of(st.none(), st.binary(max_size=40)),
+        pa.bool_(): st.one_of(st.none(), st.booleans()),
+        pa.timestamp("us"): st.one_of(st.none(), st.integers(
+            -2**52, 2**52)),
+    }
+    types = data.draw(st.lists(st.sampled_from(list(col_strats)),
+                               min_size=1, max_size=6))
+    n = data.draw(st.integers(min_value=0, max_value=200))
+    ctx: dict = {}
+    for i, typ in enumerate(types):
+        vals = data.draw(st.lists(col_strats[typ], min_size=n, max_size=n))
+        if pa.types.is_timestamp(typ):
+            arr = pa.array(vals, type=pa.int64()).cast(typ)
+        else:
+            arr = pa.array(vals, type=typ)
+        h, p, info = encode_column(arr, ctx=ctx, ctx_key=f"c{i}")
+        out = decode_column(h, p)
+        assert out.type == arr.type, (info, out.type, arr.type)
+        if pa.types.is_floating(typ):
+            # Arrow .equals applies IEEE NaN != NaN; the engine contract
+            # is BIT identity — compare bit patterns + null masks
+            assert out.is_null().equals(arr.is_null()), info
+            a = np.asarray(out.fill_null(0.0))
+            b = np.asarray(arr.fill_null(0.0))
+            np.testing.assert_array_equal(
+                a.view(np.uint64 if typ == pa.float64() else np.uint32),
+                b.view(np.uint64 if typ == pa.float64() else np.uint32))
+        else:
+            assert out.equals(arr), (info, typ)

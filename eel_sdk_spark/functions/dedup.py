@@ -140,10 +140,18 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
 # -- n-gram jaccard -------------------------------------------------------
 
 def ngram_set(col: Column, n: int = 3) -> Column:
-    """Distinct word-n-gram strings of a text column (JVM array ops)."""
+    """Distinct word-n-gram strings of a text column (JVM array ops).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY set: the index
+    sequence must be branch-guarded, because ``sequence(0, cnt-n)`` runs
+    DESCENDING when cnt < n (Spark generates [0, -1]) and the resulting
+    ``element_at(toks, 0)`` throws under ANSI mode — a short or empty doc
+    would crash an entire dedup job at scale."""
     toks = tokens(col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(-1)))
+    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)  # typed int[]
+    idx = F.when(cnt >= F.lit(n),
+                 F.sequence(F.lit(0), cnt - n)).otherwise(empty)
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1)  # noqa: E731
                                         for k in range(n)])
     return F.array_distinct(F.transform(idx, gram))
@@ -302,6 +310,48 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     return (pairs.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4)
                          .alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+def contaminated_ids(corpus: DataFrame, text_col: str, id_col: str,
+                     benchmark: DataFrame, bench_text_col: str,
+                     n: int = 13) -> DataFrame:
+    """Training-data decontamination (the GPT-3 appendix-C rule, public):
+    flag every corpus document sharing at least one ``n``-gram (default
+    13 words) with any benchmark/eval document, so held-out benchmarks
+    stay held out.
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites
+    are MBs) — its distinct gram hashes broadcast; the corpus side is one
+    explode + broadcast LEFT SEMI join, so corpus text never shuffles and
+    the output is just the flagged ids. Gram identity is a 64-bit
+    xxhash64 — at 13-word grams a collision marks an extra doc for
+    removal (safe direction: decontamination may over-drop, never
+    under-drop on a true overlap)."""
+    def grams(df, tcol, out):
+        g = ngram_set(F.col(tcol), n)
+        return df.select(F.explode(g).alias("__g")).select(
+            F.xxhash64("__g").alias(out))
+
+    bench = grams(benchmark, bench_text_col, "__bh").distinct()
+    corpus_grams = (corpus
+                    .select(F.col(id_col), F.explode(
+                        ngram_set(F.col(text_col), n)).alias("__g"))
+                    .select(F.col(id_col), F.xxhash64("__g").alias("__bh")))
+    return (corpus_grams
+            .join(F.broadcast(bench), "__bh", "left_semi")
+            .select(id_col).distinct())
+
+
+def decontaminate(corpus: DataFrame, text_col: str, id_col: str,
+                  benchmark: DataFrame, bench_text_col: str,
+                  n: int = 13) -> DataFrame:
+    """Drop contaminated documents (see :func:`contaminated_ids`);
+    anti-join on ids only — the corpus body never shuffles."""
+    bad = contaminated_ids(corpus, text_col, id_col, benchmark,
+                           bench_text_col, n)
+    return corpus.join(bad, id_col, "left_anti")
 
 
 # -- duplicate clusters (connected components) ------------------------------

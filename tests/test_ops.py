@@ -649,3 +649,21 @@ def test_clean_corpus_cluster_exact(spark, sf_dir):
     leftover = dedup.jaccard_pairs(exact_mode, "text", "doc_id",
                                    threshold=0.2, n_hashes=4, band_size=2)
     assert leftover.count() == 0
+
+
+def test_ngram_set_short_docs_safe(spark):
+    """Docs shorter than n tokens yield an EMPTY gram set instead of an
+    ANSI element_at crash (sequence(0, cnt-n) runs descending when
+    cnt < n) — one empty doc must not kill a corpus-wide dedup job."""
+    from eel_sdk_spark.functions.dedup import minhash_candidate_pairs, ngram_set
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "just two"), (4, "exactly three words"),
+         (5, "a full five word document"), (6, "a full five word document")],
+        "doc_id bigint, text string")
+    sizes = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", F.size(ngram_set(F.col("text"), 3)).alias("s")).collect()}
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3, 6: 3}
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id",
+                                    n_hashes=4, band_size=2).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(5, 6)}

@@ -82,3 +82,30 @@ def test_full_pipeline(spark, tmp_path):
     rerun = encode_with_checkpoint(spark, final, tbl, key="url", n_parts=8,
                                    run_id="pipeline2")
     assert rerun["part_ids"] == []
+
+
+def test_decontamination_flags_13gram_overlap(spark):
+    """GPT-3-style decontamination: a doc containing a benchmark's 13-gram
+    verbatim is dropped; a 12-word overlap survives; clean docs survive."""
+    bench_sent = ("the quick brown fox jumps over the lazy dog while "
+                  "seven wizards watch silently")  # 14 words
+    words = bench_sent.split()
+    assert len(words) == 14
+    benchmark = spark.createDataFrame([(bench_sent,)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "intro text " + bench_sent + " and more trailing words"),
+         (2, "prefix " + " ".join(words[:12]) + " then it diverges "
+             "completely from the benchmark continuation here"),
+         (3, "a totally unrelated document about columnar encoding")],
+        "doc_id bigint, text string")
+    flagged = {r["doc_id"] for r in dedup.contaminated_ids(
+        docs, "text", "doc_id", benchmark, "text", n=13).collect()}
+    assert flagged == {1}
+    kept = {r["doc_id"] for r in dedup.decontaminate(
+        docs, "text", "doc_id", benchmark, "text", n=13).collect()}
+    assert kept == {2, 3}
+    # the benchmark side is the broadcast side in the plan
+    plan = (dedup.contaminated_ids(docs, "text", "doc_id", benchmark,
+                                   "text", n=13)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

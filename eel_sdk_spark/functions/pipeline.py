@@ -4,6 +4,8 @@ package's oracle-checked building blocks, so the WHOLE pipeline stays
 DuckDB-replayable for the correctness gate.
 
 Stages (each optional, all one lazy plan — Catalyst fuses the filters):
+0. line dedup           — within-doc repeated-line removal (boilerplate:
+                          nav bars / cookie banners, text.dedup_lines)
 1. exact dedup          — md5-fingerprint groupBy, keep min-id (dedup.py)
 2. near-dup removal     — MinHash/LSH candidates + exact Jaccard verify;
                           of each verified pair (a < b) the larger id is
@@ -13,7 +15,9 @@ Stages (each optional, all one lazy plan — Catalyst fuses the filters):
                           every member collides with the min under LSH)
                           it keeps exactly the min-id representative.
 3. quality filter       — text.quality_score threshold (text.py)
-4. split assignment     — deterministic md5-routed train/val/test
+4. decontamination      — drop docs sharing a 13-gram with a benchmark
+                          table (dedup.contaminated_ids)
+5. split assignment     — deterministic md5-routed train/val/test
                           (text.hash_split): stable across runs, cluster
                           sizes, and row order.
 
@@ -39,12 +43,20 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  n_hashes: int = 4, band_size: int = 2,
                  min_quality: float | None = 0.3,
                  splits: list[int] | None = None,
-                 split_labels: list[str] | None = None) -> DataFrame:
+                 split_labels: list[str] | None = None,
+                 dedup_lines: bool = False,
+                 benchmark: DataFrame | None = None,
+                 bench_text_col: str = "text",
+                 decontam_ngram: int = 13) -> DataFrame:
     """Returns the cleaned corpus with an added ``split`` column.
 
     ``near_dup_threshold=None`` / ``min_quality=None`` / ``splits=None``
-    skip the respective stage."""
+    skip the respective stage; ``dedup_lines=True`` rewrites each doc's
+    repeated lines away BEFORE dedup/quality (so boilerplate doesn't mask
+    near-dups); ``benchmark`` enables 13-gram decontamination."""
     out = df
+    if dedup_lines:
+        out = out.withColumn(text_col, T.dedup_lines(F.col(text_col)))
     if exact:
         out = dedup.exact_dedup(out, text_col, id_col)
     if near_dup_threshold is not None:
@@ -62,9 +74,14 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
             losers = pairs.select(F.col("b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
     if min_quality is not None:
-        # quality_score is 4dp-rounded; the text_quality oracle proves both
+        # quality_score is 4dp-rounded; the text_metrics oracle proves both
         # engines agree on it bit-for-bit, so the threshold is deterministic
         out = out.filter(T.quality_score(F.col(text_col)) >= min_quality)
+    if benchmark is not None:
+        bad = dedup.contaminated_ids(out, text_col, id_col,
+                                     benchmark, bench_text_col,
+                                     n=decontam_ngram)
+        out = out.join(bad, id_col, "left_anti")
     if splits is not None:
         out = out.withColumn(
             "split", T.hash_split(F.col(id_col).cast("string"),

@@ -164,6 +164,31 @@ def dedup_lines(col: Column) -> Column:
     return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
 
 
+# RE2-safe PII patterns (no lookarounds — portable to DuckDB/RE2 oracles)
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ip": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d{1,2}[ .\-]?\(?\d{3}\)?[ .\-]?\d{3}[ .\-]?\d{4}",
+              "<PHONE>"),
+}
+
+
+def redact_pii(col: Column, kinds: tuple = ("email", "ip", "phone")) -> Column:
+    """Replace common PII shapes (emails, IPv4 addresses, phone numbers)
+    with typed placeholder tokens — the standard pre-training scrub pass.
+    Pure JVM regexp_replace chain (codegen, zero Python); patterns avoid
+    lookarounds so an RE2-based oracle can replay them. A regex pass is
+    a SHAPE scrub, not NER — names/addresses need a model-based pass this
+    container can't ship (same honesty contract as the multimodal
+    decode stub)."""
+    out = col
+    for kind in kinds:
+        pat, tok = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
 def line_dup_ratio(col: Column) -> Column:
     """Fraction of repeated lines per document — the quality signal
     companion to :func:`dedup_lines` (Gopher/RefinedWeb filter family:

@@ -109,3 +109,46 @@ def test_decontamination_flags_13gram_overlap(spark):
                                    "text", n=13)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [(1, "contact bob.smith+spam@mail-host.co.uk or +1 (555) 123-4567"),
+         (2, "server at 192.168.1.254 went down"),
+         (3, "no pii here, just 42 and v1.2 strings")],
+        "id bigint, text string")
+    out = {r["id"]: r["t"] for r in docs.select(
+        "id", T.redact_pii(F.col("text")).alias("t")).collect()}
+    assert out[1] == "contact <EMAIL> or <PHONE>"
+    assert out[2] == "server at <IP> went down"
+    assert out[3] == "no pii here, just 42 and v1.2 strings"
+
+
+def test_clean_corpus_with_line_dedup_and_decontamination(spark):
+    """The full modern pipeline in one plan: boilerplate line dedup ->
+    exact dedup -> benchmark decontamination -> split. The boilerplate
+    banner must not mask exact duplicates, and the contaminated doc must
+    be gone from every split."""
+    from eel_sdk_spark.functions.pipeline import clean_corpus
+
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi")  # 14 words
+    banner = "Accept cookies to continue"
+    body = "some genuinely unique training text with enough words here"
+    docs = spark.createDataFrame(
+        [(1, f"{banner}\n{body}\n{banner}"),     # banner repeats in-doc
+         (2, f"{banner}\n{body}\n{banner}\n{banner}"),  # same after clean
+         (3, f"fine document containing {bench} verbatim inside"),
+         (4, "another clean document that simply survives the pipeline")],
+        "doc_id bigint, text string")
+    benchmark = spark.createDataFrame([(bench,)], "text string")
+    out = clean_corpus(docs, "text", "doc_id",
+                       dedup_lines=True, near_dup_threshold=None,
+                       min_quality=None, benchmark=benchmark,
+                       splits=[80, 10, 10],
+                       split_labels=["train", "val", "test"])
+    kept = {r["doc_id"] for r in out.collect()}
+    # 1 and 2 become identical after line dedup -> exact dedup keeps 1;
+    # 3 is contaminated; 4 survives
+    assert kept == {1, 4}
+    assert set(out.columns) >= {"doc_id", "text", "split"}

@@ -114,6 +114,68 @@ def sample_frames(df: DataFrame, id_col: str, blob_col: str,
     return df.select(id_col, blob_col).mapInArrow(run, FRAME_DDL)
 
 
+def resize_images(df: DataFrame, id_col: str, blob_col: str,
+                  width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize plumbing: binary in, fixed-size binary out (one
+    ``width*height`` grayscale byte plane per row), one mapInArrow stage.
+
+    With PIL present the real decode->resize->tobytes path runs; in this
+    container (no image libs — module docstring) the DETERMINISTIC FAKE
+    stride-samples the raw bytes down to exactly ``width*height`` — a
+    pure function of the input, so the Spark-side plumbing (schema,
+    batching, whole-batch numpy gather, fixed output geometry) is real
+    and testable. Empty blobs yield empty bytes."""
+    target = width * height
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..codecs.base import bytes_to_arrow
+
+        for b in batches:
+            ids = b.column(id_col).cast(pa.int64())
+            blobs = b.column(blob_col).cast(pa.large_binary())
+            bufs = blobs.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64,
+                                    count=len(blobs) + 1,
+                                    offset=blobs.offset * 8)
+            data = np.frombuffer(bufs[2], dtype=np.uint8,
+                                 count=int(offsets[-1]))[offsets[0]:]
+            n_bytes = np.diff(offsets)
+            if HAVE_PIL:  # pragma: no cover - image libs absent here
+                import io
+
+                from PIL import Image
+
+                outs = []
+                for i in range(len(blobs)):
+                    raw = blobs[i].as_py()
+                    if not raw:
+                        outs.append(b"")
+                        continue
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    outs.append(img.resize((width, height)).tobytes())
+                lengths = np.array([len(o) for o in outs], dtype=np.int64)
+                payload = b"".join(outs)
+            else:
+                pos = np.flatnonzero(n_bytes > 0)
+                nb = n_bytes[pos]
+                # per nonempty row: gather `target` bytes at even strides
+                grid = np.tile(np.arange(target, dtype=np.int64), pos.size)
+                base = np.repeat(offsets[pos] - offsets[0], target)
+                take = base + grid * np.repeat(nb, target) // target
+                sampled = data[take]
+                lengths = np.where(n_bytes > 0, target, 0).astype(np.int64)
+                payload = sampled.tobytes()
+            out = bytes_to_arrow(lengths, payload, pa.large_binary())
+            yield pa.record_batch(
+                [ids, out,
+                 pa.array(np.full(len(blobs), width, dtype=np.int32)),
+                 pa.array(np.full(len(blobs), height, dtype=np.int32))],
+                names=["doc_id", "image", "width", "height"])
+
+    return df.select(id_col, blob_col).mapInArrow(
+        run, "doc_id bigint, image binary, width int, height int")
+
+
 def extract_features(df: DataFrame, id_col: str, blob_col: str,
                      dim: int = 16) -> DataFrame:
     """Feature-extraction plumbing: binary in, fixed-dim float vector out,

@@ -152,3 +152,22 @@ def test_clean_corpus_with_line_dedup_and_decontamination(spark):
     # 3 is contaminated; 4 survives
     assert kept == {1, 4}
     assert set(out.columns) >= {"doc_id", "text", "split"}
+
+
+def test_resize_images_plumbing(spark):
+    """Multimodal resize: fixed output geometry (width*height bytes per
+    nonempty blob), deterministic (identical blobs -> identical output),
+    empty blobs pass through empty — whole-batch numpy, no per-row
+    Python in the fake path."""
+    from eel_sdk_spark.functions import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, b"abcdefghij" * 40), (2, b"abcdefghij" * 40),
+         (3, b"xy"), (4, b"")],
+        "doc_id bigint, blob binary")
+    out = {r["doc_id"]: r for r in multimodal.resize_images(
+        docs, "doc_id", "blob", width=8, height=4).collect()}
+    assert len(out[1]["image"]) == 32 and out[1]["width"] == 8
+    assert out[1]["image"] == out[2]["image"]  # purity
+    assert len(out[3]["image"]) == 32  # tiny blob still fills the grid
+    assert out[4]["image"] == b""

@@ -17,8 +17,12 @@ from pyspark.sql import SparkSession
 # identity-mapInArrow channel moves 0.34 GB/s at 32k rows, 0.39 GB/s at
 # 64k on this box — the channel, not the kernels, is the encode
 # throughput ceiling), small enough that one block fits executor memory
-# comfortably at 100 TB scale. Blocks are further bounded by rows-per-
-# part, so small benchmarks are unaffected.
+# comfortably at 100 TB scale. Measured trade: 64k blocks decode ~15%
+# slower than 32k on the eelshape probe (4.9 vs 5.7 M rows/s — fewer,
+# chunkier groups), but encode is the north-rule headline and decode
+# stays well above the reference's 3.6 M rows/s read either way.
+# Blocks are further bounded by rows-per-part, so small benchmarks are
+# unaffected.
 ARROW_BATCH_ROWS = 64 * 1024
 
 

@@ -634,26 +634,30 @@ def q_roundtrip_tables(spark, sf):
 
 
 def q_gorilla_roundtrip(spark, sf):
-    """Continuous float telemetry through the codec engine: event
-    timestamps as epoch-seconds doubles (the Gorilla-XOR codec's home
-    turf — full-precision, non-decimal, slowly varying) plus the value
-    column, encode->decode->join, every value must come back
-    bit-identical. The oracle states the expected verification result;
-    codec ROUTING (selector picks 'gor' on ramp-shaped series) is
-    asserted separately in tests/test_codecs.py."""
+    """Continuous float telemetry through the codec engine, exercising
+    EVERY float path in one bit-exact roundtrip (routing verified:
+    groupBy(col, codec) on the blocks): t_root = sqrt(epoch-micros) with
+    the table sorted by it — full-precision, non-decimal, slowly varying
+    = the Gorilla-XOR codec ('gor'); t_sec = micros/1e6 and value —
+    decimals in disguise = ALP; event_id = FOR. The oracle states the
+    expected verification result; selector routing unit tests live in
+    tests/test_codecs.py."""
     from eel_sdk_spark.encode import decode_blocks_df, encode_df
 
     e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     sensor = e.select(
         "event_id",
-        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0)
-        .alias("t_sec"),
+        F.sqrt(us).alias("t_root"),
+        (us / 1_000_000.0).alias("t_sec"),
         F.col("value"))
-    blocks = encode_df(sensor, key="event_id", n_parts=4)
+    blocks = encode_df(sensor, key="event_id", n_parts=4,
+                       sort_by=["t_root"])
     decoded = decode_blocks_df(
-        blocks, "event_id bigint, t_sec double, value double")
+        blocks, "event_id bigint, t_root double, t_sec double, value double")
     j = decoded.alias("d").join(sensor.alias("o"), "event_id")
-    ok = (F.col("d.t_sec").eqNullSafe(F.col("o.t_sec"))
+    ok = (F.col("d.t_root").eqNullSafe(F.col("o.t_root"))
+          & F.col("d.t_sec").eqNullSafe(F.col("o.t_sec"))
           & F.col("d.value").eqNullSafe(F.col("o.value")))
     return j.agg(F.count("*").alias("rows"),
                  F.sum(F.when(ok, 1).otherwise(0)).alias("vals_ok"))

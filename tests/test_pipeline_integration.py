@@ -171,3 +171,73 @@ def test_resize_images_plumbing(spark):
     assert out[1]["image"] == out[2]["image"]  # purity
     assert len(out[3]["image"]) == 32  # tiny blob still fills the grid
     assert out[4]["image"] == b""
+
+
+def test_sketches_profile_and_mergeable_hll(spark, sf_dir):
+    """One-pass column profile (counts, HLL distinct, quantiles) and the
+    STORED-sketch workflow: per-partition HLL sketches unioned later must
+    estimate the same cardinality as a direct sketch over everything."""
+    from eel_sdk_spark.functions import sketches as S
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prof = {r["col"]: r for r in S.column_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderpriority"]).collect()}
+    n = o.count()
+    exact_keys = o.select("o_orderkey").distinct().count()
+    assert prof["o_orderkey"]["n"] == n and prof["o_orderkey"]["n_nulls"] == 0
+    assert abs(prof["o_orderkey"]["approx_distinct"] - exact_keys) \
+        <= exact_keys * 0.05
+    assert prof["o_orderkey"]["quantiles"] is not None
+    assert prof["o_orderpriority"]["quantiles"] is None  # non-numeric
+    assert prof["o_orderpriority"]["approx_distinct"] == 5
+
+    # mergeable sketches: shard -> store -> union == direct
+    shards = (o.withColumn("shard", F.pmod(F.col("o_orderkey"), F.lit(8)))
+              .groupBy("shard")
+              .agg(S.distinct_sketch("o_custkey").alias("sk")))
+    merged = shards.agg(
+        S.sketch_estimate(S.merge_sketches("sk")).alias("est")).first()["est"]
+    direct = o.agg(S.sketch_estimate(
+        S.distinct_sketch("o_custkey")).alias("e")).first()["e"]
+    assert merged == direct  # sketch union is exact w.r.t. the sketch
+
+
+def test_pack_sequences(spark, sf_dir):
+    """Sample packing: every doc lands in exactly one pack; no pack except
+    oversized-singletons exceeds max_len; fill is high on real length
+    distributions; metadata-only operator."""
+    from eel_sdk_spark.functions import text as TT
+    from eel_sdk_spark.functions.packing import pack_sequences, packing_stats
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", TT.token_count(F.col("text")).alias("n_tok")))
+    L = 256
+    packs = pack_sequences(d, "doc_id", "n_tok", max_len=L).cache()
+    rows = packs.collect()
+    # partition: every doc exactly once
+    all_ids = [i for r in rows for i in r["doc_ids"]]
+    assert sorted(all_ids) == sorted(r["doc_id"] for r in d.collect())
+    assert len(set(r["pack_id"] for r in rows)) == len(rows)
+    # budget respected except oversized singletons
+    for r in rows:
+        assert r["total_tokens"] <= L or r["n_docs"] == 1
+    st = packing_stats(packs, max_len=L).first()
+    assert st["n_packs"] == len(rows)
+    assert st["mean_fill"] > 0.5  # real web lengths pack densely
+    packs.unpersist()
+
+
+def test_pack_sequences_oversized_and_boundaries(spark):
+    """Edge semantics: a doc longer than max_len is alone in its own
+    pack; exact-fit docs close packs; batch boundaries don't split or
+    duplicate (single partition, deterministic order)."""
+    from eel_sdk_spark.functions.packing import pack_sequences
+
+    rows = [(1, 100), (2, 100), (3, 56), (4, 300), (5, 10), (6, 246)]
+    df = (spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+          .coalesce(1))
+    packs = {tuple(r["doc_ids"]): r for r in
+             pack_sequences(df, "doc_id", "n_tok", max_len=256).collect()}
+    assert (1, 2, 3) in packs and packs[(1, 2, 3)]["total_tokens"] == 256
+    assert (4,) in packs and packs[(4,)]["total_tokens"] == 300  # oversize
+    assert (5, 6) in packs and packs[(5, 6)]["total_tokens"] == 256

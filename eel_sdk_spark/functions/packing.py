@@ -91,6 +91,28 @@ def pack_sequences(df: DataFrame, id_col: str, len_col: str,
     return df.select(id_col, len_col).mapInArrow(run, PACK_DDL)
 
 
+def materialize_packs(packs: DataFrame, docs: DataFrame,
+                      id_col: str, text_col: str,
+                      sep: str = "<|endofdoc|>") -> DataFrame:
+    """Gather stage: turn pack manifests into actual training sequences.
+    The document text shuffles exactly ONCE (on id, to meet its pack
+    assignment) — the unavoidable data motion of packing — then one
+    groupBy(pack_id) assembles the sequence with pack-local order
+    preserved (posexplode position rides the shuffle; array_sort on the
+    (pos, text) structs restores it before the join)."""
+    assign = packs.select(
+        "pack_id", F.posexplode("doc_ids").alias("pos", id_col))
+    joined = assign.join(docs.select(id_col, text_col), id_col)
+    seq = (joined.groupBy("pack_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct(F.col("pos"), F.col(text_col).alias("t"))))
+               .alias("parts")))
+    return seq.select(
+        "pack_id",
+        F.array_join(F.transform("parts", lambda s: s["t"]), sep)
+        .alias("sequence"))
+
+
 def packing_stats(packs: DataFrame, max_len: int = 2048) -> DataFrame:
     """Pipeline health: pack count, mean fill, token waste fraction."""
     return packs.agg(

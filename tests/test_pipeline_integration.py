@@ -241,3 +241,17 @@ def test_pack_sequences_oversized_and_boundaries(spark):
     assert (1, 2, 3) in packs and packs[(1, 2, 3)]["total_tokens"] == 256
     assert (4,) in packs and packs[(4,)]["total_tokens"] == 300  # oversize
     assert (5, 6) in packs and packs[(5, 6)]["total_tokens"] == 256
+
+
+def test_materialize_packs_preserves_order(spark):
+    from eel_sdk_spark.functions.packing import (materialize_packs,
+                                                 pack_sequences)
+
+    docs = spark.createDataFrame(
+        [(1, "aaa", 3), (2, "bb", 2), (3, "cccc", 4), (4, "d", 1)],
+        "doc_id bigint, text string, n_tok bigint").coalesce(1)
+    packs = pack_sequences(docs, "doc_id", "n_tok", max_len=5)
+    seqs = {r["pack_id"]: r["sequence"] for r in materialize_packs(
+        packs, docs, "doc_id", "text", sep="|").collect()}
+    # pack 1: docs 1+2 (3+2=5); pack 2: doc 3 (4) + doc 4 (1)
+    assert sorted(seqs.values()) == ["aaa|bb", "cccc|d"]

@@ -35,6 +35,39 @@ from . import dedup
 from . import text as T
 
 
+def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
+                id_col: str = "doc_id", epsilon: float = 1e-9) -> DataFrame:
+    """Data mixing: resample a multi-source corpus toward target mixture
+    WEIGHTS (the "20% code, 40% web, ..." knob every pretraining recipe
+    turns). Sources are downsampled only (never duplicated): the largest
+    feasible total is computed from the per-source counts, each source
+    gets fraction = target_rows / available_rows, and rows are kept by a
+    DETERMINISTIC content hash of the id — stable across runs, cluster
+    sizes, and row order (same md5-bucket trick as hash_split), unlike
+    ``sampleBy``'s RNG-per-partition sampling which reshuffles membership
+    whenever the partitioning changes.
+
+    One tiny counts aggregate + one filter over the corpus; text never
+    shuffles. Sources absent from ``weights`` are dropped."""
+    total_w = sum(weights.values())
+    counts = {r[0]: r[1] for r in
+              df.groupBy(source_col).count().collect()}
+    # the binding source limits the total corpus size
+    feasible = min(counts.get(s, 0) / (w / total_w)
+                   for s, w in weights.items() if w > 0)
+    frac = {s: min(1.0, (w / total_w) * feasible /
+                   max(counts.get(s, 0), 1))
+            for s, w in weights.items()}
+    bucket = F.pmod(F.conv(F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")), 1, 8),
+        16, 10).cast("long"), F.lit(1_000_000)) / 1_000_000.0
+    cond = None
+    for s, f in frac.items():
+        keep = (F.col(source_col) == s) & (bucket < f + epsilon)
+        cond = keep if cond is None else (cond | keep)
+    return df.filter(cond if cond is not None else F.lit(False))
+
+
 def clean_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  exact: bool = True,

@@ -255,3 +255,29 @@ def test_materialize_packs_preserves_order(spark):
         packs, docs, "doc_id", "text", sep="|").collect()}
     # pack 1: docs 1+2 (3+2=5); pack 2: doc 3 (4) + doc 4 (1)
     assert sorted(seqs.values()) == ["aaa|bb", "cccc|d"]
+
+
+def test_mix_sources(spark, sf_dir):
+    """Mixture resampling: output proportions approach the target
+    weights, selection is deterministic (same ids across physical
+    layouts), and no source is ever upsampled."""
+    from eel_sdk_spark.functions.pipeline import mix_sources
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcs = [r[0] for r in d.select("source").distinct().collect()]
+    assert len(srcs) >= 2
+    a, b = sorted(srcs)[:2]
+    out = mix_sources(d.filter(F.col("source").isin(a, b)),
+                      "source", {a: 3.0, b: 1.0})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    ratio = got[a] / got[b]
+    assert 2.0 < ratio < 4.5, got  # ~3:1 at md5-bucket granularity
+    # never upsample
+    avail = {r["source"]: r["n"] for r in
+             d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got[a] <= avail[a] and got[b] <= avail[b]
+    # deterministic across layout changes
+    out2 = mix_sources(d.filter(F.col("source").isin(a, b)).repartition(13),
+                       "source", {a: 3.0, b: 1.0})
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0

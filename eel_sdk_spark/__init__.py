@@ -14,11 +14,16 @@ Modules
 - ``selector`` — codec auto-selection cost model (the engine's only "planner")
 - ``encode``/``decode`` — mapInArrow pipeline stages
 - ``blocks``   — encoded-block header pack/unpack
-- ``table``    — manifest-based atomic table commits (Iceberg-style, jar-free)
-- ``checkpoint`` — per-partition lineage + idempotent resume
+- ``table``    — manifest-based atomic table commits (Iceberg-style,
+  jar-free; locked CAS commits, snapshot expiry, orphan GC)
+- ``iceberg``  — real-Iceberg swap-in behind a classpath probe
+- ``checkpoint`` — per-partition lineage + idempotent resume +
+  manifest-side point-lookup pruning
 - ``ops``      — the eel DataStream operator surface as DataFrame wrappers
 - ``corpus``   — deterministic synthetic Common-Crawl-style webtext generator
-- ``functions``— text analysis / dedup / similarity for training-data pipelines
+- ``functions``— training-data pipeline ops: text analysis, dedup/LSH,
+  similarity/ANN, multimodal plumbing, decontamination, sketch
+  profiling, data mixing, sequence packing
 """
 
 __version__ = "0.1.0"

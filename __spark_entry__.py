@@ -456,6 +456,21 @@ def q_vec_norms(spark, sf):
         .alias("l2"))
 
 
+def q_mix_sources(spark, sf):
+    """Data mixing: resample the two lexicographically-smallest sources
+    to a 3:1 target mixture. Membership is a deterministic md5 bucket of
+    the doc id (never RNG), so DuckDB replays the EXACT kept set — the
+    hash compare validates per-document membership, not just counts."""
+    from eel_sdk_spark.functions.pipeline import mix_sources
+
+    d = _t(spark, sf, "documents")
+    a, b = sorted(r[0] for r in
+                  d.select("source").distinct().collect())[:2]
+    out = mix_sources(d.filter(F.col("source").isin(a, b)),
+                      "source", {a: 3.0, b: 1.0})
+    return out.select("doc_id", "source")
+
+
 def q_ann_batch(spark, sf):
     """Many query vectors, one corpus pass: only (qid, id, cos) shuffles."""
     emb = _t(spark, sf, "embeddings")
@@ -722,7 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "ann_brute": q_ann_brute,
         "label_centroids": q_label_centroids,
-        "vec_norms": q_vec_norms,
+        "mix_sources": q_mix_sources,
         "ann_batch": q_ann_batch,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "ann_ivf": q_ann_ivf,
@@ -1170,12 +1185,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(embedding[i]::DOUBLE), 4) AS value
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY label, pos""",
-        "vec_norms": """
-            SELECT vec_id,
-                   round(sqrt(list_inner_product(embedding::DOUBLE[],
-                                                 embedding::DOUBLE[])), 4)
-                       AS l2
-            FROM embeddings""",
+        # mirrors mix_sources' arithmetic OP FOR OP (share, feasible,
+        # frac, md5 bucket) so the kept set matches per document
+        "mix_sources": """
+            WITH pick AS (
+                SELECT min(source) AS a, max(source) AS b FROM (
+                    SELECT DISTINCT source FROM documents
+                    ORDER BY source LIMIT 2)),
+            c AS (SELECT source, count(*) AS n FROM documents
+                  WHERE source = (SELECT a FROM pick)
+                     OR source = (SELECT b FROM pick)
+                  GROUP BY source),
+            w AS (SELECT source, n,
+                         CASE WHEN source = (SELECT a FROM pick)
+                              THEN 3.0/4.0 ELSE 1.0/4.0 END AS share
+                  FROM c),
+            f AS (SELECT min(n / share) AS feas FROM w),
+            fr AS (SELECT source,
+                          least(1.0, share * (SELECT feas FROM f)
+                                / greatest(n, 1)) AS frac
+                   FROM w)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN fr ON d.source = fr.source
+            WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 1000000) / 1000000.0 < fr.frac + 0.000000001""",
         "ann_batch": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id IN (0, 1, 2))

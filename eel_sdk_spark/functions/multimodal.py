@@ -176,6 +176,59 @@ def resize_images(df: DataFrame, id_col: str, blob_col: str,
         run, "doc_id bigint, image binary, width int, height int")
 
 
+def audio_windows(df: DataFrame, id_col: str, blob_col: str,
+                  window: int = 4096, hop: int = 2048) -> DataFrame:
+    """Audio plumbing: slice a PCM-like byte blob into overlapping
+    fixed-size windows (the framing every audio featurizer starts with) —
+    1->N fan-out that carries the ACTUAL window bytes, not just offsets.
+    A real deployment decodes the container first (decode step stubbed —
+    module docstring); framing raw bytes keeps the plumbing — schema,
+    fan-out, whole-batch numpy gather — real and testable.
+
+    Output: (id, win_idx, win_off, chunk binary); trailing partial
+    windows are dropped (standard STFT framing semantics). Whole-batch:
+    one np gather builds every window of every row at once."""
+    assert hop > 0 and window > 0
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..codecs.base import bytes_to_arrow
+
+        for b in batches:
+            ids = np.asarray(b.column(id_col).cast(pa.int64()))
+            blobs = b.column(blob_col).cast(pa.large_binary())
+            bufs = blobs.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64,
+                                    count=len(blobs) + 1,
+                                    offset=blobs.offset * 8)
+            data = np.frombuffer(bufs[2], dtype=np.uint8,
+                                 count=int(offsets[-1]))[offsets[0]:]
+            n_bytes = np.diff(offsets)
+            counts = np.maximum((n_bytes - window) // hop + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            row_pos = np.flatnonzero(counts)
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            win_idx = (np.arange(total) - starts).astype(np.int64)
+            win_off = win_idx * hop
+            base = np.repeat(offsets[:-1] - offsets[0], counts)
+            take = (base + win_off)[:, None] + np.arange(window)
+            chunks = data[take.reshape(-1)]
+            lengths = np.full(total, window, dtype=np.int64)
+            out = bytes_to_arrow(lengths, chunks.tobytes(),
+                                 pa.large_binary())
+            del row_pos
+            yield pa.record_batch(
+                [pa.array(np.repeat(ids, counts), type=pa.int64()),
+                 pa.array(win_idx.astype(np.int32), type=pa.int32()),
+                 pa.array(win_off, type=pa.int64()),
+                 out],
+                names=["doc_id", "win_idx", "win_off", "chunk"])
+
+    return df.select(id_col, blob_col).mapInArrow(
+        run, "doc_id bigint, win_idx int, win_off bigint, chunk binary")
+
+
 def extract_features(df: DataFrame, id_col: str, blob_col: str,
                      dim: int = 16) -> DataFrame:
     """Feature-extraction plumbing: binary in, fixed-dim float vector out,

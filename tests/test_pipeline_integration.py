@@ -281,3 +281,23 @@ def test_mix_sources(spark, sf_dir):
     out2 = mix_sources(d.filter(F.col("source").isin(a, b)).repartition(13),
                        "source", {a: 3.0, b: 1.0})
     assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
+
+
+def test_audio_windows(spark):
+    """Overlapping window framing: exact byte slabs at hop strides,
+    trailing partials dropped, short blobs yield nothing."""
+    from eel_sdk_spark.functions import multimodal
+
+    blob = bytes(range(10)) * 2  # 20 bytes: 0..9,0..9
+    docs = spark.createDataFrame(
+        [(1, blob), (2, b"tiny"), (3, b"")],
+        "doc_id bigint, blob binary")
+    rows = multimodal.audio_windows(docs, "doc_id", "blob",
+                                    window=8, hop=4).collect()
+    by_key = {(r["doc_id"], r["win_idx"]): r for r in rows}
+    # (20-8)//4+1 = 4 windows for doc 1; none for 2 (4<8) and 3
+    assert {k[0] for k in by_key} == {1} and len(by_key) == 4
+    assert by_key[(1, 0)]["chunk"] == blob[0:8]
+    assert by_key[(1, 1)]["chunk"] == blob[4:12]
+    assert by_key[(1, 3)]["chunk"] == blob[12:20]
+    assert by_key[(1, 2)]["win_off"] == 8

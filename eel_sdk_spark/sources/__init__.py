@@ -25,4 +25,5 @@ from .writers import (  # noqa: F401
     JsonSink,
     OrcSink,
     ParquetSink,
+    write_bucketed,
 )

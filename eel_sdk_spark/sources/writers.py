@@ -65,6 +65,29 @@ class ParquetSink(_FileSink):
         return self.with_option("parquet.block.size", nbytes)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, path: str | None = None,
+                   sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed table write: pre-shuffle once at WRITE time so every
+    later equi-join/aggregation on ``bucket_cols`` between co-bucketed
+    tables runs with ZERO exchange (plan-asserted in
+    test_bucketed_join_no_shuffle). This is the big-fact-to-big-fact
+    join answer at 100 TB — broadcast covers small dims, bucketing
+    covers the joins where neither side fits in memory; the reference
+    has no bucketing at all (its HivePartition layout is value-based
+    only, HiveSinkWriter.scala:138-148). Spark requires the catalog for
+    bucket metadata, hence ``saveAsTable`` (+ optional explicit
+    ``path``)."""
+    w = (df.write.mode(mode)
+         .bucketBy(n_buckets, *bucket_cols)
+         .sortBy(*(sort_cols or bucket_cols))
+         .format("parquet"))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 @dataclass
 class OrcSink(_FileSink):
     """OrcSink.scala:15-91: compression kind, bloom filters, stride."""

@@ -219,3 +219,31 @@ def test_merge_schema_across_files(spark, tmp_path):
     out = ParquetSource(d + "/*").with_merge_schema().load(spark)
     assert sorted(out.columns) == ["a", "b", "id"]
     assert out.count() == 2
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables equi-join with ZERO exchange: the shuffle was
+    paid once at write time — the big-to-big join strategy at scale."""
+    from eel_sdk_spark.sources import write_bucketed
+
+    a = spark.range(0, 10_000).withColumn("va", F.col("id") % 97)
+    b = spark.range(0, 10_000).withColumn("vb", F.col("id") % 31)
+    write_bucketed(a, "bkt_a", ["id"], n_buckets=8,
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", ["id"], n_buckets=8,
+                   path=str(tmp_path / "b"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the plan shows the big-to-big strategy
+        # bucketing exists for (broadcast would hide the shuffle question)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        j = ta.join(tb, "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

@@ -70,3 +70,51 @@ def test_skipping_impossible_range_drops_everything(spark, blocks):
     _, b = blocks
     pruned = prune_block_groups(b, "warc_ts", upper=0)  # before every ts
     assert pruned.count() == 0
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering: with the table sorted by the Morton key of
+    (user_id, ts-as-micros), block min/max stats prune block groups on
+    BOTH columns; a 1-D ts sort prunes only on ts. Round-trip exact."""
+    from eel_sdk_spark.encode import (decode_blocks_df, encode_df,
+                                      prune_block_groups, zorder_key)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "250")
+    try:
+        z = encode_df(e, key="event_id", n_parts=2,
+                      sort_by=[zorder_key(e, ["user_id", "ts_us"])]).cache()
+        t = encode_df(e, key="event_id", n_parts=2,
+                      sort_by=["ts_us"]).cache()
+
+        def kept(blocks, col, lo, hi):
+            return (prune_block_groups(blocks, col, lower=lo, upper=hi)
+                    .select("part_id", "block_seq").distinct().count())
+
+        total = z.select("part_id", "block_seq").distinct().count()
+        assert total >= 16
+        u_lo, u_hi = 5, 10          # narrow user slice
+        bounds = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+        t_lo = bounds[0]
+        t_hi = bounds[0] + (bounds[1] - bounds[0]) // 8  # narrow time slice
+
+        # both layouts prune the ts dimension...
+        assert kept(z, "ts_us", t_lo, t_hi) < total
+        assert kept(t, "ts_us", t_lo, t_hi) < total
+        # ...but only z-order ALSO prunes the user dimension
+        z_user = kept(z, "user_id", u_lo, u_hi)
+        t_user = kept(t, "user_id", u_lo, u_hi)
+        assert z_user < total * 0.8, (z_user, total)
+        assert z_user < t_user, (z_user, t_user)
+
+        # clustering never changes content
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in e.schema.fields)
+        assert decode_blocks_df(z, ddl).count() == e.count()
+        z.unpersist()
+        t.unpersist()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)

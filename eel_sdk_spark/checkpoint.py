@@ -68,6 +68,8 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     coverage: dict[str, list[int]] = {}
     for r in snap.properties.get("runs", []):
         coverage.update(r.get("file_parts", {}))
+    # compaction rewrites files and re-records their coverage here
+    coverage.update(snap.properties.get("file_parts_extra", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
     blocks = (spark.read.parquet(*files)
               .filter(F.col("part_id").isin(*parts)))
@@ -285,8 +287,11 @@ def encode_with_checkpoint(
             int(r["part_id"]))
     # exact part membership per file (not a min/max range: AQE can
     # coalesce several parts into one file, and a range would then match
-    # almost every lookup); total size across files = n_parts entries
-    file_parts = {f: sorted(ps) for f, ps in fp_sets.items()}
+    # almost every lookup); total size across files = n_parts entries.
+    # Empty output files (hash-empty partitions) are recorded as [] so
+    # pruning skips them without falling back to a footer read.
+    file_parts = {os.path.basename(f): sorted(
+        fp_sets.get(os.path.basename(f), set())) for f in files}
 
     run = {
         "run_id": run_id,

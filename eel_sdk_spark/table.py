@@ -250,8 +250,33 @@ class ManifestTable:
               if by else df.repartition(n_files))
         job_dir = self.new_data_path()
         df.write.mode("overwrite").parquet(job_dir)
+        props = dict(snap.properties)
+        if by and "part_id" in (by or []):
+            # re-record per-file part coverage for the REWRITTEN files so
+            # point lookups stay manifest-only after compaction (the runs'
+            # coverage keys reference the replaced basenames and simply
+            # stop matching); same one-scan aggregate the encoder uses
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            rows = (spark.read.parquet(job_dir)
+                    .groupBy(F.input_file_name().alias("f"), "part_id")
+                    .count().collect())
+            cov: dict[str, list[int]] = {}
+            for r in rows:
+                cov.setdefault(_os.path.basename(r["f"]), []).append(
+                    int(r["part_id"]))
+            files = self.list_written_files(job_dir)
+            # empty output files (hash-empty partitions) hold NO parts:
+            # record them as [] so pruning skips them without a footer read
+            props["file_parts_extra"] = {
+                _os.path.basename(f): sorted(cov.get(
+                    _os.path.basename(f), [])) for f in files}
+            return self.commit(files, snap.schema_ddl, props,
+                               mode="overwrite")
         return self.commit(self.list_written_files(job_dir),
-                           snap.schema_ddl, snap.properties, mode="overwrite")
+                           snap.schema_ddl, props, mode="overwrite")
 
     # -- maintenance (Iceberg expireSnapshots / deleteOrphanFiles parity) --
     def expire_snapshots(self, keep_last: int = 1,

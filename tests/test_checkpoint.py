@@ -366,3 +366,32 @@ def test_point_lookup_block_stats_with_sorted_key(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        old_batch)
+
+
+def test_local_encode_then_compact_then_manifest_lookup(spark, tmp_path,
+                                                        monkeypatch):
+    """The write-fast-now, cluster-later workflow: encode with the
+    no-exchange 'local' layout, compact(by=part_id) to restore
+    part-aligned file locality, and point lookups must STILL prune from
+    the manifest alone (compaction re-records per-file coverage for the
+    rewritten files) — parquet footer reads forbidden."""
+    from eel_sdk_spark.checkpoint import point_lookup
+
+    df = webtext_df(spark, 2000, parts=4)
+    tbl = ManifestTable(str(tmp_path), "lc")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="lc1",
+                           shuffle="local")
+    tbl.compact(spark, 4)  # blocks schema -> auto by=["part_id"]
+    cov = tbl.current().properties["file_parts_extra"]
+    assert set(cov) == {__import__("os").path.basename(f)
+                        for f in tbl.current().files}
+
+    import pyarrow.parquet as pq
+
+    def forbidden(*a, **k):
+        raise AssertionError("footer read after compaction coverage")
+
+    monkeypatch.setattr(pq, "ParquetFile", forbidden)
+    target = df.select("url", "text").collect()[555]
+    rows = point_lookup(spark, tbl, target["url"], SCHEMA_DDL).collect()
+    assert len(rows) == 1 and rows[0]["text"] == target["text"]

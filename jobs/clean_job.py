@@ -1,0 +1,93 @@
+"""Production training-data cleanup entry point.
+
+    spark-submit --driver-memory 48g --py-files eel_sdk_spark.zip \
+        jobs/clean_job.py \
+        --input <parquet dir> --output /path/clean \
+        [--text-col text] [--id-col doc_id] \
+        [--near-dup 0.5] [--cluster-exact] [--min-quality 0.3] \
+        [--dedup-lines] [--benchmark <parquet of eval texts>] \
+        [--mix source=WEIGHT ...] [--splits 80,10,10]
+
+Runs the corpus cleanup pipeline (line dedup -> exact dedup -> LSH
+near-dup removal -> quality filter -> benchmark decontamination ->
+mixture resampling -> split assignment) as ONE lazy plan and writes the
+cleaned corpus partitioned by split. Every stage is the oracle-checked
+library op (`eel_sdk_spark.functions.pipeline`); this is just the
+spark-submit skin. Prints one JSON line of stage-by-stage row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--near-dup", type=float, default=0.5,
+                   help="jaccard threshold; negative disables the stage")
+    p.add_argument("--cluster-exact", action="store_true",
+                   help="connected-components keep-one-per-cluster dedup")
+    p.add_argument("--min-quality", type=float, default=0.3,
+                   help="quality_score threshold; negative disables")
+    p.add_argument("--dedup-lines", action="store_true")
+    p.add_argument("--benchmark", default=None,
+                   help="parquet of benchmark texts for 13-gram "
+                        "decontamination")
+    p.add_argument("--bench-text-col", default="text")
+    p.add_argument("--mix", action="append", default=[],
+                   help="source=weight mixture targets (repeatable); "
+                        "requires a 'source' column")
+    p.add_argument("--splits", default="80,10,10")
+    p.add_argument("--split-labels", default="train,val,test")
+    args = p.parse_args(argv)
+
+    from eel_sdk_spark.functions.pipeline import clean_corpus, mix_sources
+    from eel_sdk_spark.session import get_spark
+
+    spark = get_spark(app="clean-corpus")
+    try:
+        df = spark.read.parquet(args.input)
+        n_in = df.count()
+        benchmark = (spark.read.parquet(args.benchmark)
+                     if args.benchmark else None)
+        out = clean_corpus(
+            df, args.text_col, args.id_col,
+            near_dup_threshold=(args.near_dup if args.near_dup >= 0
+                                else None),
+            cluster_exact=args.cluster_exact,
+            min_quality=(args.min_quality if args.min_quality >= 0
+                         else None),
+            dedup_lines=args.dedup_lines,
+            benchmark=benchmark,
+            bench_text_col=args.bench_text_col,
+            splits=[int(s) for s in args.splits.split(",")],
+            split_labels=args.split_labels.split(","))
+        if args.mix:
+            weights = {}
+            for kv in args.mix:
+                k, v = kv.split("=", 1)
+                weights[k] = float(v)
+            out = mix_sources(out, "source", weights, id_col=args.id_col)
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        kept = spark.read.parquet(args.output)
+        per_split = {r["split"]: r["n"] for r in
+                     kept.groupBy("split").count()
+                     .withColumnRenamed("count", "n").collect()}
+        sys.stdout.write(json.dumps({
+            "rows_in": n_in,
+            "rows_out": sum(per_split.values()),
+            "per_split": per_split,
+            "output": args.output,
+        }) + "\n")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -384,6 +384,12 @@ class DataStream:
         """DataStream.scala:684-703 (++/union: sequential concatenation)."""
         return DataStream(self.df.unionByName(other.df))
 
+    def substract(self, other: "DataStream") -> "DataStream":
+        """Drop-in alias for the reference's typo'd method name
+        (DataStream.scala:735-743 spells it 'substract') — a migrating
+        user's code keeps working verbatim."""
+        return self.subtract(other)
+
     def subtract(self, other: "DataStream") -> "DataStream":
         """DataStream.scala:735-743 ('substract' [sic]): lhs rows not in rhs."""
         return DataStream(self.df.exceptAll(other.df))

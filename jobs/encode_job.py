@@ -51,6 +51,10 @@ def main(argv=None) -> None:
                         "these columns within each part before encoding "
                         "(clusters values so FOR/RLE/dict/zstd bite; "
                         "repeatable)")
+    p.add_argument("--zorder", default=None,
+                   help="comma-separated numeric/timestamp columns: sort "
+                        "by their Morton key so block stats prune on "
+                        "EVERY listed column (multi-dim sort_by)")
     args = p.parse_args(argv)
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint
@@ -72,12 +76,17 @@ def main(argv=None) -> None:
             n_parts = args.parts or spark.sparkContext.defaultParallelism * 2
             salt = max(salt, recommend_salt(df, args.key, n_parts))
         overrides = dict(kv.split("=", 1) for kv in args.codec)
+        sort_by = list(args.sort_by)
+        if args.zorder:
+            from eel_sdk_spark.encode import zorder_key
+
+            sort_by.append(zorder_key(df, args.zorder.split(",")))
         run = encode_with_checkpoint(
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
             profile=args.profile, codec_overrides=overrides or None,
             shuffle="local" if args.shuffle_mode == "local" else True,
-            sort_by=args.sort_by or None)
+            sort_by=sort_by or None)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

@@ -164,14 +164,17 @@ class ManifestTable:
 
     def read_decoded(self, spark, schema_ddl: str,
                      columns: list[str] | None = None,
-                     constraints: list | None = None):
+                     constraints: list | None = None,
+                     snapshot_id: int | None = None):
         """Decode an encoded-blocks table straight from its snapshot file
         list with ZERO shuffle: whole files per task (encode.py's
         decode_files_df — block groups are file-adjacent by construction).
-        ``constraints`` prune files manifest-side first."""
+        ``constraints`` prune files manifest-side first; ``snapshot_id``
+        time-travels to an older snapshot (within the expiry horizon)."""
         from .encode import decode_files_df
 
-        snap = self.current()
+        snap = (self.snapshot(snapshot_id) if snapshot_id is not None
+                else self.current())
         if snap is None or not snap.files:
             raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
         files = snap.files

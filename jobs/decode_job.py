@@ -46,6 +46,9 @@ def main(argv=None) -> None:
     p.add_argument("--verify-against", default=None,
                    help="original parquet; reports per-column match counts")
     p.add_argument("--key", default="url")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="time travel: decode the table AS OF this "
+                        "snapshot instead of the current one")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -61,7 +64,9 @@ def main(argv=None) -> None:
             from eel_sdk_spark.predicate import decode_with_predicate
 
             pred = _parse_where(args.where)
-            decoded = decode_with_predicate(tbl.read(spark), args.schema, pred)
+            decoded = decode_with_predicate(
+                tbl.read(spark, snapshot_id=args.snapshot_id),
+                args.schema, pred)
             if cols:
                 decoded = decoded.select(*cols)
         else:
@@ -69,7 +74,8 @@ def main(argv=None) -> None:
             # (groups are file-adjacent by construction), no regroup
             # exchange — decode_blocks_df remains the path for predicate
             # pushdown with block-stat pruning above
-            decoded = tbl.read_decoded(spark, args.schema, columns=cols)
+            decoded = tbl.read_decoded(spark, args.schema, columns=cols,
+                                       snapshot_id=args.snapshot_id)
         out: dict = {}
         if args.output:
             decoded.write.mode("overwrite").parquet(args.output)

@@ -667,3 +667,51 @@ def test_ngram_set_short_docs_safe(spark):
     pairs = minhash_candidate_pairs(docs, "text", "doc_id",
                                     n_hashes=4, band_size=2).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(5, 6)}
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    """Property check against an independent implementation: for random
+    keyed event streams, as_of_join must agree with pandas.merge_asof
+    (allow_exact_matches=True) row for row — a second oracle besides the
+    DuckDB ASOF JOIN the gate uses."""
+    import numpy as np
+    import pandas as pd
+
+    from eel_sdk_spark.ops import as_of_join
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 150
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 8, n_l),
+        "ts": rng.integers(0, 10_000, n_l).astype("int64"),
+        "lv": np.arange(n_l, dtype="int64"),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 8, n_r),
+        "rts": rng.integers(0, 10_000, n_r).astype("int64"),
+        "rv": np.arange(n_r, dtype="int64") * 10,
+    })
+    # merge_asof needs global sort by time; dedupe equal (k, rts) keeping
+    # the LAST (our window semantics: latest right at equal ts wins)
+    right_pd = (right_pd.sort_values(["rts", "rv"])
+                .drop_duplicates(["k", "rts"], keep="last"))
+    expect = pd.merge_asof(
+        left_pd.sort_values("ts", kind="mergesort"),
+        right_pd.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        allow_exact_matches=True)
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = as_of_join(left, right, on="k", left_ts="ts",
+                     right_ts="rts").toPandas()
+
+    e = expect.sort_values("lv").reset_index(drop=True)
+    g = got.sort_values("lv").reset_index(drop=True)
+    assert len(e) == len(g) == n_l
+    for col in ("k", "ts", "lv"):
+        assert (e[col].values == g[col].values).all(), col
+    # matched right values (NaN-safe compare)
+    ev, gv = e["rv"].values, g["rv"].astype("float64").values
+    both_nan = pd.isna(ev) & pd.isna(gv)
+    assert (both_nan | (ev == gv)).all()

@@ -301,3 +301,43 @@ def test_audio_windows(spark):
     assert by_key[(1, 1)]["chunk"] == blob[4:12]
     assert by_key[(1, 3)]["chunk"] == blob[12:20]
     assert by_key[(1, 2)]["win_off"] == 8
+
+
+def test_mix_sources_edges(spark):
+    """Zero-weight sources drop; sources missing from weights drop;
+    a weight on an absent source doesn't divide by zero; single-source
+    weights keep everything."""
+    from eel_sdk_spark.functions.pipeline import mix_sources
+
+    d = spark.createDataFrame(
+        [(i, "web" if i % 3 else "code") for i in range(300)],
+        "doc_id bigint, source string")
+    only_web = mix_sources(d, "source", {"web": 1.0, "code": 0.0})
+    assert only_web.filter(F.col("source") == "code").count() == 0
+    assert only_web.count() == d.filter(F.col("source") == "web").count()
+
+    dropped = mix_sources(d, "source", {"web": 1.0})
+    assert dropped.filter(F.col("source") == "code").count() == 0
+
+    keep_all = mix_sources(d, "source", {"web": 1.0, "code": 0.5})
+    # code is the binding source (100 rows / 0.333 share): web keeps
+    # 2x code's rows (within bucket granularity), nothing upsampled
+    got = {r["source"]: r["n"] for r in
+           keep_all.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["code"] <= 100 and got["web"] <= 200
+
+
+def test_pack_and_decontam_empty_inputs(spark):
+    """Empty corpora flow through the new operators without errors."""
+    from eel_sdk_spark.functions import dedup
+    from eel_sdk_spark.functions.packing import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string, "
+                                      "n_tok bigint")
+    bench = spark.createDataFrame([("some benchmark text here",)],
+                                  "text string")
+    assert pack_sequences(empty, "doc_id", "n_tok").count() == 0
+    assert dedup.contaminated_ids(empty, "text", "doc_id",
+                                  bench, "text").count() == 0
+    assert dedup.decontaminate(empty, "text", "doc_id",
+                               bench, "text").count() == 0

@@ -164,6 +164,29 @@ def dedup_lines(col: Column) -> Column:
     return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
 
 
+def strip_control_chars(col: Column) -> Column:
+    """Remove C0/C1 control characters except tab/newline (mojibake and
+    binary-spill cleanup — a standard first pass on crawled text). Pure
+    codegen regexp; keeps \\t and \\n because document structure
+    (dedup_lines, paragraph logic) depends on them."""
+    return F.regexp_replace(
+        col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")
+
+
+def dup_ngram_ratio(col: Column, n: int = 3) -> Column:
+    """Gopher-style repeated-n-gram fraction: 1 - distinct/total word
+    n-grams (0.0 when a doc has fewer than n tokens). Complements
+    :func:`dup_token_ratio` (unigram) and :func:`line_dup_ratio` (lines):
+    phrase-level repetition catches spun/boilerplate text the other two
+    miss. Pure array expressions."""
+    from .dedup import ngram_set  # local import: dedup imports this module
+
+    toks = tokens(col)
+    total = F.size(toks) - (n - 1)
+    distinct = F.size(ngram_set(col, n))
+    return F.when(total > 0, 1.0 - distinct / total).otherwise(0.0)
+
+
 # RE2-safe PII patterns (no lookarounds — portable to DuckDB/RE2 oracles)
 PII_PATTERNS = {
     "email": (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",

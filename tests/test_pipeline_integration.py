@@ -341,3 +341,20 @@ def test_pack_and_decontam_empty_inputs(spark):
                                   bench, "text").count() == 0
     assert dedup.decontaminate(empty, "text", "doc_id",
                                bench, "text").count() == 0
+
+
+def test_strip_control_and_dup_ngram(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello\x00wor\x1fld\tkeep\nlines\x9c"),
+         (2, "the cat sat on the mat the cat sat on the mat"),
+         (3, "all words completely different here now")],
+        "id bigint, text string")
+    out = {r["id"]: (r["clean"], round(r["d3"], 3)) for r in docs.select(
+        "id",
+        T.strip_control_chars(F.col("text")).alias("clean"),
+        T.dup_ngram_ratio(F.col("text"), 3).alias("d3")).collect()}
+    assert out[1][0] == "helloworld\tkeep\nlines"
+    # doc 2: 11 tokens -> 9 trigrams, 7 distinct ("the cat sat",
+    # "cat sat on", "sat on the", "on the mat" repeat once each... )
+    assert out[2][1] > 0.2
+    assert out[3][1] == 0.0

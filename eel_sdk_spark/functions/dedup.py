@@ -329,19 +329,34 @@ def contaminated_ids(corpus: DataFrame, text_col: str, id_col: str,
     xxhash64 — at 13-word grams a collision marks an extra doc for
     removal (safe direction: decontamination may over-drop, never
     under-drop on a true overlap)."""
-    def grams(df, tcol, out):
-        g = ngram_set(F.col(tcol), n)
-        return df.select(F.explode(g).alias("__g")).select(
-            F.xxhash64("__g").alias(out))
-
-    bench = grams(benchmark, bench_text_col, "__bh").distinct()
-    corpus_grams = (corpus
-                    .select(F.col(id_col), F.explode(
-                        ngram_set(F.col(text_col), n)).alias("__g"))
-                    .select(F.col(id_col), F.xxhash64("__g").alias("__bh")))
+    bench = (benchmark.select(F.explode(
+        _window_hashes(F.col(bench_text_col), n)).alias("__bh"))
+        .distinct())
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(_window_hashes(F.col(text_col), n)).alias("__bh"))
     return (corpus_grams
             .join(F.broadcast(bench), "__bh", "left_semi")
             .select(id_col).distinct())
+
+
+def _window_hashes(col: Column, n: int) -> Column:
+    """64-bit hash per word-``n``-gram WITHOUT materializing gram strings:
+    hash each token once, then chain-fold each length-``n`` window of
+    token hashes with xxhash64(acc, h) — order-sensitive, long-only JVM
+    work. Building 13-gram STRINGS (n element_at + concat per gram) was
+    measured ~20x slower at n=13; this keeps decontamination at
+    explode-cost. Docs shorter than ``n`` tokens yield no windows."""
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    cnt = F.size(toks)
+    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+    idx = F.when(cnt >= F.lit(n),
+                 F.sequence(F.lit(0), cnt - n)).otherwise(empty)
+    return F.transform(
+        idx, lambda i: F.aggregate(
+            F.slice(th, i + 1, n), F.lit(0).cast("long"),
+            lambda acc, h: F.xxhash64(acc, h)))
 
 
 def decontaminate(corpus: DataFrame, text_col: str, id_col: str,

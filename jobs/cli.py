@@ -95,6 +95,22 @@ def cmd_analyze_table(args) -> None:
     }) + "\n")
 
 
+def cmd_profile(args) -> None:
+    """Sketch-based corpus profile (one pass, mergeable state only):
+    counts, nulls, HLL distinct, min/max/mean/quantiles per column."""
+    from eel_sdk_spark.functions.sketches import column_profile
+    from eel_sdk_spark.session import get_spark
+
+    spark = get_spark(app="profile")
+    try:
+        df = spark.read.parquet(args.source)
+        cols = args.cols.split(",") if args.cols else None
+        for r in column_profile(df, cols).collect():
+            sys.stdout.write(json.dumps(r.asDict()) + "\n")
+    finally:
+        spark.stop()
+
+
 def cmd_gc(args) -> None:
     """Table maintenance from the manifest alone, no Spark session:
     expire old snapshots (+ their exclusively-referenced data files) and
@@ -138,10 +154,14 @@ def main(argv=None) -> None:
     gc.add_argument("--keep-last", type=int, default=2)
     gc.add_argument("--orphan-age-s", type=float, default=3600.0)
 
+    pr = sub.add_parser("profile")
+    pr.add_argument("--source", required=True)
+    pr.add_argument("--cols", default=None)
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
-     "gc": cmd_gc}[args.cmd](args)
+     "gc": cmd_gc, "profile": cmd_profile}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,11 @@ def range_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
     l2 = left.withColumn("__b", F.floor(l_us / w_us))
     r2 = (right
+          # malformed intervals (end < start) can never match, but
+          # sequence(bs, be) would run DESCENDING over them — worst case
+          # a corrupt epoch explodes millions of bucket rows and OOMs the
+          # task. Drop them before the explode.
+          .filter(s_us <= e_us)
           .withColumn("__bs", F.floor(s_us / w_us))
           .withColumn("__be", F.floor(e_us / w_us))
           .withColumn("__b", F.explode(F.sequence("__bs", "__be")))

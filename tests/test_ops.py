@@ -715,3 +715,22 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
     ev, gv = e["rv"].values, g["rv"].astype("float64").values
     both_nan = pd.isna(ev) & pd.isna(gv)
     assert (both_nan | (ev == gv)).all()
+
+
+def test_range_join_malformed_interval_safe(spark):
+    """An inverted interval (end < start — corrupt data) must yield no
+    matches AND no descending-sequence bucket explosion (a corrupt epoch
+    would otherwise explode millions of rows)."""
+    from eel_sdk_spark.ops import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 1)], "k int, ts string, lid int") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 10:20:00", 9),
+         (1, "2024-06-01 00:00:00", "1970-01-01 00:00:00", 666)],  # inverted
+        "k int, s string, e string, rid int") \
+        .withColumn("s", F.col("s").cast("timestamp")) \
+        .withColumn("e", F.col("e").cast("timestamp"))
+    out = range_join(left, right, "k", "ts", "s", "e", bucket="20 minutes")
+    assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 9)]

@@ -258,7 +258,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float> columns — JVM higher-order
     functions (zip_with + aggregate), no UDF. Elements are cast to double
-    first so results are IEEE-double identical to the DuckDB oracle."""
+    first so results are IEEE-double identical to the DuckDB oracle.
+
+    Zero-norm vectors (padding rows, failed embedders — they WILL exist
+    in a 10^12-row table) yield 0.0: under Spark 4's default ANSI mode
+    even double division by zero THROWS, so an unguarded ``dot/(na*nb)``
+    lets one degenerate row kill the whole job."""
     a = F.transform(a, lambda x: x.cast("double"))
     b = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -267,7 +272,8 @@ def cosine(a: Column, b: Column) -> Column:
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,

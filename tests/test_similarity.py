@@ -120,3 +120,26 @@ def test_normalize_and_norms(spark, emb):
         (F.abs(l2_norm(F.col("e")) - 1.0) > 1e-9).alias("bad")) \
         .filter("bad").count()
     assert bad == 0
+
+
+def test_cosine_zero_vector_safe(spark):
+    """Zero-norm vectors (padding rows, failed embedders) must yield 0.0
+    similarity, not a DIVIDE_BY_ZERO job abort — Spark 4's default ANSI
+    mode throws even on double division by zero."""
+    from eel_sdk_spark.functions import dedup
+    from eel_sdk_spark.functions.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.5, 0.5, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    got = {r["vec_id"]: r["c"] for r in emb.select(
+        "vec_id",
+        dedup.cosine(F.col("embedding"),
+                     F.array(*[F.lit(x) for x in [1.0, 0.0, 0.0, 0.0]]))
+        .alias("c")).collect()}
+    assert got[0] == 0.0 and got[1] == 1.0
+    # whole top-k pipeline survives a zero vector in the corpus
+    top = brute_force_topk(emb, "vec_id", "embedding",
+                           [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top][0] == 1

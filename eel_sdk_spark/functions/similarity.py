@@ -184,6 +184,24 @@ class IvfIndex:
 
         return cls(ManifestTable(root, name))
 
+    def append(self, emb: DataFrame) -> "IvfIndex":
+        """Index maintenance: add new vectors to the EXISTING index —
+        they are assigned to the nearest existing centroid and appended
+        as a new snapshot (atomic, time-travelable). Centroids are NOT
+        recomputed: the index stays consistent for concurrent readers
+        and probes keep pruning correctly; if the data distribution
+        drifts far enough that recall degrades, rebuild (the standard
+        IVF maintenance contract, same as FAISS add vs train)."""
+        p = self._props()
+        cents = np.asarray(p["centroids"])
+        assigned = emb.withColumn(
+            self.CELL, _cell_expr(cents, p["vec_col"]))
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in assigned.schema.fields)
+        self.table.write_df(assigned, ddl, properties={"ivf": p},
+                            mode="append", partition_by=[self.CELL])
+        return self
+
     def _props(self) -> dict:
         return self.table.current().properties["ivf"]
 

@@ -159,8 +159,24 @@ class ManifestTable:
         # basePath keeps hive-style partition columns discoverable when
         # reading explicit leaf files (partition values live in the path,
         # not the files — the re-injection HiveFilePublisher.scala:23-61
-        # does by hand, Spark does from the layout)
-        return spark.read.option("basePath", self.data_dir).parquet(*files)
+        # does by hand, Spark does from the layout). Files are grouped by
+        # their STAGING dir and unioned: each append lands under its own
+        # data/<uuid>/ root, and Spark's partition discovery over one
+        # basePath spanning several such roots raises
+        # CONFLICTING_DIRECTORY_STRUCTURES for partitioned layouts.
+        # allowMissingColumns keeps add-column schema evolution readable.
+        from functools import reduce
+
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f, self.data_dir)
+            base = (os.path.join(self.data_dir, rel.split(os.sep)[0])
+                    if not rel.startswith("..") else self.data_dir)
+            groups.setdefault(base, []).append(f)
+        dfs = [spark.read.option("basePath", b).parquet(*fs)
+               for b, fs in groups.items()]
+        return reduce(lambda a, b: a.unionByName(
+            b, allowMissingColumns=True), dfs)
 
     def read_decoded(self, spark, schema_ddl: str,
                      columns: list[str] | None = None,

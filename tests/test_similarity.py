@@ -143,3 +143,30 @@ def test_cosine_zero_vector_safe(spark):
     top = brute_force_topk(emb, "vec_id", "embedding",
                            [1.0, 0.0, 0.0, 0.0], k=3).collect()
     assert [r["vec_id"] for r in top][0] == 1
+
+
+def test_ivf_index_append(spark, emb, tmp_path):
+    """Index maintenance: appended vectors join the existing cells (no
+    centroid recompute), probes see them, file pruning still holds, and
+    the pre-append snapshot remains readable (time travel)."""
+    from eel_sdk_spark.functions.similarity import IvfIndex, brute_force_topk
+
+    half1 = emb.filter(F.col("vec_id") < 250)
+    half2 = emb.filter(F.col("vec_id") >= 250)
+    idx = IvfIndex.build(half1, "vec_id", "embedding",
+                         str(tmp_path), "ivf_app", n_list=8)
+    snap1 = idx.table.current().snapshot_id
+    idx.append(half2)
+    assert idx.table.current().snapshot_id == snap1 + 1
+    assert idx.table.read(spark).count() == emb.count()
+    # full probe == brute force over the WHOLE (appended) corpus
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 400).first()["embedding"]]
+    got = [r["vec_id"] for r in idx.search(spark, q, k=5, n_probe=8).collect()]
+    want = [r["vec_id"] for r in
+            brute_force_topk(emb, "vec_id", "embedding", q, k=5).collect()]
+    assert got == want and got[0] == 400
+    # pruning still holds: a 1-cell probe reads a strict file subset
+    assert len(idx.probe_files(q, 1)) < len(idx.table.current().files)
+    # time travel to the pre-append snapshot
+    assert idx.table.read(spark, snapshot_id=snap1).count() == half1.count()

@@ -734,3 +734,24 @@ def test_range_join_malformed_interval_safe(spark):
         .withColumn("e", F.col("e").cast("timestamp"))
     out = range_join(left, right, "k", "ts", "s", "e", bucket="20 minutes")
     assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 9)]
+
+
+def test_substract_alias(spark, music):
+    """The reference spells it 'substract' (DataStream.scala:735) — the
+    drop-in alias must behave exactly like subtract."""
+    elton = DataStream(music).filter(F.col("artist") == "Elton John")
+    assert DataStream(music).substract(elton).size() == \
+        DataStream(music).subtract(elton).size() == 5
+
+
+def test_zorder_single_column_degenerates_to_rank_sort(spark):
+    """zorder over ONE column is just a monotone rank of it — ordering by
+    the key must order by the column."""
+    from eel_sdk_spark.encode import zorder_key
+
+    df = spark.range(0, 1000).withColumn(
+        "v", F.xxhash64("id").cast("double"))
+    z = df.withColumn("z", zorder_key(df, ["v"]))
+    rows = z.orderBy("z", "v").select("v").collect()
+    vs = [r["v"] for r in rows]
+    assert vs == sorted(vs)

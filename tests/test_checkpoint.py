@@ -395,3 +395,25 @@ def test_local_encode_then_compact_then_manifest_lookup(spark, tmp_path,
     target = df.select("url", "text").collect()[555]
     rows = point_lookup(spark, tbl, target["url"], SCHEMA_DDL).collect()
     assert len(rows) == 1 and rows[0]["text"] == target["text"]
+
+
+def test_resume_survives_compaction(spark, tmp_path):
+    """Operational sequence: partial encode -> compaction (small-file
+    maintenance runs on a schedule, not when encodes finish) -> resume.
+    The run lineage lives in properties, which compaction preserves, so
+    the resume must still skip the committed parts and complete the
+    table exactly."""
+    df = webtext_df(spark, 2000, parts=4).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "rc")
+    r1 = encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1",
+                                fail_after_commit_parts=4)
+    assert len(r1["part_ids"]) == 4
+    tbl.compact(spark, 2)  # maintenance between the crash and the resume
+    r2 = encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r2")
+    assert len(r2["part_ids"]) == 4
+    assert set(r1["part_ids"]).isdisjoint(r2["part_ids"])
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == 2000
+    assert decoded.select("url").distinct().count() == 2000
+    df.unpersist()

@@ -417,3 +417,21 @@ def test_resume_survives_compaction(spark, tmp_path):
     assert decoded.count() == 2000
     assert decoded.select("url").distinct().count() == 2000
     df.unpersist()
+
+
+def test_gc_after_appends_keeps_table_exact(spark, tmp_path):
+    """Operational sequence: two append runs -> expire to the newest
+    snapshot -> decode. The newest snapshot references BOTH runs' files
+    (append chains), so expiry must delete nothing the current table
+    needs and the decode stays exact."""
+    from eel_sdk_spark.encode import encode_df
+
+    tbl = ManifestTable(str(tmp_path), "gca")
+    d1 = webtext_df(spark, 600, parts=2)
+    d2 = webtext_df(spark, 400, parts=2).withColumn(
+        "url", F.concat(F.lit("b-"), F.col("url")))
+    tbl.write_df(encode_df(d1, key="url", n_parts=4), "blocks")
+    tbl.write_df(encode_df(d2, key="url", n_parts=4), "blocks")
+    out = tbl.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == 1 and out["deleted_files"] == 0
+    assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 1000

@@ -1292,18 +1292,23 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM embeddings) AS vectors_ok""",
         "gorilla_roundtrip": """
             SELECT count(*) AS rows, count(*) AS vals_ok FROM events""",
+        # epoch_us (not epoch-seconds-as-double) so the gap math matches the
+        # Spark side's unix_micros exactly at any magnitude; CAST the HUGEINT
+        # sum to BIGINT so DuckDB->pandas doesn't materialize float64 (r3's
+        # one driver-hash mismatch was exactly that: 56.0 vs 56)
         "sessionization": """
             WITH x AS (
                 SELECT user_id,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                                  (PARTITION BY user_id ORDER BY ts, event_id)
-                                 > 1800
-                            OR lag(epoch(ts)) OVER
+                                 > 1800000000
+                            OR lag(epoch_us(ts)) OVER
                                  (PARTITION BY user_id ORDER BY ts, event_id)
                                  IS NULL
                             THEN 1 ELSE 0 END AS brk
                 FROM events)
-            SELECT user_id, sum(brk) AS n_sessions FROM x GROUP BY user_id""",
+            SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions
+            FROM x GROUP BY user_id""",
         # session_window semantics: a new session starts when the gap to
         # the previous event is >= 30min (Spark merges only if ts < end);
         # end = last event + gap

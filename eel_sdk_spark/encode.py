@@ -120,7 +120,8 @@ def recommend_salt(df: DataFrame, key: str, n_parts: int,
     return int(math.ceil(top / mean_per_part))
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
+               bounds: dict[str, tuple[float, float]] | None = None) -> Column:
     """Z-order (Morton) key over 2+ numeric/timestamp columns — the
     multi-dimensional generalization of ``sort_by``: sorting by the
     interleaved key clusters rows so per-block min/max stats prune well
@@ -134,7 +135,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     expression), then bit-interleaved. Ties/nulls rank 0. The min/max
     aggregate runs over the SAME numeric expression the rank uses
     (timestamps via unix_micros), so no tz/representation drift between
-    the constants and the per-row values."""
+    the constants and the per-row values.
+
+    ``bounds`` — optional precomputed {col: (lo, hi)} (e.g. from
+    ``column_profile`` or manifest stats lineage): skips the full-table
+    min/max scan entirely, which at 100 TB is an extra corpus pass per
+    encode. Timestamp columns take epoch-microsecond bounds. Falls back
+    to the aggregate scan for any column absent from ``bounds``.
+
+    ``bits`` is capped at ``63 // len(cols)``: the interleave shifts into
+    position ``bits*len(cols)-1``, and with the default 16 bits and 4+
+    columns that reaches the long sign bit — negative z keys break sort
+    monotonicity and silently degrade clustering."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(bits, 63 // len(cols))
     exprs = []
     for c in cols:
         dt = df.schema[c].dataType.typeName()
@@ -143,10 +158,17 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
                          .cast("double"))
         else:
             exprs.append(F.col(c).cast("double"))
-    stats = df.agg(*[f(e) for e in exprs for f in (F.min, F.max)]).first()
+    bounds = bounds or {}
+    missing = [(i, e) for i, (c, e) in enumerate(zip(cols, exprs))
+               if c not in bounds]
+    if missing:
+        scanned = df.agg(*[f(e) for _, e in missing
+                           for f in (F.min, F.max)]).first()
+        for j, (i, _) in enumerate(missing):
+            bounds[cols[i]] = (scanned[2 * j], scanned[2 * j + 1])
     ranked = []
     for i, e in enumerate(exprs):
-        lo_v, hi_v = stats[2 * i], stats[2 * i + 1]
+        lo_v, hi_v = bounds[cols[i]]
         lo_v = float(lo_v) if lo_v is not None else 0.0
         hi_v = float(hi_v) if hi_v is not None else 0.0
         span = (hi_v - lo_v) or 1.0

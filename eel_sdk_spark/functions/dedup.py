@@ -279,12 +279,22 @@ def cosine(a: Column, b: Column) -> Column:
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95,
                         n_planes: int = 8,
-                        plane_hash: str = "xxhash") -> DataFrame:
+                        plane_hash: str = "xxhash",
+                        max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate vectors: random-hyperplane LSH bucket join + exact
     cosine verify. Planes are derived deterministically from a hash of
     (plane, dim) so the bucketing is reproducible across runs/cluster
     sizes. ``plane_hash='md5'`` uses the md5-parity family DuckDB can
-    replay (oracle-checkable); 'xxhash' is cheaper JVM-side."""
+    replay (oracle-checkable); 'xxhash' is cheaper JVM-side.
+
+    ``max_bucket`` is the same degenerate-bucket guard as
+    ``minhash_candidate_pairs``: all-zero embeddings (dot = 0 ⇒ the SAME
+    sign on every plane) or any mass-duplicated vector put k docs in one
+    bucket and the pair join goes k² — at corpus scale one padding-vector
+    bucket is a straggler that never finishes. Buckets above the cap are
+    excluded from pair generation (count window over the join's own
+    ``bucket`` exchange, measured free on the minhash twin);
+    ``max_bucket=None`` disables (small-corpus oracle replay only)."""
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
     def comp_fn(p):
@@ -310,6 +320,12 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
     for s in sign_bits[1:]:
         bucket = bucket + s
     withb = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        withb = (withb.withColumn("__bsz", F.count("*").over(w))
+                 .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = withb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))

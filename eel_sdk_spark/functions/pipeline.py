@@ -36,7 +36,8 @@ from . import text as T
 
 
 def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
-                id_col: str = "doc_id", epsilon: float = 1e-9) -> DataFrame:
+                id_col: str = "doc_id", epsilon: float = 1e-9,
+                missing: str = "raise") -> DataFrame:
     """Data mixing: resample a multi-source corpus toward target mixture
     WEIGHTS (the "20% code, 40% web, ..." knob every pretraining recipe
     turns). Sources are downsampled only (never duplicated): the largest
@@ -48,10 +49,32 @@ def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
     whenever the partitioning changes.
 
     One tiny counts aggregate + one filter over the corpus; text never
-    shuffles. Sources absent from ``weights`` are dropped."""
-    total_w = sum(weights.values())
+    shuffles. Sources absent from ``weights`` are dropped. A positively
+    weighted source with ZERO available rows would make feasible = 0 and
+    silently empty the whole corpus — that raises instead (pass
+    ``missing='skip'`` to warn, drop the absent source from the mixture,
+    and renormalize the remaining weights)."""
     counts = {r[0]: r[1] for r in
               df.groupBy(source_col).count().collect()}
+    absent = sorted(s for s, w in weights.items()
+                    if w > 0 and counts.get(s, 0) == 0)
+    if absent:
+        if missing == "skip":
+            import warnings
+
+            warnings.warn(
+                f"mix_sources: positively-weighted source(s) {absent} have "
+                f"zero rows — dropped from the mixture", stacklevel=2)
+            weights = {s: w for s, w in weights.items() if s not in absent}
+            if not any(w > 0 for w in weights.values()):
+                return df.filter(F.lit(False))
+        else:
+            raise ValueError(
+                f"mix_sources: positively-weighted source(s) {absent} have "
+                f"zero available rows — the mixture is infeasible (every "
+                f"source would be scaled to 0). Fix the weights or pass "
+                f"missing='skip'.")
+    total_w = sum(weights.values())
     # the binding source limits the total corpus size
     feasible = min(counts.get(s, 0) / (w / total_w)
                    for s, w in weights.items() if w > 0)

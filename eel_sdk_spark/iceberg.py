@@ -47,6 +47,18 @@ from .table import ManifestTable
 DEFAULT_CATALOG = "eel"
 
 
+def _prop_str(v) -> str:
+    """Table-property key/value as a safely-embeddable SQL string literal
+    body: non-strings (IvfIndex passes an 'ivf' dict with centroid arrays)
+    are JSON-encoded, and single quotes are doubled so a value containing
+    a quote cannot break the ALTER TABLE statement."""
+    import json
+
+    if not isinstance(v, str):
+        v = json.dumps(v, separators=(",", ":"), sort_keys=True)
+    return v.replace("'", "''")
+
+
 def iceberg_available(spark: SparkSession,
                       catalog: str = DEFAULT_CATALOG) -> bool:
     """True iff the Iceberg Spark runtime is on the JVM classpath AND the
@@ -89,14 +101,19 @@ class IcebergBlocksTable:
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         exists = self.spark.catalog.tableExists(self.identifier)
-        if mode == "overwrite" or not exists:
+        if not exists:
             writer.createOrReplace()
+        elif mode == "overwrite":
+            # replace data, keep the table + its snapshot history (the
+            # module-docstring contract): createOrReplace here would drop
+            # time travel for every prior snapshot
+            writer.overwritePartitions()
         else:
             writer.append()
         for k, v in (properties or {}).items():
             self.spark.sql(
                 f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-                f"('{k}' = '{v}')")
+                f"('{_prop_str(k)}' = '{_prop_str(v)}')")
         return self.current()
 
     def compact(self, spark: SparkSession, n_files: int,

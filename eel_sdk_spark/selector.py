@@ -100,12 +100,18 @@ def _choose_float(values: pa.Array, profile: str) -> str:
         sample.view(np.uint8).reshape(-1, sample.dtype.itemsize).T).tobytes()
     shuf = _ZSTD_TRIAL.compress(planes, asbytes=True)
     gor = _ZSTD_TRIAL.compress(gorilla.estimate_payload(sample), asbytes=True)
-    best = min(len(raw), len(shuf) * 1.02, len(gor) * 1.03)
-    if best == len(gor) * 1.03:
-        return "gor"
-    if best == len(shuf) * 1.02:
-        return "shuf"
-    return "rawf"
+    # evaluate cheap-decode-first (raw < shuf < gor) and take the FIRST
+    # candidate at the minimum penalized size, so an exact tie selects the
+    # cheapest decode instead of the most expensive one; integer penalized
+    # sizes avoid the fragile float-equality compare
+    candidates = [("rawf", len(raw) * 100),
+                  ("shuf", len(shuf) * 102),
+                  ("gor", len(gor) * 103)]
+    best = min(size for _, size in candidates)
+    for name, size in candidates:
+        if size == best:
+            return name
+    return "rawf"  # unreachable
 
 
 _ZSTD_TRIAL = pa.Codec("zstd", compression_level=1)

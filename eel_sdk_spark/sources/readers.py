@@ -297,30 +297,35 @@ class JdbcStoredProcSource:
 
     Binding is a real tokenizer, not ``str.replace``: ``?`` inside quoted
     string/identifier literals and ``--``/``/* */`` comments is left
-    alone. Literal quoting is ANSI (quote-doubling); for dialects where
-    backslash is an escape character (MySQL with default sql_mode),
-    backslashes are doubled too — accepted superset, a doubled backslash
-    is still a backslash under ANSI rules only if the dialect treats it
-    literally, so pass pre-quoted params via ``str`` only for ANSI-ish
-    databases. Params are INLINED — treat ``params`` as trusted values,
-    never raw user input (the reference avoids this by server-side
-    binding; Spark's JDBC reader offers no bind channel)."""
+    alone. Literal quoting is ANSI quote-doubling by default — on
+    ANSI-compliant backends (Derby, Postgres with
+    standard_conforming_strings) backslash is a literal character, so
+    doubling it would corrupt the value. For dialects where backslash IS
+    an escape character (MySQL with default sql_mode) set
+    ``backslash_escapes=True`` to double backslashes as well. Params are
+    INLINED — treat ``params`` as trusted values, never raw user input
+    (the reference avoids this by server-side binding,
+    JdbcStoredProcSource.scala:35-43; Spark's JDBC reader offers no bind
+    channel)."""
 
     url: str
     query: str
     params: tuple = ()
     properties: dict = field(default_factory=dict)
     fetch_size: int = 1000
+    backslash_escapes: bool = False  # True for MySQL-style dialects
 
-    @staticmethod
-    def _literal(p) -> str:
+    def _literal(self, p) -> str:
         if p is None:
             return "NULL"
         if isinstance(p, bool):  # before int: bool is an int subclass
             return "TRUE" if p else "FALSE"
         if isinstance(p, (int, float)):
             return str(p)
-        s = str(p).replace("\\", "\\\\").replace("'", "''")
+        s = str(p)
+        if self.backslash_escapes:
+            s = s.replace("\\", "\\\\")
+        s = s.replace("'", "''")
         return f"'{s}'"
 
     def _bound_query(self) -> str:

@@ -55,6 +55,12 @@ def main(argv=None) -> None:
                    help="comma-separated numeric/timestamp columns: sort "
                         "by their Morton key so block stats prune on "
                         "EVERY listed column (multi-dim sort_by)")
+    p.add_argument("--zorder-bounds", default=None,
+                   help="JSON {col: [lo, hi]} precomputed bounds (from "
+                        "column_profile or manifest stats): skips the "
+                        "full-table min/max scan the Morton ranks need — "
+                        "at 100 TB that is one whole extra corpus pass; "
+                        "timestamps take epoch-microsecond bounds")
     args = p.parse_args(argv)
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint
@@ -80,7 +86,11 @@ def main(argv=None) -> None:
         if args.zorder:
             from eel_sdk_spark.encode import zorder_key
 
-            sort_by.append(zorder_key(df, args.zorder.split(",")))
+            zb = None
+            if args.zorder_bounds:
+                zb = {c: (float(lo), float(hi)) for c, (lo, hi)
+                      in json.loads(args.zorder_bounds).items()}
+            sort_by.append(zorder_key(df, args.zorder.split(","), bounds=zb))
         run = encode_with_checkpoint(
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,

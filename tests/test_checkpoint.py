@@ -260,6 +260,24 @@ def test_iceberg_swap_in_falls_back_without_jars(spark, tmp_path):
     assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 200
 
 
+def test_iceberg_property_values_encode_safely():
+    """TBLPROPERTIES values are embedded in ALTER TABLE SQL: non-string
+    values (IvfIndex passes a dict with centroid arrays) must JSON-encode
+    and quotes must double so the statement cannot break."""
+    from eel_sdk_spark.iceberg import _prop_str
+
+    assert _prop_str("plain") == "plain"
+    assert _prop_str("it's") == "it''s"
+    assert _prop_str({"ivf": {"centroids": [[0.1, 0.2]], "n": 1}}) == \
+        '{"ivf":{"centroids":[[0.1,0.2]],"n":1}}'
+    assert _prop_str(42) == "42"
+    # round-trippable: doubled quotes parse back to the original value
+    import json
+
+    enc = _prop_str({"k": "a'b"})
+    assert json.loads(enc.replace("''", "'")) == {"k": "a'b"}
+
+
 def test_point_lookup_prunes_from_manifest_zero_io(spark, tmp_path, monkeypatch):
     """Commit records per-file part_id coverage (from the same one-scan
     stats aggregate), so a point lookup decides which files to open from

@@ -277,6 +277,30 @@ class TestAlp:
         noise = pa.array(np.random.default_rng(4).standard_normal(8192))
         assert selector.choose(noise, "float") in ("rawf", "shuf")
 
+    def test_float_tiebreak_prefers_cheapest_decode(self, monkeypatch=None):
+        """An exact tie among penalized trial sizes must select the
+        CHEAPEST decode (raw < shuf < gor), not the most expensive: rig
+        the trial compressor so raw*100 == shuf*102 == gor*103 exactly
+        (LCM sizes 5253/5150/5100) and assert rawf wins."""
+        from unittest import mock
+
+        import numpy as np
+        import pyarrow as pa
+
+        from eel_sdk_spark import selector
+
+        sizes = iter([5253, 5150, 5100])  # raw, shuf, gor call order
+
+        class RiggedCodec:
+            def compress(self, data, asbytes=True):
+                return b"\x00" * next(sizes)
+
+        noise = pa.array(
+            np.random.default_rng(5).standard_normal(4096).astype(
+                np.float32))  # float32 skips the ALP probe
+        with mock.patch.object(selector, "_ZSTD_TRIAL", RiggedCodec()):
+            assert selector._choose_float(noise, "speed") == "rawf"
+
 
 class TestGorilla:
     """XOR codec: the float path for smooth non-decimal series that fall

@@ -87,7 +87,12 @@ def test_stored_proc_binding_tokenizer():
     assert bq("SELECT /* eh? */ ? FROM t", (False,)) == \
         "SELECT /* eh? */ FALSE FROM t"
     assert bq("SELECT 'it''s?' , ?", (None,)) == "SELECT 'it''s?' , NULL"
-    assert bq("x = ?", ("a\\b",)) == "x = 'a\\\\b'"
+    # ANSI default (Derby/Postgres): backslash is a literal character —
+    # doubling it would corrupt 'a\b' into 'a\\b' database-side
+    assert bq("x = ?", ("a\\b",)) == "x = 'a\\b'"
+    mysqlish = JdbcStoredProcSource(
+        "u", "x = ?", params=("a\\b",), backslash_escapes=True)
+    assert mysqlish._bound_query() == "x = 'a\\\\b'"
     import pytest
     with pytest.raises(ValueError, match="more '\\?' placeholders"):
         bq("a = ? AND b = ?", (1,))

@@ -634,6 +634,36 @@ def test_gate_folded_variants_stay_covered(spark, sf_dir):
     assert lsh.select("a", "b").exceptAll(brute.select("a", "b")).count() == 0
 
 
+def test_embedding_near_dups_degenerate_bucket_cap(spark):
+    """Adversarial corpus-scale shape: thousands of all-zero embeddings
+    (dot = 0 ⇒ every plane votes the same sign ⇒ ONE bucket) plus
+    thousands of identical vectors. Uncapped, the bucket self-join goes
+    k² (~12.5M pairs per 5k-bucket, a straggler at web scale); with
+    ``max_bucket`` those buckets are excluded and the job completes with
+    bounded output, while normal-sized buckets still produce their pairs."""
+    from eel_sdk_spark.functions import dedup
+
+    n = 5000
+    zeros = spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.0), 8).alias("embedding"))
+    same = spark.range(n, 2 * n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"))
+    # two near-identical honest vectors that must STILL pair up
+    honest = spark.createDataFrame(
+        [(20_001, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+         (20_002, [1.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    emb = zeros.union(same).union(honest)
+    out = dedup.embedding_near_dups(emb, "vec_id", "embedding",
+                                    threshold=0.9, n_planes=8,
+                                    max_bucket=100).collect()
+    ids = {(r["a"], r["b"]) for r in out}
+    assert (20_001, 20_002) in ids
+    assert len(ids) < 200  # k² blow-up suppressed
+
+
 def test_clean_corpus_cluster_exact(spark, sf_dir):
     """cluster_exact keeps exactly one representative per connected
     near-dup cluster; the pair-wise default can only drop MORE."""
@@ -755,3 +785,46 @@ def test_zorder_single_column_degenerates_to_rank_sort(spark):
     rows = z.orderBy("z", "v").select("v").collect()
     vs = [r["v"] for r in rows]
     assert vs == sorted(vs)
+
+
+def test_zorder_many_columns_stays_nonnegative(spark):
+    """bits*len(cols)-1 must never reach the long sign bit: with 4 columns
+    the default 16 bits would shift into position 63 → negative z keys that
+    break sort monotonicity. The cap (63 // n_cols) keeps every key >= 0
+    even on max-range inputs."""
+    from eel_sdk_spark.encode import zorder_key
+
+    df = spark.range(0, 500).select(
+        F.col("id").cast("double").alias("a"),
+        (499 - F.col("id")).cast("double").alias("b"),
+        F.xxhash64("id").cast("double").alias("c"),
+        F.xxhash64("id", "id").cast("double").alias("d"))
+    z = df.withColumn("z", zorder_key(df, ["a", "b", "c", "d"]))
+    mn, mx = z.agg(F.min("z"), F.max("z")).first()
+    assert mn >= 0
+    # 4 cols -> 15 bits each -> top bit position 59, key < 2^60
+    assert mx < 1 << 60
+
+
+def test_zorder_precomputed_bounds_skip_the_scan(spark):
+    """With bounds supplied for every column, zorder_key must not run its
+    min/max aggregate (at 100 TB that is an extra full corpus pass) — and
+    the key built from supplied bounds must equal the scanned one when the
+    bounds agree."""
+    from unittest import mock
+
+    from eel_sdk_spark.encode import zorder_key
+
+    df = spark.range(0, 200).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 3 % 7).cast("double").alias("y")).cache()
+    scanned = df.withColumn("z", zorder_key(df, ["x", "y"])).collect()
+    with mock.patch.object(type(df), "agg",
+                           side_effect=AssertionError("scan ran")):
+        k = zorder_key(df, ["x", "y"],
+                       bounds={"x": (0.0, 199.0), "y": (0.0, 6.0)})
+    given = df.withColumn("z", k).collect()
+    assert sorted(r["z"] for r in scanned) == sorted(r["z"] for r in given)
+    # partial bounds -> only the missing column is scanned (still runs)
+    k2 = zorder_key(df, ["x", "y"], bounds={"x": (0.0, 199.0)})
+    assert df.withColumn("z", k2).count() == 200

@@ -326,6 +326,27 @@ def test_mix_sources_edges(spark):
            keep_all.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert got["code"] <= 100 and got["web"] <= 200
 
+    # a POSITIVE weight on an absent source makes the mixture infeasible
+    # (feasible=0 would silently empty the corpus) — must raise, and with
+    # missing='skip' must warn, drop it, and renormalize over the rest
+    import warnings
+
+    import pytest
+
+    with pytest.raises(ValueError, match="zero available rows"):
+        mix_sources(d, "source", {"web": 1.0, "books": 0.5})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        skipped = mix_sources(d, "source", {"web": 1.0, "books": 0.5},
+                              missing="skip")
+        assert skipped.count() == d.filter(F.col("source") == "web").count()
+        assert any("books" in str(x.message) for x in w)
+    # every positively-weighted source absent -> empty result, no raise
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        none_left = mix_sources(d, "source", {"books": 1.0}, missing="skip")
+    assert none_left.count() == 0
+
 
 def test_pack_and_decontam_empty_inputs(spark):
     """Empty corpora flow through the new operators without errors."""

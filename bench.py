@@ -148,10 +148,19 @@ def run_scaling() -> dict:
 
 def main() -> None:
     t_start = time.monotonic()
+    load_start = round(os.getloadavg()[0], 1)
     from jobs.encode_bench import run as bench_run
 
+    # encode_speed measures the ENGINE DEFAULT layout (shuffle='auto' ->
+    # 'local': no corpus through shuffle storage); hash_exchange is the
+    # r2/r3-comparable shuffled layout, kept for round-over-round reads.
+    # Every phase records the same-run identity-channel floor + 1-minute
+    # load averages so a co-tenant-load regression is attributable
+    # in-record (r3's lesson).
     enc_speed = bench_run(CPUS, ENC_ROWS, with_decode=True, profile="speed",
-                          parts=64, repeat=3, with_channel_floor=True)
+                          parts=64, repeat=3)
+    enc_hash = bench_run(CPUS, ENC_ROWS, with_decode=False, profile="speed",
+                         parts=64, repeat=2, with_ref=False, shuffle=True)
     enc_fast = bench_run(CPUS, ENC_ROWS, with_decode=False, profile="speed",
                          parts=64, repeat=3, with_ref=False, shuffle=False)
     enc_comp = bench_run(CPUS, SCALE_ROWS, with_decode=False,
@@ -161,6 +170,7 @@ def main() -> None:
 
     spark = get_spark(app="bench-queries", cpus=CPUS)
     try:
+        load_queries = round(os.getloadavg()[0], 1)
         queries = run_queries(spark)
         eelshape = run_eelshape(spark)
     finally:
@@ -172,6 +182,7 @@ def main() -> None:
 
     queries_full = dict(queries)
     queries_full["encode_speed"] = enc_speed["encode_sec"]
+    queries_full["encode_hash"] = enc_hash["encode_sec"]
     queries_full["encode_noshuffle"] = enc_fast["encode_sec"]
     queries_full["encode_compression"] = enc_comp["encode_sec"]
     queries_full["decode"] = enc_speed["decode_sec"]
@@ -185,11 +196,14 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "encode": {
             "speed": enc_speed,
+            "hash_exchange": enc_hash,
             "noshuffle": enc_fast,
             "compression": enc_comp,
         },
         "eelshape": eelshape,
         "scaling": scaling,
+        "load_1m": {"start": load_start, "queries": load_queries,
+                    "end": round(os.getloadavg()[0], 1)},
         "wall_sec": round(time.monotonic() - t_start, 1),
     }
     print(json.dumps(out))

@@ -71,8 +71,14 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     # compaction rewrites files and re-records their coverage here
     coverage.update(snap.properties.get("file_parts_extra", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
-    blocks = (spark.read.parquet(*files)
-              .filter(F.col("part_id").isin(*parts)))
+    blocks = spark.read.parquet(*files)
+    if "parts" in blocks.columns:
+        # exact membership: banded 'local' blocks span a part run, so
+        # anchor equality would miss parts above the anchor
+        want = F.array(*[F.lit(p).cast("int") for p in parts])
+        blocks = blocks.filter(F.arrays_overlap(F.col("parts"), want))
+    else:  # pre-banding table layout
+        blocks = blocks.filter(F.col("part_id").isin(*parts))
     # within the part, skip whole BLOCK GROUPS whose key-column min/max
     # range excludes the value (block stats ride the blocks table; this
     # is the same machinery as predicate pushdown, aimed at the key) —
@@ -129,11 +135,18 @@ def prune_files_by_part(files: list[str], part_ids: set[int],
                     if meta.schema.column(i).name == "part_id"), None)
         if idx is None:
             return True  # not a blocks file: cannot prune, keep
+        # banded blocks (no-exchange 'local' layout) span [part_id,
+        # part_hi]; the upper bound must come from part_hi stats or the
+        # range check would miss parts above the anchor
+        idx_hi = next((i for i in range(meta.num_columns)
+                       if meta.schema.column(i).name == "part_hi"), idx)
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
+            st_hi = meta.row_group(rg).column(idx_hi).statistics
+            if (st is None or not st.has_min_max
+                    or st_hi is None or not st_hi.has_min_max):
                 return True  # no stats: conservatively keep
-            if any(st.min <= p <= st.max for p in part_ids):
+            if any(st.min <= p <= st_hi.max for p in part_ids):
                 return True
         return False
 
@@ -177,7 +190,7 @@ def encode_with_checkpoint(
     codec_overrides: dict[str, str] | None = None,
     fail_after_commit_parts: int | None = None,
     verify_fingerprint: bool = True,
-    shuffle: bool | str = True,
+    shuffle: bool | str = "auto",
     sort_by: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
@@ -261,9 +274,12 @@ def encode_with_checkpoint(
     # extra passes.)
     stats = []
     if files:
+        # group on the EXACT parts array (banded 'local' blocks span a
+        # sorted part run; part-aligned blocks carry [part_id]) so run
+        # part_ids and file coverage stay exact in every layout
         stats = (spark.read.parquet(job_dir)
                  .groupBy(F.input_file_name().alias("file"),
-                          "part_id", "col", "codec")
+                          "parts", "col", "codec")
                  .agg(F.sum("n_values").alias("nv"),
                       F.sum("raw_bytes").alias("raw"),
                       F.sum("enc_bytes").alias("enc"),
@@ -283,8 +299,8 @@ def encode_with_checkpoint(
         cb = col_bytes.setdefault(r["col"], [0, 0])
         cb[0] += int(r["raw"])
         cb[1] += int(r["enc"])
-        fp_sets.setdefault(os.path.basename(r["file"]), set()).add(
-            int(r["part_id"]))
+        fp_sets.setdefault(os.path.basename(r["file"]), set()).update(
+            int(p) for p in r["parts"])
     # exact part membership per file (not a min/max range: AQE can
     # coalesce several parts into one file, and a range would then match
     # almost every lookup); total size across files = n_parts entries.
@@ -295,7 +311,7 @@ def encode_with_checkpoint(
 
     run = {
         "run_id": run_id,
-        "part_ids": sorted({int(r["part_id"]) for r in stats}),
+        "part_ids": sorted({int(p) for r in stats for p in r["parts"]}),
         "n_rows": sum(int(r["nv"]) for r in stats if r["col"] == first_col),
         "raw_bytes": sum(int(r["raw"]) for r in stats),
         "enc_bytes": sum(int(r["enc"]) for r in stats),

@@ -8,11 +8,14 @@ rows in Python: kernels are whole-array numpy/Arrow ops.
 
 Partitioning: rows are assigned a deterministic ``part_id =
 pmod(xxhash64(key), n_parts)`` *column* (not the physical Spark partition
-id), then hash-repartitioned and sorted by it so every emitted block covers
-exactly one part_id even when AQE coalesces partitions. This makes encode
-output — and therefore checkpoint lineage — independent of cluster size,
-which is what lets a resume on 4N executors skip work committed by a run on
-N executors. Salting for hot-domain skew: ``salt``/``salt_by`` spread any
+id). In the part-aligned layouts (shuffle=True/False) rows are
+hash-repartitioned and sorted by it so every emitted block covers exactly
+one part_id even when AQE coalesces partitions; in the default no-exchange
+``'local'`` layout each block spans the sorted part run of its task slice,
+with the exact membership recorded in the block's ``parts`` column. Either
+way encode output — and therefore checkpoint lineage — is independent of
+cluster size, which is what lets a resume on 4N executors skip work
+committed by a run on N executors. Salting for hot-domain skew: ``salt``/``salt_by`` spread any
 single key value over ``salt`` shards (counter-measure to the reference's
 writer-per-partition hotspot, eel-hive/.../HiveSinkWriter.scala:138-148);
 ``recommend_salt`` derives the factor from measured key skew.
@@ -32,14 +35,41 @@ from .codecs import decode_column, encode_column
 
 PART_COL = "__eel_part"
 
+# Decoded-output batch cap (rows). Blocks are encoded at up to
+# ``session.ARROW_BATCH_ROWS`` (64k — the encode-side sweet spot), but the
+# Python->JVM serializer pipelines better on smaller flushes: re-slicing
+# each decoded group into <=32k-row batches (zero-copy pa slices, the
+# decode kernels still run once per 64k block) recovers the measured ~15%
+# decode gap without touching the encoded layout.
+DECODE_BATCH_ROWS = 32 * 1024
+
+
+def _sliced(rb: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
+    if rb.num_rows <= DECODE_BATCH_ROWS:
+        yield rb
+        return
+    for off in range(0, rb.num_rows, DECODE_BATCH_ROWS):
+        yield rb.slice(off, min(DECODE_BATCH_ROWS, rb.num_rows - off))
+
+# part_id is the block's ANCHOR part (smallest part with rows in it);
+# part_hi / parts carry the block's full EXACT part membership. In the
+# part-aligned layouts (shuffle=True/False) a block holds exactly one part
+# (parts == [part_id] == [part_hi]); in the no-exchange 'local' layout a
+# block spans the sorted run of parts its task slice covers — full-size
+# blocks (compression parity with the shuffled layout) without pushing the
+# corpus through shuffle storage. parts is EXACT (never a range fill):
+# resume treats a part in any committed block's parts as done, so an
+# over-approximation would silently drop rows on resume.
 BLOCK_SCHEMA_DDL = (
-    "part_id int, block_seq int, writer_uid bigint, col string, codec string, "
+    "part_id int, part_hi int, parts array<int>, "
+    "block_seq int, writer_uid bigint, col string, codec string, "
     "n_values bigint, n_nulls bigint, header binary, payload binary, "
     "raw_bytes bigint, enc_bytes bigint, encode_ms double, "
     "min_i bigint, max_i bigint, min_s string, max_s string"
 )
 
-BLOCK_FIELDS = ["part_id", "block_seq", "writer_uid", "col", "codec", "n_values", "n_nulls",
+BLOCK_FIELDS = ["part_id", "part_hi", "parts", "block_seq", "writer_uid",
+                "col", "codec", "n_values", "n_nulls",
                 "header", "payload", "raw_bytes", "enc_bytes", "encode_ms",
                 "min_i", "max_i", "min_s", "max_s"]
 
@@ -222,7 +252,8 @@ def _split_by_part(batch: pa.RecordBatch) -> Iterator[tuple[int, pa.RecordBatch]
 
 def _encode_batches(batches: Iterator[pa.RecordBatch],
                     codec_overrides: dict[str, str | None],
-                    profile: str = "speed") -> Iterator[pa.RecordBatch]:
+                    profile: str = "speed",
+                    split_parts: bool = True) -> Iterator[pa.RecordBatch]:
     import os as _os
 
     seq: dict[int, int] = {}
@@ -231,8 +262,26 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
     # so decode groups on (part_id, block_seq, writer_uid) to keep groups
     # from different runs/epochs apart
     writer_uid = int.from_bytes(_os.urandom(8), "little") >> 1
+
+    def units(batch: pa.RecordBatch):
+        if split_parts:
+            yield from _split_by_part(batch)
+        else:
+            # banded block: the whole (part-sorted) batch is one block
+            # group spanning its exact set of parts — full-size blocks
+            # without the part Exchange. parts stays EXACT (resume
+            # correctness; see BLOCK_SCHEMA_DDL note).
+            part = np.asarray(batch.column(PART_COL))
+            if part.size:
+                yield [int(p) for p in np.unique(part)], batch
+
     for batch in batches:
-        for part_id, sub in _split_by_part(batch):
+        for part_key, sub in units(batch):
+            if isinstance(part_key, int):
+                parts_list = [part_key]
+            else:
+                parts_list = part_key
+            part_id, part_hi = parts_list[0], parts_list[-1]
             block_seq = seq.get(part_id, 0)
             seq[part_id] = block_seq + 1
             rows = {f: [] for f in BLOCK_FIELDS}
@@ -251,6 +300,8 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 rows["min_s"].append(mn_s)
                 rows["max_s"].append(mx_s)
                 rows["part_id"].append(part_id)
+                rows["part_hi"].append(part_hi)
+                rows["parts"].append(parts_list)
                 rows["block_seq"].append(block_seq)
                 rows["writer_uid"].append(writer_uid)
                 rows["col"].append(name)
@@ -264,6 +315,8 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
             yield pa.record_batch(
                 [
                     pa.array(rows["part_id"], type=pa.int32()),
+                    pa.array(rows["part_hi"], type=pa.int32()),
+                    pa.array(rows["parts"], type=pa.list_(pa.int32())),
                     pa.array(rows["block_seq"], type=pa.int32()),
                     pa.array(rows["writer_uid"], type=pa.int64()),
                     pa.array(rows["col"], type=pa.string()),
@@ -288,14 +341,20 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               salt: int = 1, salt_by: str | None = None,
               codec_overrides: dict[str, str] | None = None,
               profile: str = "speed",
-              shuffle: bool | str = True,
+              shuffle: bool | str = "auto",
               sort_by: list[str] | None = None) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
-    ``shuffle`` picks the layout/lineage trade (all three keep decode and
+    ``shuffle`` picks the layout/lineage trade (all modes keep decode and
     resume correct; they differ in physical cost and block locality):
 
-    - ``True`` (default): project + hash (JVM) -> Exchange on part_id ->
+    - ``'auto'`` (default): resolves to ``'local'`` — the scale-right
+      layout. At 100 TB the hash Exchange writes the entire corpus
+      through shuffle storage purely for output-file locality, which most
+      encode runs don't need (measured: 0.353 vs ~0.21 GB/s on this box).
+      Pass ``True`` explicitly for point-lookup-heavy tables where
+      one-part-per-file locality is worth the shuffle.
+    - ``True``: project + hash (JVM) -> Exchange on part_id ->
       sort within partitions -> one Python/Arrow stage. One part = one
       output locality; point lookups touch 1/n_parts of the files.
     - ``'local'``: content-derived part_ids WITHOUT the Exchange — only a
@@ -303,9 +362,10 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
       part_id it happens to hold. Resume lineage stays fully valid
       (part assignment is a pure function of the key, not of layout);
       the cost moved to read side: a part's blocks are spread over up to
-      n_input_partitions files (parquet row-group pruning still skips
-      them cheaply). At 100 TB this skips writing+reading the entire
-      corpus through shuffle storage while keeping lineage portable.
+      n_input_partitions files (the manifest's per-file part coverage
+      still prunes point lookups to exactly the files holding the part).
+      At 100 TB this skips writing+reading the entire corpus through
+      shuffle storage while keeping lineage portable.
     - ``False``: part_id = the physical input partition (TaskContext),
       no hashing at all. Fastest; lineage only valid for identical input
       files + split config.
@@ -326,6 +386,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     expression sorts the rows but is never materialized into the
     encoded schema).
     """
+    if shuffle == "auto":
+        shuffle = "local"
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
@@ -340,13 +402,26 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     else:
         prepared = with_part_id(df, key, n_parts, salt, salt_by)
         if shuffle == "local":
-            prepared = prepared.sortWithinPartitions(PART_COL, *extra_sort)
+            # banded blocks track their exact part membership, so rows
+            # need NOT be clustered by part — and the value sort must be
+            # PRIMARY: with part first, every part boundary is a
+            # full-range jump and the delta bitpack width (max-delta
+            # driven) gains nothing from the sort (measured: zero effect
+            # vs 18% part-aligned)
+            if extra_sort:
+                prepared = prepared.sortWithinPartitions(*extra_sort)
         else:
             prepared = (prepared
                         .repartition(n_parts, F.col(PART_COL))
                         .sortWithinPartitions(PART_COL, *extra_sort))
+        # 'local' emits BANDED blocks (one full-size block group per Arrow
+        # batch, spanning the batch's sorted part run): splitting at part
+        # boundaries here would fragment every task into n_parts tiny
+        # blocks — measured 9.2x -> 7.0x ratio and ~8x kernel overhead at
+        # 64 parts x 64 tasks. Lineage stays exact via the parts column.
         out = prepared.mapInArrow(
-            lambda it: _encode_batches(it, overrides, profile),
+            lambda it: _encode_batches(it, overrides, profile,
+                                       split_parts=(shuffle != "local")),
             BLOCK_SCHEMA_DDL)
     # every block group is emitted by ONE task, so no group straddles a
     # partition boundary: decode_blocks_df auto-detects this tag and skips
@@ -477,8 +552,8 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 group[name] = decode_column(
                     headers[i].as_py(), payloads[i].as_buffer())
                 if len(group) == n_cols:
-                    yield pa.record_batch([group[c] for c in col_order],
-                                          names=col_order)
+                    yield from _sliced(pa.record_batch(
+                        [group[c] for c in col_order], names=col_order))
                     del pending[key]
         if pending and fill_missing:
             # schema evolution: groups written before a column existed get
@@ -491,10 +566,10 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 if not group:
                     continue
                 n_rows = len(next(iter(group.values())))
-                yield pa.record_batch(
+                yield from _sliced(pa.record_batch(
                     [group.get(c, pa.nulls(n_rows, type=arrow_types[c]))
                      for c in col_order],
-                    names=col_order)
+                    names=col_order))
                 del pending[key]
         if pending:
             raise ValueError(
@@ -574,9 +649,9 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
                         group[name] = decode_column(
                             headers[i].as_py(), payloads[i].as_buffer())
                         if len(group) == n_cols:
-                            yield pa.record_batch(
+                            yield from _sliced(pa.record_batch(
                                 [group[c] for c in col_order],
-                                names=col_order)
+                                names=col_order))
                             del pending[key]
                 if pending:
                     raise ValueError(

@@ -101,6 +101,67 @@ def _lite_centroids(emb: DataFrame, vec_col: str, n_list: int) -> np.ndarray:
     return cents / np.clip(norms, 1e-12, None)
 
 
+#: above this many centroids, cell assignment switches from the codegen
+#: expression tree to a broadcast numpy matmul: a tree of n_list×dim
+#: literal dot products stops compiling (and stops being fast) in the
+#: thousands-of-cells regime a 10^12-vector index actually needs.
+ASSIGN_EXPR_MAX = 128
+
+
+def assign_cells(emb: DataFrame, cents: np.ndarray, vec_col: str,
+                 cell_name: str = "cell",
+                 method: str | None = None) -> DataFrame:
+    """Nearest-centroid cell id per vector — the one IVF primitive used at
+    build, append, and query-time assignment.
+
+    Two physical strategies, same semantics (argmax of centroid dot
+    products, first-max tie-break):
+
+    - ``expr`` (n_list <= ASSIGN_EXPR_MAX): pure Column algebra — stays
+      inside whole-stage codegen, zero Python.
+    - ``matmul``: one Arrow-batched numpy ``(batch × dim) @ (dim ×
+      n_list)`` with the centroid matrix broadcast to executors — flat
+      BLAS work per batch, unbounded n_list. (Float-sum order differs
+      from the sequential expression fold, so an exactly-tied dot could
+      in principle resolve differently — never across a real argmax
+      margin.)
+
+    ``method`` forces a strategy (tests); default picks by n_list."""
+    if method is None:
+        method = "expr" if len(cents) <= ASSIGN_EXPR_MAX else "matmul"
+    if method == "expr":
+        return emb.withColumn(cell_name, _cell_expr(cents, vec_col))
+
+    import pyarrow as pa
+
+    sc = emb.sparkSession.sparkContext
+    # dim × n_list, contiguous for the batch matmul
+    bc = sc.broadcast(np.ascontiguousarray(
+        np.asarray(cents, dtype=np.float64).T))
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in emb.schema.fields) + f", {cell_name} int"
+
+    def _assign(batches):
+        m = bc.value
+        dim, _ = m.shape
+        for b in batches:
+            arr = b.column(vec_col)
+            if arr.null_count:
+                raise ValueError(
+                    f"assign_cells: {arr.null_count} null vectors in "
+                    f"'{vec_col}' — drop or impute before indexing")
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            if flat.size != len(arr) * dim:
+                raise ValueError(
+                    f"assign_cells: ragged vectors in '{vec_col}' "
+                    f"(expected dim {dim})")
+            cells = np.argmax(flat.reshape(len(arr), dim) @ m, axis=1)
+            yield b.append_column(
+                cell_name, pa.array(cells.astype(np.int32)))
+
+    return emb.mapInArrow(_assign, ddl)
+
+
 def _cell_expr(cents: np.ndarray, vec_col: str) -> F.Column:
     """argmax over centroid dot products as a JVM expression tree — the
     per-vector cell assignment, usable both at query time and write time."""
@@ -136,7 +197,7 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
         return brute_force_topk(emb, id_col, vec_col, query_vec, k)
     n_probe = min(n_probe, len(cents))
     probe_cells = _probe_cells(cents, query_vec, n_probe)
-    assigned = emb.withColumn("cell", _cell_expr(cents, vec_col))
+    assigned = assign_cells(emb, cents, vec_col)
     pruned = assigned.filter(F.col("cell").isin(probe_cells))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     return (pruned.select(F.col(id_col),
@@ -167,7 +228,7 @@ class IvfIndex:
         cents = _lite_centroids(emb, vec_col, n_list)
         if len(cents) == 0:
             raise ValueError("cannot build an IVF index over an empty table")
-        assigned = emb.withColumn(cls.CELL, _cell_expr(cents, vec_col))
+        assigned = assign_cells(emb, cents, vec_col, cell_name=cls.CELL)
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                         for f in assigned.schema.fields)
         tbl = ManifestTable(root, name)
@@ -194,8 +255,8 @@ class IvfIndex:
         IVF maintenance contract, same as FAISS add vs train)."""
         p = self._props()
         cents = np.asarray(p["centroids"])
-        assigned = emb.withColumn(
-            self.CELL, _cell_expr(cents, p["vec_col"]))
+        assigned = assign_cells(emb, cents, p["vec_col"],
+                                cell_name=self.CELL)
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                         for f in assigned.schema.fields)
         self.table.write_df(assigned, ddl, properties={"ivf": p},

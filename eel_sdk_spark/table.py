@@ -279,13 +279,23 @@ class ManifestTable:
 
             from pyspark.sql import functions as F
 
-            rows = (spark.read.parquet(job_dir)
-                    .groupBy(F.input_file_name().alias("f"), "part_id")
-                    .count().collect())
+            rewritten = spark.read.parquet(job_dir)
+            if "parts" in rewritten.columns:
+                # exact coverage incl. banded blocks (parts is the block's
+                # full membership; part_id alone is just the anchor)
+                rows = (rewritten
+                        .select(F.input_file_name().alias("f"),
+                                F.explode("parts").alias("p"))
+                        .distinct().collect())
+            else:  # pre-banding blocks table
+                rows = (rewritten
+                        .groupBy(F.input_file_name().alias("f"),
+                                 F.col("part_id").alias("p"))
+                        .count().collect())
             cov: dict[str, list[int]] = {}
             for r in rows:
                 cov.setdefault(_os.path.basename(r["f"]), []).append(
-                    int(r["part_id"]))
+                    int(r["p"]))
             files = self.list_written_files(job_dir)
             # empty output files (hash-empty partitions) hold NO parts:
             # record them as [] so pruning skips them without a footer read

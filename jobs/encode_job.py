@@ -41,10 +41,13 @@ def main(argv=None) -> None:
                         "(ParquetSink.scala:13-26) as explicit overrides")
     p.add_argument("--profile", default="speed",
                    choices=["speed", "compression"])
-    p.add_argument("--shuffle-mode", default="true",
-                   choices=["true", "local"],
-                   help="'local' keeps content-derived lineage without the "
-                        "part_id Exchange (blocks spread across tasks' files)")
+    p.add_argument("--shuffle-mode", default="auto",
+                   choices=["auto", "true", "local"],
+                   help="'local' (the 'auto' default) keeps content-derived "
+                        "lineage without the part_id Exchange — at corpus "
+                        "scale the hash shuffle buys only output-file "
+                        "locality; 'true' restores part-aligned files for "
+                        "point-lookup-heavy tables")
     p.add_argument("--run-id", default="run")
     p.add_argument("--sort-by", action="append", default=[],
                    help="Iceberg-style table sort order: sort rows by "
@@ -95,7 +98,8 @@ def main(argv=None) -> None:
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
             profile=args.profile, codec_overrides=overrides or None,
-            shuffle="local" if args.shuffle_mode == "local" else True,
+            shuffle={"auto": "auto", "local": "local",
+                     "true": True}[args.shuffle_mode],
             sort_by=sort_by or None)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:

@@ -228,7 +228,11 @@ def test_point_lookup_prunes_files_by_footer_stats(spark, tmp_path):
 
     df = webtext_df(spark, 3000, parts=6).cache()
     tbl = ManifestTable(str(tmp_path), "blocks")
-    encode_with_checkpoint(spark, df, tbl, n_parts=12, run_id="r1")
+    # point-lookup-heavy table: the part-aligned (hash-exchange) layout is
+    # exactly what shuffle=True exists for — the 'local' default spreads a
+    # part over every input task's file
+    encode_with_checkpoint(spark, df, tbl, n_parts=12, run_id="r1",
+                           shuffle=True)
     files = tbl.current().files
     url = df.select("url").first()["url"]
 
@@ -287,7 +291,8 @@ def test_point_lookup_prunes_from_manifest_zero_io(spark, tmp_path, monkeypatch)
 
     df = webtext_df(spark, 2000, parts=4)
     tbl = ManifestTable(str(tmp_path), "cov")
-    run = encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="c1")
+    run = encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="c1",
+                                 shuffle=True)  # part-aligned layout
     snap = tbl.current()
     cov = snap.properties["runs"][0]["file_parts"]
     assert set(cov) == {__import__("os").path.basename(f)
@@ -366,8 +371,11 @@ def test_point_lookup_block_stats_with_sorted_key(spark, tmp_path):
     try:
         df = webtext_df(spark, 4000, parts=4)
         tbl = ManifestTable(str(tmp_path), "plsorted")
+        # shuffle=True: key-sorted DISJOINT block ranges need part-aligned
+        # tasks (under 'local' each input task spans the whole key range,
+        # so per-part block ranges overlap and pruning keeps ~1 per task)
         encode_with_checkpoint(spark, df, tbl, n_parts=2, run_id="s1",
-                               sort_by=["url"])
+                               sort_by=["url"], shuffle=True)
         target = df.select("url", "text").collect()[999]
         out = point_lookup(spark, tbl, target["url"], SCHEMA_DDL)
         rows = out.collect()

@@ -127,11 +127,25 @@ def test_noshuffle_fast_path_roundtrip(spark, corpus):
 
 def test_grouped_decode_no_shuffle(spark, corpus):
     """assume_grouped decode straight off encode output: zero Exchange in
-    the decode stage, identical result."""
-    blocks = encode_df(corpus, key="url", n_parts=8)
+    the decode stage, identical result (encode side explicitly requests
+    the hash-exchange layout here; the default is 'local')."""
+    blocks = encode_df(corpus, key="url", n_parts=8, shuffle=True)
     decoded = decode_blocks_df(blocks, SCHEMA_DDL, assume_grouped=True)
     plan = decoded._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # only the encode-side shuffle
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+
+def test_default_layout_is_scale_right(spark, corpus):
+    """The DEFAULT encode layout must not push the corpus through shuffle
+    storage: shuffle='auto' resolves to the content-lineage 'local' mode —
+    a fully narrow plan (no Exchange anywhere), with part assignment
+    identical to the shuffled mode and a bit-identical round-trip."""
+    blocks = encode_df(corpus, key="url", n_parts=8)
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    decoded = decode_blocks_df(blocks, SCHEMA_DDL)
     assert decoded.count() == N_ROWS
     assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
 
@@ -222,17 +236,28 @@ def test_local_mode_content_lineage_no_exchange(spark, corpus):
     assert decoded.count() == N_ROWS
     assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
 
-    # same (url -> part_id) mapping as the shuffled mode: compare the
-    # per-part row counts (content-derived, so they must agree exactly)
+    # same (url -> part_id) mapping as the shuffled mode: banded blocks
+    # span a sorted part run per task, so per-part row counts are not
+    # readable off the blocks — but the EXACT union of the parts columns
+    # must equal the content-derived part set, and every block's range
+    # must be consistent (anchor = first, part_hi = last, sorted)
     from eel_sdk_spark.encode import with_part_id
 
-    expect = {r["__eel_part"]: r["cnt"] for r in
-              with_part_id(corpus, "url", 8)
-              .groupBy("__eel_part").agg(F.count("*").alias("cnt")).collect()}
-    got = {r["part_id"]: r["n"] for r in
-           blocks.filter(F.col("col") == "url")
-           .groupBy("part_id").agg(F.sum("n_values").alias("n")).collect()}
-    assert got == expect
+    expect_parts = {r["__eel_part"] for r in
+                    with_part_id(corpus, "url", 8)
+                    .select("__eel_part").distinct().collect()}
+    brows = (blocks.filter(F.col("col") == "url")
+             .select("part_id", "part_hi", "parts").collect())
+    got_parts = {p for r in brows for p in r["parts"]}
+    assert got_parts == expect_parts
+    for r in brows:
+        assert r["parts"] == sorted(r["parts"])
+        assert r["part_id"] == r["parts"][0]
+        assert r["part_hi"] == r["parts"][-1]
+    # full-size banded blocks: one block group per task slice, NOT one per
+    # (task x part) — the fragmentation that banding exists to avoid
+    n_tasks = blocks.select("writer_uid").distinct().count()
+    assert len(brows) < n_tasks * 8  # strictly fewer than fragmented
 
 
 def test_sort_by_improves_timestamp_ratio(spark, corpus):

@@ -170,3 +170,59 @@ def test_ivf_index_append(spark, emb, tmp_path):
     assert len(idx.probe_files(q, 1)) < len(idx.table.current().files)
     # time travel to the pre-append snapshot
     assert idx.table.read(spark, snapshot_id=snap1).count() == half1.count()
+
+
+def test_assign_cells_matmul_matches_expr(spark, emb):
+    """The broadcast-matmul assignment (the large-n_list path) must agree
+    with the codegen expression tree vector-for-vector — same argmax, same
+    first-max tie-break."""
+    from eel_sdk_spark.functions.similarity import (_lite_centroids,
+                                                    assign_cells)
+
+    cents = _lite_centroids(emb, "embedding", 16)
+    a = {r["vec_id"]: r["cell"] for r in
+         assign_cells(emb, cents, "embedding", method="expr").collect()}
+    b = {r["vec_id"]: r["cell"] for r in
+         assign_cells(emb, cents, "embedding", method="matmul").collect()}
+    assert a == b
+
+
+def test_ivf_large_nlist_build_probe_append(spark, tmp_path):
+    """n_list=1024 — the thousands-of-cells regime a 10^12-vector index
+    needs. The literal expression tree stops being viable here, so the
+    matmul path must carry build, probe (manifest file pruning intact),
+    and append end to end."""
+    import numpy as np
+
+    from eel_sdk_spark.functions.similarity import (ASSIGN_EXPR_MAX,
+                                                    IvfIndex,
+                                                    brute_force_topk)
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((2048, 16)).astype(np.float64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    big = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = IvfIndex.build(big.filter("vec_id < 1536"), "vec_id", "embedding",
+                         str(tmp_path), "ivf_big", n_list=1024)
+    n_cents = len(np.asarray(idx._props()["centroids"]))
+    assert n_cents > ASSIGN_EXPR_MAX  # genuinely on the matmul path
+    q = [float(x) for x in vecs[7]]
+    # probe pruning: a 4-cell probe reads a small, cell-aligned file subset
+    snap = idx.table.current()
+    probe4 = idx.probe_files(q, n_probe=4)
+    assert 0 < len(probe4) < len(snap.files)
+    probed_cells = {pv["cell"] for f, pv in zip(snap.files, snap.partitions)
+                    if f in set(probe4)}
+    assert len(probed_cells) <= 4
+    # append via the matmul path, then a generous probe finds the exact hit
+    idx.append(big.filter("vec_id >= 1536"))
+    assert idx.table.read(spark).count() == 2048
+    q2 = [float(x) for x in vecs[2000]]
+    got = idx.search(spark, q2, k=3, n_probe=64).collect()
+    assert got[0]["vec_id"] == 2000 and got[0]["cos"] == 1.0
+    # sanity: full-probe equals brute force
+    got_all = [r["vec_id"] for r in
+               idx.search(spark, q, k=5, n_probe=n_cents).collect()]
+    want = [r["vec_id"] for r in
+            brute_force_topk(big, "vec_id", "embedding", q, k=5).collect()]
+    assert got_all == want

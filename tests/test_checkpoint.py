@@ -100,6 +100,47 @@ def test_kill_and_resume_idempotent(spark, tmp_path):
     df.unpersist()
 
 
+def test_banded_parts_are_exact_not_range_filled(spark, tmp_path):
+    """The banded 'local' layout records each block's EXACT part set. A
+    range fill ([lo..hi]) would be catastrophic on resume: parts inside
+    the gap would read as committed and their rows silently dropped.
+
+    (1) unit: an unsorted part batch with gaps yields parts == the exact
+    distinct set; (2) integration: after a partial commit of a
+    NON-CONTIGUOUS part subset ({1,4,7}), resume encodes exactly the
+    complement and the decoded union equals the input with no loss."""
+    import pyarrow as pa
+
+    from eel_sdk_spark.encode import PART_COL, _encode_batches, with_part_id
+
+    batch = pa.record_batch(
+        [pa.array([5, 5, 2, 9, 2], type=pa.int32()),
+         pa.array(["a", "b", "c", "d", "e"])],
+        names=[PART_COL, "txt"])
+    out = list(_encode_batches(iter([batch]), {}, split_parts=False))
+    assert len(out) == 1
+    row = out[0].to_pylist()[0]
+    assert row["parts"] == [2, 5, 9]  # exact, no 3,4,6,7,8 fill
+    assert row["part_id"] == 2 and row["part_hi"] == 9
+
+    df = webtext_df(spark, N, parts=4).cache()
+    df.count()
+    keep = {1, 4, 7}
+    subset = (with_part_id(df, "url", PARTS)
+              .filter(F.col(PART_COL).isin(*keep)).drop(PART_COL))
+    tbl = ManifestTable(str(tmp_path), "gapped")
+    r1 = encode_with_checkpoint(spark, subset, tbl, n_parts=PARTS,
+                                run_id="r1")
+    assert set(r1["part_ids"]) == keep  # exact despite banded gaps
+    r2 = encode_with_checkpoint(spark, df, tbl, n_parts=PARTS, run_id="r2",
+                                verify_fingerprint=False)
+    assert set(r2["part_ids"]) == set(range(PARTS)) - keep
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == N
+    assert decoded.select("url").distinct().count() == N
+    df.unpersist()
+
+
 def test_lineage_metrics_recorded(spark, tmp_path):
     df = webtext_df(spark, 1000, parts=2)
     tbl = ManifestTable(str(tmp_path), "blocks")

@@ -65,7 +65,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     which is what near-dup means at web scale.
 
     Plan shape: explode shingles -> ONE groupBy(id) computing all n mins
-    as map-side-combinable aggs (not n passes)."""
+    as map-side-combinable aggs (not n passes). A fully-narrow
+    ``array_min(transform(grams, h_i))`` variant was measured and
+    REJECTED (round 4): higher-order functions evaluate interpreted
+    (outside whole-stage codegen) and CollapseProject re-inlines the
+    gram array into all n sig expressions, so the "zero-shuffle" form
+    ran the sf0.1 candidate-pairs query at ~13 s vs ~6.4 s for this
+    one — the per-shingle shuffle is map-side-combined down to one row
+    per (id) and is NOT the bottleneck the row counts suggest.
+    (Measurement gotcha for future reference: a bare ``count()`` on the
+    narrow sigs prunes the sig expressions entirely and times only gram
+    construction — compare through the full pairs query.)"""
     grams = ngram_set(F.col(text_col), shingle) if shingle > 1 \
         else tokens(F.col(text_col))
     toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))

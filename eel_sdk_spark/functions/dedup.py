@@ -344,6 +344,53 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cos") >= threshold))
 
 
+def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.95, n_list: int = 64,
+                   max_cell: int | None = 10_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    technique): cluster embeddings into IVF cells, compare cosine only
+    WITHIN a cell, and drop every row that has a smaller-id semantic
+    duplicate (cos >= threshold) in its cell. Returns the surviving rows
+    of ``emb`` (schema unchanged).
+
+    Scale shape: centroids come from the bounded ``_lite_centroids``
+    sample; per-row cell assignment is the same primitive the IVF index
+    uses (codegen expression tree <=128 cells, broadcast numpy matmul
+    above — unbounded n_list); the pair join shuffles only
+    (cell, id, vector) and is blocked per cell, so all-pairs cost is
+    bounded by the largest cell, and ``max_cell`` excludes degenerate
+    cells from pair generation entirely (their members all SURVIVE —
+    conservative, same guard as the LSH twins). Cross-cell near-dups are
+    missed by construction — the SemDeDup trade; raise n_list for
+    tighter cells, or use ``embedding_near_dups`` for LSH blocking.
+
+    Survivor guarantee: no two survivors in the same cell have
+    cos >= threshold (a later one would be dominated by the earlier) —
+    chains may drop more than one-per-pair, exactly like SemDeDup's
+    keep-one-per-cluster-dup-set."""
+    from .similarity import _lite_centroids, assign_cells
+
+    cents = _lite_centroids(emb, vec_col, n_list)
+    if len(cents) == 0:
+        return emb
+    assigned = assign_cells(emb, cents, vec_col)
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell")
+        assigned = (assigned.withColumn("__csz", F.count("*").over(w))
+                    .filter(F.col("__csz") <= max_cell).drop("__csz"))
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("__a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("__b"),
+                        F.col(vec_col).alias("__vb"))
+    dominated = (a.join(b, "cell")
+                 .filter(F.col("__a") < F.col("__b"))
+                 .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+                 .select(F.col("__b").alias(id_col)).distinct())
+    return emb.join(dominated, id_col, "left_anti")
+
+
 # -- benchmark decontamination ---------------------------------------------
 
 def contaminated_ids(corpus: DataFrame, text_col: str, id_col: str,

@@ -164,18 +164,22 @@ def assign_cells(emb: DataFrame, cents: np.ndarray, vec_col: str,
 
 def _cell_expr(cents: np.ndarray, vec_col: str) -> F.Column:
     """argmax over centroid dot products as a JVM expression tree — the
-    per-vector cell assignment, usable both at query time and write time."""
-    cent_arrays = [F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    dots = [F.aggregate(F.zip_with(F.col(vec_col), ca, lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x)
-            for ca in cent_arrays]
-    best = F.lit(0)
-    best_dot = dots[0]
-    for i in range(1, len(cents)):
-        is_better = dots[i] > best_dot
-        best = F.when(is_better, F.lit(i)).otherwise(best)
-        best_dot = F.when(is_better, dots[i]).otherwise(best_dot)
-    return best
+    per-vector cell assignment, usable both at query time and write time.
+
+    Linear-size tree: dots collected into ONE array, argmax =
+    ``array_position(d, array_max(d)) - 1`` (first occurrence — the same
+    first-max tie-break as np.argmax on the matmul path). The obvious
+    chained-``when`` running-max duplicates the accumulator twice per
+    step, so its tree grows 2^n_list — measured OOM of a 1 GB driver at
+    just 16 centroids × 64 dims."""
+    dots = [F.aggregate(
+        F.zip_with(F.col(vec_col),
+                   F.array(*[F.lit(float(x)) for x in c]),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+        for c in cents]
+    d = F.array(*dots)
+    return (F.array_position(d, F.array_max(d)) - 1).cast("int")
 
 
 def _probe_cells(cents: np.ndarray, query_vec: list[float],

@@ -172,6 +172,64 @@ def test_ivf_index_append(spark, emb, tmp_path):
     assert idx.table.read(spark, snapshot_id=snap1).count() == half1.count()
 
 
+def test_semantic_dedup(spark, emb):
+    """SemDeDup over IVF cells: exact-duplicate vectors collapse to the
+    smallest id; survivors within a cell are pairwise below threshold;
+    an all-distinct corpus survives untouched; degenerate-cell cap keeps
+    mass-duplicated vectors from exploding the pair join (they survive
+    conservatively)."""
+    import numpy as np
+
+    from eel_sdk_spark.functions.dedup import cosine, semantic_dedup
+    from eel_sdk_spark.functions.similarity import (_lite_centroids,
+                                                    assign_cells)
+
+    # plant exact duplicates: ids 10_000..10_004 all duplicate vec_id 0
+    base = emb.select("vec_id", "embedding")
+    dup_src = [r["embedding"] for r in
+               base.filter("vec_id = 0").collect()] * 5
+    dups = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in v]) for i, v in enumerate(dup_src)],
+        "vec_id bigint, embedding array<double>")
+    corpus = base.select("vec_id",
+                         F.transform("embedding",
+                                     lambda x: x.cast("double"))
+                         .alias("embedding")).union(dups)
+    out = semantic_dedup(corpus, "vec_id", "embedding",
+                         threshold=0.9999, n_list=8)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in ids and not ids & set(range(10_000, 10_005))
+
+    # survivor property: no same-cell pair at/above threshold
+    cents = _lite_centroids(corpus, "embedding", 8)
+    cells = assign_cells(out, cents, "embedding")
+    sa = cells.select("cell", F.col("vec_id").alias("a"),
+                      F.col("embedding").alias("va"))
+    sb = cells.select("cell", F.col("vec_id").alias("b"),
+                      F.col("embedding").alias("vb"))
+    viol = (sa.join(sb, "cell").filter(F.col("a") < F.col("b"))
+            .filter(cosine(F.col("va"), F.col("vb")) >= 0.9999).count())
+    assert viol == 0
+
+    # synthetic all-distinct corpus: nothing dropped
+    rng = np.random.default_rng(3)
+    distinct = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)])
+         for i in range(200)],
+        "vec_id bigint, embedding array<double>")
+    assert semantic_dedup(distinct, "vec_id", "embedding",
+                          threshold=0.999, n_list=8).count() == 200
+
+    # degenerate cell cap: 3000 identical vectors above max_cell survive
+    # (excluded from pair generation) instead of a k^2 join
+    same = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(3000)],
+        "vec_id bigint, embedding array<double>")
+    kept = semantic_dedup(same, "vec_id", "embedding", threshold=0.9,
+                          n_list=4, max_cell=100).count()
+    assert kept == 3000
+
+
 def test_assign_cells_matmul_matches_expr(spark, emb):
     """The broadcast-matmul assignment (the large-n_list path) must agree
     with the codegen expression tree vector-for-vector — same argmax, same

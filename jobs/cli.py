@@ -111,6 +111,37 @@ def cmd_profile(args) -> None:
         spark.stop()
 
 
+def cmd_history(args) -> None:
+    """Snapshot chain of an encoded table, newest first — Iceberg's
+    ``table.history`` / ``snapshots`` metadata view, from the manifest
+    alone (no Spark session, no data reads). Each line: snapshot id,
+    parent, commit time, file count, and the run ids it carries — the
+    operator's view for picking a --snapshot-id time-travel target."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    snap = tbl.current()
+    if snap is None:
+        raise SystemExit(f"no committed snapshot in {args.warehouse}/{args.table}")
+    n = 0
+    while snap is not None and n < args.max_entries:
+        props = snap.properties or {}
+        sys.stdout.write(json.dumps({
+            "snapshot_id": snap.snapshot_id,
+            "parent_id": snap.parent_id,
+            "committed_at": props.get("committed_at"),
+            "files": len(snap.files),
+            "runs": [r.get("run_id") for r in props.get("runs", [])],
+        }) + "\n")
+        n += 1
+        if snap.parent_id is None:
+            break
+        try:
+            snap = tbl.snapshot(snap.parent_id)
+        except FileNotFoundError:  # expired by gc — chain ends here
+            break
+
+
 def cmd_gc(args) -> None:
     """Table maintenance from the manifest alone, no Spark session:
     expire old snapshots (+ their exclusively-referenced data files) and
@@ -158,10 +189,16 @@ def main(argv=None) -> None:
     pr.add_argument("--source", required=True)
     pr.add_argument("--cols", default=None)
 
+    hi = sub.add_parser("history")
+    hi.add_argument("--warehouse", required=True)
+    hi.add_argument("--table", default="blocks")
+    hi.add_argument("--max-entries", type=int, default=50)
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
-     "gc": cmd_gc, "profile": cmd_profile}[args.cmd](args)
+     "gc": cmd_gc, "profile": cmd_profile,
+     "history": cmd_history}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -141,6 +141,32 @@ def test_banded_parts_are_exact_not_range_filled(spark, tmp_path):
     df.unpersist()
 
 
+def test_cli_history_walks_snapshot_chain(spark, tmp_path, capsys):
+    """`eel history`: newest-first snapshot chain from the manifest alone
+    (Iceberg table.history parity) — and it stops cleanly at a
+    gc-expired parent instead of erroring."""
+    import json as _json
+
+    from jobs.cli import main as cli_main
+
+    df = webtext_df(spark, 300, parts=2)
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    encode_with_checkpoint(spark, df, tbl, n_parts=2, run_id="h1")
+    tbl.compact(spark, 1)  # snapshot 2 (rewrite commit)
+    cli_main(["history", "--warehouse", str(tmp_path)])
+    lines = [_json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [x["snapshot_id"] for x in lines] == [2, 1]
+    assert lines[0]["runs"] == ["h1"] and lines[1]["runs"] == ["h1"]
+    assert lines[0]["parent_id"] == 1 and lines[0]["committed_at"]
+
+    tbl.expire_snapshots(keep_last=1)
+    cli_main(["history", "--warehouse", str(tmp_path)])
+    lines2 = [_json.loads(x) for x in
+              capsys.readouterr().out.strip().splitlines()]
+    assert [x["snapshot_id"] for x in lines2] == [2]  # expired parent: stop
+
+
 def test_lineage_metrics_recorded(spark, tmp_path):
     df = webtext_df(spark, 1000, parts=2)
     tbl = ManifestTable(str(tmp_path), "blocks")

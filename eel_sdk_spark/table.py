@@ -265,6 +265,15 @@ class ManifestTable:
         snap = self.current()
         if by is None and {"part_id", "block_seq", "col"} <= set(df.columns):
             by = ["part_id"]
+            if "part_hi" in df.columns and (
+                    df.filter("part_hi != part_id").limit(1).count() > 0):
+                # BANDED blocks (no-exchange 'local' layout): every task's
+                # anchor is its smallest part — typically part 0 for ALL
+                # of them, so hashing on part_id alone would funnel the
+                # whole table through one writer. The full group key
+                # spreads blocks while still keeping each decode group
+                # (all columns of one block) whole in one file.
+                by = ["part_id", "block_seq", "writer_uid"]
         df = (df.repartition(n_files, *by).sortWithinPartitions(*by)
               if by else df.repartition(n_files))
         job_dir = self.new_data_path()

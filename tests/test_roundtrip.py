@@ -260,6 +260,31 @@ def test_local_mode_content_lineage_no_exchange(spark, corpus):
     assert len(brows) < n_tasks * 8  # strictly fewer than fragmented
 
 
+def test_compact_banded_table_spreads_writers(spark, corpus, tmp_path):
+    """Compacting a BANDED table must not funnel everything through one
+    writer: every banded block's anchor part is typically 0 (each task
+    holds some part-0 rows), so the part_id-only repartition would hash
+    the whole table to one partition. The group-key spread keeps decode
+    groups whole AND produces multiple non-empty files."""
+    from pyspark.sql import functions as F
+
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path), "tb")
+    tbl.write_df(encode_df(corpus, key="url", n_parts=8), "blocks")
+    anchors = {r["part_id"] for r in
+               tbl.read(spark).select("part_id").distinct().collect()}
+    tbl.compact(spark, 4)
+    nonempty = (spark.read.parquet(*tbl.current().files)
+                .groupBy(F.input_file_name()).count().count())
+    # with anchor collapse (|anchors| small) the old part_id hash would
+    # leave exactly |anchors| non-empty files; the group key beats that
+    assert nonempty > min(len(anchors), 3)
+    decoded = ManifestTable(str(tmp_path), "tb").read_decoded(spark, SCHEMA_DDL)
+    assert decoded.count() == N_ROWS
+    assert _mismatches(decoded, corpus, ["warc_ts", "html", "text", "lang"]) == 0
+
+
 def test_sort_by_improves_timestamp_ratio(spark, corpus):
     """Iceberg-style table sort order: sorting rows by warc_ts within each
     part makes the FOR/delta codec bite (sorted deltas << raw range) —

@@ -72,6 +72,41 @@ def test_skipping_impossible_range_drops_everything(spark, blocks):
     assert pruned.count() == 0
 
 
+def test_banded_sort_by_gives_disjoint_key_ranges(spark):
+    """The banded default + value-primary sort_by: within each task the
+    key is fully sorted, so banded block key-ranges are DISJOINT per
+    task and a point predicate keeps ~1 block per task — stat-based
+    lookup pruning without part-aligned files (the lookup story for
+    tables that keep the no-exchange layout)."""
+    from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+    from eel_sdk_spark.encode import (decode_blocks_df, encode_df,
+                                      prune_block_groups)
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        df = webtext_df(spark, 4000, parts=4)
+        blocks = encode_df(df, key="url", n_parts=8,
+                           sort_by=["url"]).cache()
+        n_tasks = blocks.select("writer_uid").distinct().count()
+        total = (blocks.select("part_id", "block_seq", "writer_uid")
+                 .distinct().count())
+        assert total >= n_tasks * 2  # several blocks per task
+        target = df.select("url", "text").collect()[1234]
+        kept = prune_block_groups(blocks, "url", lower_s=target["url"],
+                                  upper_s=target["url"])
+        n_kept = (kept.select("part_id", "block_seq", "writer_uid")
+                  .distinct().count())
+        assert n_kept <= n_tasks, (n_kept, n_tasks, total)
+        row = (decode_blocks_df(kept, SCHEMA_DDL)
+               .filter(F.col("url") == target["url"]).first())
+        assert row is not None and row["text"] == target["text"]
+        blocks.unpersist()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+
+
 def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     """Z-order clustering: with the table sorted by the Morton key of
     (user_id, ts-as-micros), block min/max stats prune block groups on

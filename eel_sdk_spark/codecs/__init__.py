@@ -222,6 +222,14 @@ def _scatter_with_nulls(values: pa.Array, validity: np.ndarray,
 def _int_scatter_special(out: np.ndarray, validity: np.ndarray,
                          typ: pa.DataType) -> pa.Array:
     """Timestamps/dates/bools with nulls: build int array then view/cast."""
+    if pa.types.is_decimal128(typ):
+        from .base import unscaled_to_decimal
+
+        bitmap = pa.py_buffer(
+            np.packbits(validity, bitorder="little").tobytes())
+        return unscaled_to_decimal(
+            out, typ, validity=bitmap,
+            null_count=int(validity.size - np.count_nonzero(validity)))
     arr64 = pa.Array.from_pandas(out.astype(np.int64), mask=~validity, type=pa.int64())
     if pa.types.is_boolean(typ):
         return arr64.cast(pa.bool_())

@@ -90,7 +90,13 @@ INT_KINDS = {
 
 
 def kind_of(typ: pa.DataType) -> str:
-    """'int' | 'float' | 'bytes' | 'other' — selects the codec family."""
+    """'int' | 'float' | 'bytes' | 'other' — selects the codec family.
+
+    Decimals with precision <= 18 route to the int family: their unscaled
+    value fits int64 exactly, so prices/quantities get FOR/delta/dict/RLE
+    instead of the uncompressed plain-IPC fallback (the DecimalType the
+    reference round-trips through parquet INT64/FIXED decimals,
+    ParquetSchemaFns.scala). Wider decimals stay 'other' -> plain."""
     if (
         pa.types.is_integer(typ)
         or pa.types.is_timestamp(typ)
@@ -99,6 +105,8 @@ def kind_of(typ: pa.DataType) -> str:
         or pa.types.is_boolean(typ)
         or pa.types.is_duration(typ)
     ):
+        return "int"
+    if pa.types.is_decimal128(typ) and typ.precision <= 18:
         return "int"
     if pa.types.is_floating(typ):
         return "float"
@@ -127,13 +135,37 @@ def int_view(arr: pa.Array) -> np.ndarray:
         return np.asarray(arr.view(pa.int32())).astype(np.int64)
     if pa.types.is_date64(typ):
         return np.asarray(arr.view(pa.int64()))
+    if pa.types.is_decimal128(typ):
+        # unscaled value: decimal128 stores 16-byte two's-complement
+        # little-endian words; for precision <= 18 (|v| < 2^63) the low
+        # word reinterpreted as int64 IS the value
+        words = np.frombuffer(arr.buffers()[1], dtype="<i8")
+        lo = words[arr.offset * 2:(arr.offset + len(arr)) * 2:2]
+        return np.ascontiguousarray(lo)
     return np.asarray(arr.cast(pa.int64()))
+
+
+def unscaled_to_decimal(lo: np.ndarray, typ: pa.DataType,
+                        validity: "pa.Buffer | None" = None,
+                        null_count: int = 0) -> pa.Array:
+    """int64 unscaled values -> decimal128 array (inverse of the
+    ``int_view`` decimal branch): sign-extend into the high word and
+    interleave into the 16-byte little-endian storage."""
+    lo = lo.astype("<i8", copy=False)
+    words = np.empty(lo.size * 2, dtype="<i8")
+    words[0::2] = lo
+    words[1::2] = np.where(lo < 0, np.int64(-1), np.int64(0))
+    return pa.Array.from_buffers(
+        typ, lo.size, [validity, pa.py_buffer(words.tobytes())],
+        null_count=null_count if validity is not None else 0)
 
 
 def ints_to_arrow(values: np.ndarray, typ: pa.DataType) -> pa.Array:
     """Inverse of :func:`int_view` for a given target arrow type."""
     if pa.types.is_boolean(typ):
         return pa.array(values.astype(bool), type=pa.bool_())
+    if pa.types.is_decimal128(typ):
+        return unscaled_to_decimal(values.astype(np.int64), typ)
     if pa.types.is_timestamp(typ) or pa.types.is_duration(typ) or pa.types.is_time64(typ):
         return pa.array(values.astype(np.int64), type=pa.int64()).view(typ)
     if pa.types.is_date32(typ) or pa.types.is_time32(typ):

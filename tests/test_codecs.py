@@ -204,19 +204,59 @@ def test_byteshuffle_beats_raw_on_embeddings():
 
 
 def test_decimal_and_map_roundtrip():
-    """Decimal + map columns ride the Arrow-IPC plain fallback (the
-    reference's decimal FLBA writer: RecordWriter.scala:178-186)."""
+    """Map columns ride the Arrow-IPC plain fallback; decimals with
+    precision <= 18 route through the INT family on their unscaled
+    int64 value (the reference writes these as parquet INT64/FLBA
+    decimals, RecordWriter.scala:178-186) — lightweight codecs instead
+    of uncompressed IPC."""
     import decimal
     dec = pa.array([decimal.Decimal("123.45"), None,
                     decimal.Decimal("-0.01")], type=pa.decimal128(10, 2))
     h, p, info = encode_column(dec)
-    assert info["codec"] == "plain"
+    assert info["kind"] == "int" and info["codec"] != "plain"
     assert decode_column(h, p).equals(dec)
 
     mp = pa.array([{"a": 1}, None, {"b": 2, "c": 3}],
                   type=pa.map_(pa.string(), pa.int64()))
     h, p, _ = encode_column(mp)
     assert decode_column(h, p).equals(mp)
+
+
+def test_decimal_int_family_roundtrips():
+    """Decimal-as-int coverage: dict on repeats, FOR/delta on sorted
+    prices (tiny output), nulls + negatives + offset slices bit-exact,
+    and precision > 18 stays on the plain fallback (unscaled no longer
+    fits int64)."""
+    import decimal as D
+
+    vals = [None, "12.34", "-99999999.99", "0.01", None, "4500.00",
+            "-0.01"] * 300
+    arr = pa.array([None if v is None else D.Decimal(v) for v in vals],
+                   type=pa.decimal128(12, 2))
+    for sl in (arr, arr.slice(3, 1500)):
+        h, p, info = encode_column(sl)
+        assert info["kind"] == "int"
+        assert decode_column(h, p).equals(sl)
+
+    prices = pa.array([D.Decimal(i) / 100 for i in range(20000)],
+                      type=pa.decimal128(12, 2))
+    h, p, info = encode_column(prices)
+    assert info["codec"] == "for"
+    assert info["enc_bytes"] < 2000  # constant-delta ramp collapses
+    assert decode_column(h, p).equals(prices)
+
+    wide = pa.array([D.Decimal("1.23456789012345678901")] * 100,
+                    type=pa.decimal128(38, 20))
+    h, p, info = encode_column(wide)
+    assert info["codec"] == "plain"
+    assert decode_column(h, p).equals(wide)
+
+    # int64-boundary unscaled values at exactly precision 18
+    edge = pa.array([D.Decimal("9.99999999e9"), D.Decimal("-9.99999999e9"),
+                     D.Decimal(0)], type=pa.decimal128(18, 8))
+    h, p, info = encode_column(edge)
+    assert info["kind"] == "int"
+    assert decode_column(h, p).equals(edge)
 
 
 class TestAlp:

@@ -260,6 +260,30 @@ def test_local_mode_content_lineage_no_exchange(spark, corpus):
     assert len(brows) < n_tasks * 8  # strictly fewer than fragmented
 
 
+def test_decimal_columns_roundtrip_via_int_codecs(spark):
+    """DecimalType end-to-end: precision <= 18 rides the int codec family
+    (FOR here — quantized prices), wider decimals the plain fallback;
+    nulls/negatives exact under null-safe compare."""
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") * 7 % 1000 / 100).cast("decimal(12,2)").alias("price"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(
+            (F.col("id") - 2500) / 100).cast("decimal(10,2)").alias("bal"),
+        F.lit("4500.12345678901234567").cast("decimal(38,18)").alias("wide"))
+    blocks = encode_df(df, key="id", n_parts=4)
+    codecs = {r["col"]: r["codec"] for r in
+              blocks.select("col", "codec").distinct().collect()}
+    assert codecs["price"] != "plain" and codecs["bal"] != "plain"
+    assert codecs["wide"] == "plain"
+    dec = decode_blocks_df(
+        blocks, "id bigint, price decimal(12,2), bal decimal(10,2), "
+                "wide decimal(38,18)")
+    bad = dec.alias("d").join(df.alias("o"), "id").filter(
+        "NOT (d.price <=> o.price) OR NOT (d.bal <=> o.bal) "
+        "OR NOT (d.wide <=> o.wide)").count()
+    assert dec.count() == 5000 and bad == 0
+
+
 def test_compact_banded_table_spreads_writers(spark, corpus, tmp_path):
     """Compacting a BANDED table must not funnel everything through one
     writer: every banded block's anchor part is typically 0 (each task

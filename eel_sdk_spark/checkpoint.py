@@ -263,20 +263,34 @@ def encode_with_checkpoint(
     blocks.write.mode("overwrite").parquet(job_dir)
     files = ManifestTable.list_written_files(job_dir)
 
-    # ONE scan, ONE action over the written blocks: a grouped aggregate on
-    # (file, part_id, col, codec) — cardinality n_files x n_cols x codecs,
-    # tiny — carries everything the run record needs (part ids, rows, byte
-    # totals, codec mix) PLUS the per-file part_id coverage, recorded in
-    # the manifest so point lookups prune files with ZERO I/O (no footer
-    # pass at all). Parquet column pruning keeps the payload bytes unread.
-    # (Previously: isEmpty + min(col) + per-part counts + totals + codec
-    # mix = five scans of the encoded output; at 100 TB that is several
-    # extra passes.)
+    run = _run_record(spark, job_dir, files, run_id,
+                      cur_fp if cur_fp is not None
+                      else input_fingerprint(df, key),
+                      n_parts, salt, salt_by, key)
+    if run is None:
+        return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
+                "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+    snap = tbl.current()
+    runs = (snap.properties.get("runs", []) if snap else []) + [run]
+    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": runs}, mode="append")
+    return run
+
+
+def _run_record(spark, job_dir: str, files: list[str], run_id: str,
+                fingerprint: str, n_parts: int, salt: int,
+                salt_by: str | None, key: str) -> dict | None:
+    """ONE scan, ONE action over freshly-written blocks: a grouped
+    aggregate on (file, parts, col, codec) — cardinality n_files x n_cols
+    x codecs, tiny — carries everything the run record needs (part ids,
+    rows, byte totals, codec mix) PLUS the per-file part coverage,
+    recorded in the manifest so point lookups prune files with ZERO I/O
+    (no footer pass at all). Parquet column pruning keeps the payload
+    bytes unread. Grouping on the EXACT parts array (banded 'local'
+    blocks span a sorted part run; part-aligned blocks carry [part_id])
+    keeps run part_ids and file coverage exact in every layout.
+    Returns None for an empty write."""
     stats = []
     if files:
-        # group on the EXACT parts array (banded 'local' blocks span a
-        # sorted part run; part-aligned blocks carry [part_id]) so run
-        # part_ids and file coverage stay exact in every layout
         stats = (spark.read.parquet(job_dir)
                  .groupBy(F.input_file_name().alias("file"),
                           "parts", "col", "codec")
@@ -286,8 +300,7 @@ def encode_with_checkpoint(
                       F.count("*").alias("cnt"))
                  .collect())
     if not stats:
-        return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
-                "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+        return None
 
     first_col = min(r["col"] for r in stats)
     codec_mix: dict[str, int] = {}
@@ -309,7 +322,7 @@ def encode_with_checkpoint(
     file_parts = {os.path.basename(f): sorted(
         fp_sets.get(os.path.basename(f), set())) for f in files}
 
-    run = {
+    return {
         "run_id": run_id,
         "part_ids": sorted({int(p) for r in stats for p in r["parts"]}),
         "n_rows": sum(int(r["nv"]) for r in stats if r["col"] == first_col),
@@ -321,14 +334,62 @@ def encode_with_checkpoint(
         "col_bytes": col_bytes,
         # basename -> sorted part_id list: manifest-side file pruning
         "file_parts": file_parts,
-        "fingerprint": (cur_fp if cur_fp is not None
-                        else input_fingerprint(df, key)),
+        "fingerprint": fingerprint,
         "n_parts": n_parts,
         "salt": salt,
         "salt_by": salt_by,
         "key": key,
     }
+
+
+def realign_table(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
+                  run_id: str = "realign", n_parts: int | None = None,
+                  profile: str = "speed",
+                  codec_overrides: dict[str, str] | None = None,
+                  sort_by: list | None = None) -> dict:
+    """Layout migration: decode the CURRENT snapshot and re-encode it
+    part-ALIGNED (``shuffle=True``) in one overwrite commit — the
+    "write fast banded now, realign for point-lookup-heavy serving
+    later" path. Banded blocks span parts, so compaction alone can
+    never restore one-part-per-file locality; this is the honest way.
+
+    Partitioning params (key/n_parts/salt) are adopted from the last
+    committed run so part ids — and therefore resume lineage of future
+    appends — stay IDENTICAL; the content fingerprint is recomputed
+    over the decoded rows and must match the committed one (decode is
+    lossless, so a mismatch means the table is not what its lineage
+    claims — abort rather than republish it). Time travel to the
+    pre-realign snapshot keeps working; old files are reclaimed by
+    ``expire_snapshots``."""
     snap = tbl.current()
-    runs = (snap.properties.get("runs", []) if snap else []) + [run]
-    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": runs}, mode="append")
+    if snap is None:
+        raise ValueError("realign_table: no committed snapshot")
+    runs = snap.properties.get("runs", [])
+    if not runs:
+        raise ValueError("realign_table: table has no run lineage")
+    last = runs[-1]
+    key = last.get("key", "url")
+    n_parts = n_parts or last["n_parts"]
+    salt, salt_by = last.get("salt", 1), last.get("salt_by")
+
+    df = tbl.read_decoded(spark, schema_ddl)
+    fp = input_fingerprint(df, key)
+    committed_fp = last.get("fingerprint")
+    if committed_fp is not None and fp != committed_fp:
+        raise ValueError(
+            f"realign_table: decoded fingerprint {fp} != committed "
+            f"{committed_fp} — refusing to republish")
+    from .encode import encode_df
+
+    blocks = encode_df(df, key, n_parts, salt, salt_by, profile=profile,
+                       codec_overrides=codec_overrides, shuffle=True,
+                       sort_by=sort_by)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    files = ManifestTable.list_written_files(job_dir)
+    run = _run_record(spark, job_dir, files, run_id, fp,
+                      n_parts, salt, salt_by, key)
+    if run is None:
+        raise ValueError("realign_table: empty table")
+    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": [run]}, mode="overwrite")
     return run

@@ -142,6 +142,25 @@ def cmd_history(args) -> None:
             break
 
 
+def cmd_realign(args) -> None:
+    """Re-encode the current snapshot part-ALIGNED (one overwrite
+    commit): the migration from the write-fast banded default layout to
+    one-part-per-file locality for point-lookup-heavy serving."""
+    from eel_sdk_spark.checkpoint import realign_table
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="realign")
+    try:
+        run = realign_table(
+            spark, ManifestTable(args.warehouse, args.table), args.schema,
+            run_id=args.run_id,
+            sort_by=args.sort_by.split(",") if args.sort_by else None)
+        sys.stdout.write(json.dumps(run) + "\n")
+    finally:
+        spark.stop()
+
+
 def cmd_gc(args) -> None:
     """Table maintenance from the manifest alone, no Spark session:
     expire old snapshots (+ their exclusively-referenced data files) and
@@ -194,11 +213,21 @@ def main(argv=None) -> None:
     hi.add_argument("--table", default="blocks")
     hi.add_argument("--max-entries", type=int, default=50)
 
+    ra = sub.add_parser("realign")
+    ra.add_argument("--warehouse", required=True)
+    ra.add_argument("--table", default="blocks")
+    ra.add_argument("--schema", required=True,
+                    help="decode DDL of the stored rows")
+    ra.add_argument("--run-id", default="realign")
+    ra.add_argument("--sort-by", default=None,
+                    help="comma-separated table sort order applied during "
+                         "the rewrite")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
-     "history": cmd_history}[args.cmd](args)
+     "history": cmd_history, "realign": cmd_realign}[args.cmd](args)
 
 
 if __name__ == "__main__":

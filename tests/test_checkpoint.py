@@ -490,6 +490,47 @@ def test_local_encode_then_compact_then_manifest_lookup(spark, tmp_path,
     assert len(rows) == 1 and rows[0]["text"] == target["text"]
 
 
+def test_realign_banded_table_to_part_aligned(spark, tmp_path):
+    """Layout migration: banded write-fast table -> realign_table ->
+    part-aligned files with SELECTIVE manifest coverage (a single part's
+    file set shrinks from 'all files' to a strict subset), identical
+    content, identical lineage (a resume of the same input is a no-op),
+    and time travel to the pre-realign snapshot."""
+    from eel_sdk_spark.checkpoint import (point_lookup, prune_files_by_part,
+                                          realign_table)
+
+    df = webtext_df(spark, 2000, parts=4).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "ra")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1")
+    banded_cov = tbl.current().properties["runs"][-1]["file_parts"]
+    banded_kept = prune_files_by_part(tbl.current().files, {3},
+                                      coverage=banded_cov)
+    assert len(banded_kept) == len(tbl.current().files)  # no selectivity
+
+    run = realign_table(spark, tbl, SCHEMA_DDL, run_id="ra1")
+    assert sorted(run["part_ids"]) == list(range(8))
+    snap = tbl.current()
+    aligned_cov = snap.properties["runs"][-1]["file_parts"]
+    aligned_kept = prune_files_by_part(snap.files, {3},
+                                       coverage=aligned_cov)
+    assert 0 < len(aligned_kept) < len(snap.files)  # selective again
+
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == 2000
+    target = df.select("url", "text").collect()[777]
+    row = point_lookup(spark, tbl, target["url"], SCHEMA_DDL).first()
+    assert row is not None and row["text"] == target["text"]
+
+    # lineage intact: resuming the SAME input is a no-op
+    r2 = encode_with_checkpoint(spark, df, tbl, run_id="r2")
+    assert r2["part_ids"] == []
+    # time travel to the banded snapshot still decodes
+    old = tbl.read(spark, snapshot_id=1)
+    assert decode_blocks_df(old, SCHEMA_DDL).count() == 2000
+    df.unpersist()
+
+
 def test_resume_survives_compaction(spark, tmp_path):
     """Operational sequence: partial encode -> compaction (small-file
     maintenance runs on a schedule, not when encodes finish) -> resume.

@@ -95,6 +95,36 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
         F.col(key) == key_value)
 
 
+def compact_coverage(parts: list[int]) -> "list[int] | dict":
+    """Coverage encoding for one file's part set: exact sorted list, or
+    ``{"ranges": [[lo, hi], ...]}`` when collapsing consecutive runs is
+    smaller (banded files cover contiguous runs -> one pair instead of
+    n_parts ints). Range form may only OVER-approximate on the gaps it
+    doesn't have — consumers use it for file pruning, where extra kept
+    files are safe and skipped real ones are not possible."""
+    if len(parts) < 8:
+        return parts
+    ranges = []
+    lo = prev = parts[0]
+    for p in parts[1:]:
+        if p == prev + 1:
+            prev = p
+            continue
+        ranges.append([lo, prev])
+        lo = prev = p
+    ranges.append([lo, prev])
+    return {"ranges": ranges} if 2 * len(ranges) < len(parts) else parts
+
+
+def coverage_overlaps(cov, part_ids: set[int]) -> bool:
+    """Does a file's recorded coverage (exact list OR range form)
+    intersect the wanted parts?"""
+    if isinstance(cov, dict):
+        return any(lo <= p <= hi
+                   for lo, hi in cov.get("ranges", ()) for p in part_ids)
+    return not part_ids.isdisjoint(cov)
+
+
 def prune_files_by_part(files: list[str], part_ids: set[int],
                         max_workers: int = 16,
                         coverage: dict[str, list[int]] | None = None,
@@ -122,7 +152,7 @@ def prune_files_by_part(files: list[str], part_ids: set[int],
         cov = (coverage or {}).get(os.path.basename(f))
         if cov is None:
             need_footer.append(f)
-        elif not part_ids.isdisjoint(cov):
+        elif coverage_overlaps(cov, part_ids):
             kept_manifest.append(f)
     files = need_footer
     if not files:
@@ -314,13 +344,19 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         cb[1] += int(r["enc"])
         fp_sets.setdefault(os.path.basename(r["file"]), set()).update(
             int(p) for p in r["parts"])
-    # exact part membership per file (not a min/max range: AQE can
-    # coalesce several parts into one file, and a range would then match
-    # almost every lookup); total size across files = n_parts entries.
-    # Empty output files (hash-empty partitions) are recorded as [] so
-    # pruning skips them without falling back to a footer read.
-    file_parts = {os.path.basename(f): sorted(
-        fp_sets.get(os.path.basename(f), set())) for f in files}
+    # Part membership per file. Part-ALIGNED files hold few scattered
+    # parts -> exact sorted lists (a min/max range would match almost
+    # every lookup once AQE coalesces parts into a file). BANDED files
+    # hold long contiguous part runs -> the exact list is O(n_parts) PER
+    # FILE, which at 800k files x 10k parts is a multi-GB manifest; those
+    # collapse to {"ranges": [[lo, hi], ...]} (coverage is used for
+    # PRUNING only, so a range over-approximation is safe — it can only
+    # keep extra files, never skip a real one; run part_ids above stays
+    # the exact union regardless). Empty output files (hash-empty
+    # partitions) are recorded as [] so pruning skips them without
+    # falling back to a footer read.
+    file_parts = {os.path.basename(f): compact_coverage(sorted(
+        fp_sets.get(os.path.basename(f), set()))) for f in files}
 
     return {
         "run_id": run_id,

@@ -307,10 +307,14 @@ class ManifestTable:
                     int(r["p"]))
             files = self.list_written_files(job_dir)
             # empty output files (hash-empty partitions) hold NO parts:
-            # record them as [] so pruning skips them without a footer read
+            # record them as [] so pruning skips them without a footer
+            # read; long contiguous sets (banded blocks) collapse to the
+            # range form (see checkpoint.compact_coverage)
+            from .checkpoint import compact_coverage
+
             props["file_parts_extra"] = {
-                _os.path.basename(f): sorted(cov.get(
-                    _os.path.basename(f), [])) for f in files}
+                _os.path.basename(f): compact_coverage(sorted(cov.get(
+                    _os.path.basename(f), []))) for f in files}
             return self.commit(files, snap.schema_ddl, props,
                                mode="overwrite")
         return self.commit(self.list_written_files(job_dir),

@@ -490,6 +490,44 @@ def test_local_encode_then_compact_then_manifest_lookup(spark, tmp_path,
     assert len(rows) == 1 and rows[0]["text"] == target["text"]
 
 
+def test_coverage_range_form_bounds_manifest_size(spark, tmp_path,
+                                                  monkeypatch):
+    """Banded files cover contiguous part runs, so exact per-file part
+    lists are O(n_parts) PER FILE — a multi-GB manifest at 800k files x
+    10k parts. Long contiguous sets collapse to the {"ranges": ...}
+    form; pruning handles both forms and range coverage may only keep
+    EXTRA files, never skip a real one. Footer-free lookups stay green."""
+    from eel_sdk_spark.checkpoint import (compact_coverage,
+                                          coverage_overlaps, point_lookup)
+
+    # unit: collapse + overlap semantics
+    assert compact_coverage([1, 4, 7]) == [1, 4, 7]  # gaps: exact wins
+    assert compact_coverage(list(range(64))) == {"ranges": [[0, 63]]}
+    mixed = compact_coverage(list(range(0, 20)) + list(range(40, 60)))
+    assert mixed == {"ranges": [[0, 19], [40, 59]]}
+    assert coverage_overlaps(mixed, {45}) and not coverage_overlaps(
+        mixed, {30})
+    assert coverage_overlaps([1, 4], {4}) and not coverage_overlaps([], {1})
+
+    # end-to-end: banded run records range coverage; lookup is
+    # manifest-only (parquet footer reads forbidden)
+    df = webtext_df(spark, 2000, parts=4).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "rangecov")
+    encode_with_checkpoint(spark, df, tbl, n_parts=64, run_id="rc1")
+    cov = tbl.current().properties["runs"][-1]["file_parts"]
+    assert any(isinstance(v, dict) for v in cov.values()), cov
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(pq, "ParquetFile",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("footer read")))
+    target = df.select("url", "text").collect()[321]
+    row = point_lookup(spark, tbl, target["url"], SCHEMA_DDL).first()
+    assert row is not None and row["text"] == target["text"]
+    df.unpersist()
+
+
 def test_realign_banded_table_to_part_aligned(spark, tmp_path):
     """Layout migration: banded write-fast table -> realign_table ->
     part-aligned files with SELECTIVE manifest coverage (a single part's

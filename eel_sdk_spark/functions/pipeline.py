@@ -103,13 +103,21 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  dedup_lines: bool = False,
                  benchmark: DataFrame | None = None,
                  bench_text_col: str = "text",
-                 decontam_ngram: int = 13) -> DataFrame:
+                 decontam_ngram: int = 13,
+                 embeddings: DataFrame | None = None,
+                 emb_vec_col: str = "embedding",
+                 emb_threshold: float = 0.95,
+                 emb_n_list: int = 64) -> DataFrame:
     """Returns the cleaned corpus with an added ``split`` column.
 
     ``near_dup_threshold=None`` / ``min_quality=None`` / ``splits=None``
     skip the respective stage; ``dedup_lines=True`` rewrites each doc's
     repeated lines away BEFORE dedup/quality (so boilerplate doesn't mask
-    near-dups); ``benchmark`` enables 13-gram decontamination."""
+    near-dups); ``benchmark`` enables 13-gram decontamination;
+    ``embeddings`` (a (id_col, emb_vec_col) table) enables SemDeDup-style
+    semantic dedup AFTER the lexical near-dup stage — drops docs whose
+    embedding is dominated by a smaller-id cell-mate at cosine >=
+    ``emb_threshold`` (catches paraphrases lexical n-grams miss)."""
     out = df
     if dedup_lines:
         out = out.withColumn(text_col, T.dedup_lines(F.col(text_col)))
@@ -129,6 +137,16 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         else:
             losers = pairs.select(F.col("b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
+    if embeddings is not None:
+        # only surviving docs' embeddings participate (cheaper cells, and
+        # a doc already dropped lexically cannot dominate anyone)
+        surv = dedup.semantic_dedup(
+            embeddings.join(out.select(id_col), id_col, "left_semi"),
+            id_col, emb_vec_col, threshold=emb_threshold,
+            n_list=emb_n_list)
+        dropped = (embeddings.select(id_col)
+                   .join(surv.select(id_col), id_col, "left_anti"))
+        out = out.join(dropped, id_col, "left_anti")
     if min_quality is not None:
         # quality_score is 4dp-rounded; the text_metrics oracle proves both
         # engines agree on it bit-for-bit, so the threshold is deterministic

@@ -40,6 +40,12 @@ def main(argv=None) -> None:
                    help="parquet of benchmark texts for 13-gram "
                         "decontamination")
     p.add_argument("--bench-text-col", default="text")
+    p.add_argument("--embeddings", default=None,
+                   help="parquet of (id_col, embedding) rows: enables the "
+                        "SemDeDup semantic-dedup stage")
+    p.add_argument("--emb-vec-col", default="embedding")
+    p.add_argument("--emb-threshold", type=float, default=0.95)
+    p.add_argument("--emb-n-list", type=int, default=64)
     p.add_argument("--mix", action="append", default=[],
                    help="source=weight mixture targets (repeatable); "
                         "requires a 'source' column")
@@ -66,6 +72,11 @@ def main(argv=None) -> None:
             dedup_lines=args.dedup_lines,
             benchmark=benchmark,
             bench_text_col=args.bench_text_col,
+            embeddings=(spark.read.parquet(args.embeddings)
+                        if args.embeddings else None),
+            emb_vec_col=args.emb_vec_col,
+            emb_threshold=args.emb_threshold,
+            emb_n_list=args.emb_n_list,
             splits=[int(s) for s in args.splits.split(",")],
             split_labels=args.split_labels.split(","))
         if args.mix:

@@ -348,6 +348,32 @@ def test_mix_sources_edges(spark):
     assert none_left.count() == 0
 
 
+def test_clean_corpus_semantic_stage(spark):
+    """Optional SemDeDup stage: two paraphrases share no 3-gram (lexical
+    near-dup misses them) but near-identical embeddings — the semantic
+    stage drops the larger id; docs WITHOUT an embedding are never
+    dropped by it; defaults-off leaves the oracle pipeline unchanged."""
+    from eel_sdk_spark.functions.pipeline import clean_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog at dawn"),
+         (2, "a speedy auburn fox leaps across one sleepy hound by sunrise"),
+         (3, "completely unrelated text about parquet column encodings"),
+         (4, "no embedding for this row but it must survive anyway")],
+        "doc_id bigint, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [1.0, 0.001, 0.0, 0.0]),     # paraphrase of 1
+         (3, [0.0, 1.0, 0.0, 0.0])],
+        "doc_id bigint, embedding array<double>")
+    base = clean_corpus(docs, near_dup_threshold=0.5, min_quality=None)
+    assert base.count() == 4  # lexically all distinct
+    sem = clean_corpus(docs, near_dup_threshold=0.5, min_quality=None,
+                       embeddings=emb, emb_threshold=0.99, emb_n_list=2)
+    ids = {r["doc_id"] for r in sem.select("doc_id").collect()}
+    assert ids == {1, 3, 4}  # 2 dominated by 1; 4 (no embedding) kept
+
+
 def test_pack_and_decontam_empty_inputs(spark):
     """Empty corpora flow through the new operators without errors."""
     from eel_sdk_spark.functions import dedup

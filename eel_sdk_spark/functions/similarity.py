@@ -107,6 +107,11 @@ def _lite_centroids(emb: DataFrame, vec_col: str, n_list: int) -> np.ndarray:
 #: thousands-of-cells regime a 10^12-vector index actually needs.
 ASSIGN_EXPR_MAX = 128
 
+#: the tree size is n_list × dim LITERALS, so wide embeddings hit the
+#: analyzer wall long before ASSIGN_EXPR_MAX (64 cells × 768 dims is
+#: already ~50k literal nodes) — bound the product too.
+ASSIGN_EXPR_MAX_LITERALS = 8192
+
 
 def assign_cells(emb: DataFrame, cents: np.ndarray, vec_col: str,
                  cell_name: str = "cell",
@@ -126,9 +131,14 @@ def assign_cells(emb: DataFrame, cents: np.ndarray, vec_col: str,
       in principle resolve differently — never across a real argmax
       margin.)
 
-    ``method`` forces a strategy (tests); default picks by n_list."""
+    ``method`` forces a strategy (tests); default picks by n_list AND
+    total literal count (n_list × dim)."""
     if method is None:
-        method = "expr" if len(cents) <= ASSIGN_EXPR_MAX else "matmul"
+        cents_arr = np.asarray(cents)
+        literals = cents_arr.shape[0] * (
+            cents_arr.shape[1] if cents_arr.ndim > 1 else 1)
+        method = ("expr" if len(cents) <= ASSIGN_EXPR_MAX
+                  and literals <= ASSIGN_EXPR_MAX_LITERALS else "matmul")
     if method == "expr":
         return emb.withColumn(cell_name, _cell_expr(cents, vec_col))
 

@@ -586,9 +586,14 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
         n_out = 32
     return (
-        # shuffle only what decode needs (stats/metrics columns stay behind)
-        pruned.repartition(n_out, "part_id")
-        .sortWithinPartitions("part_id", "block_seq")
+        # shuffle only what decode needs (stats/metrics columns stay
+        # behind). Regroup on the FULL group key: banded blocks all
+        # anchor at their task's smallest part (typically 0), so a
+        # part_id-only hash would funnel an entire re-read banded table
+        # through one decode task; the 3-key hash keeps each group's
+        # column blocks co-located while spreading groups evenly.
+        pruned.repartition(n_out, "part_id", "block_seq", "writer_uid")
+        .sortWithinPartitions("part_id", "block_seq", "writer_uid")
         .mapInArrow(_decode, schema_ddl)
     )
 

@@ -260,6 +260,31 @@ def test_local_mode_content_lineage_no_exchange(spark, corpus):
     assert len(brows) < n_tasks * 8  # strictly fewer than fragmented
 
 
+def test_banded_storage_reread_decode_spreads_tasks(spark, corpus, tmp_path):
+    """A banded table re-read from parquet loses the grouped tag and takes
+    the regroup path: hashing on part_id alone would send every block to
+    ONE task (all banded anchors are the task-minimum part, typically 0).
+    The full-group-key regroup must spread decode across tasks while
+    staying exact."""
+    import tempfile
+
+    blocks = encode_df(corpus, key="url", n_parts=8)
+    with tempfile.TemporaryDirectory() as d:
+        blocks.write.mode("overwrite").parquet(d)
+        reread = spark.read.parquet(d)
+        anchors = {r["part_id"] for r in
+                   reread.select("part_id").distinct().collect()}
+        decoded = decode_blocks_df(reread, SCHEMA_DDL)
+        n_parts_used = (decoded
+                        .select(F.spark_partition_id().alias("p"))
+                        .distinct().count())
+        # part_id-only hashing would cap tasks at |anchors| (typically 1)
+        assert n_parts_used > min(len(anchors), 2), (n_parts_used, anchors)
+        assert decoded.count() == N_ROWS
+        assert _mismatches(decoded, corpus,
+                           ["warc_ts", "html", "text", "lang"]) == 0
+
+
 def test_decimal_columns_roundtrip_via_int_codecs(spark):
     """DecimalType end-to-end: precision <= 18 rides the int codec family
     (FOR here — quantized prices), wider decimals the plain fallback;

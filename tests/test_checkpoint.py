@@ -528,6 +528,26 @@ def test_coverage_range_form_bounds_manifest_size(spark, tmp_path,
     df.unpersist()
 
 
+def test_coverage_forms_agree_property():
+    """compact_coverage collapses only CONSECUTIVE runs, so the range
+    form is an exact representation: membership answers must be
+    identical to the flat list for every probe — an over-approximating
+    bug here would keep extra files (slow), an under-approximating one
+    would silently skip real data (catastrophic)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eel_sdk_spark.checkpoint import compact_coverage, coverage_overlaps
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sets(st.integers(0, 120)), st.integers(-5, 125))
+    def check(parts, probe):
+        cov = compact_coverage(sorted(parts))
+        assert coverage_overlaps(cov, {probe}) == (probe in parts)
+
+    check()
+
+
 def test_realign_banded_table_to_part_aligned(spark, tmp_path):
     """Layout migration: banded write-fast table -> realign_table ->
     part-aligned files with SELECTIVE manifest coverage (a single part's

@@ -382,7 +382,8 @@ def realign_table(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
                   run_id: str = "realign", n_parts: int | None = None,
                   profile: str = "speed",
                   codec_overrides: dict[str, str] | None = None,
-                  sort_by: list | None = None) -> dict:
+                  sort_by: list | None = None,
+                  verify_fingerprint: bool = True) -> dict:
     """Layout migration: decode the CURRENT snapshot and re-encode it
     part-ALIGNED (``shuffle=True``) in one overwrite commit — the
     "write fast banded now, realign for point-lookup-heavy serving
@@ -409,12 +410,18 @@ def realign_table(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
     salt, salt_by = last.get("salt", 1), last.get("salt_by")
 
     df = tbl.read_decoded(spark, schema_ddl)
-    fp = input_fingerprint(df, key)
+    # the fingerprint check is one EXTRA decode pass over the table (the
+    # frame is recomputed per action) — sound default, skippable at
+    # 100 TB where the rewrite pass itself is already the budget
     committed_fp = last.get("fingerprint")
-    if committed_fp is not None and fp != committed_fp:
-        raise ValueError(
-            f"realign_table: decoded fingerprint {fp} != committed "
-            f"{committed_fp} — refusing to republish")
+    if verify_fingerprint:
+        fp = input_fingerprint(df, key)
+        if committed_fp is not None and fp != committed_fp:
+            raise ValueError(
+                f"realign_table: decoded fingerprint {fp} != committed "
+                f"{committed_fp} — refusing to republish")
+    else:
+        fp = committed_fp
     from .encode import encode_df
 
     blocks = encode_df(df, key, n_parts, salt, salt_by, profile=profile,

@@ -155,7 +155,8 @@ def cmd_realign(args) -> None:
         run = realign_table(
             spark, ManifestTable(args.warehouse, args.table), args.schema,
             run_id=args.run_id,
-            sort_by=args.sort_by.split(",") if args.sort_by else None)
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            verify_fingerprint=not args.no_verify_fingerprint)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()
@@ -222,6 +223,10 @@ def main(argv=None) -> None:
     ra.add_argument("--sort-by", default=None,
                     help="comma-separated table sort order applied during "
                          "the rewrite")
+    ra.add_argument("--no-verify-fingerprint", action="store_true",
+                    help="skip the decoded-content fingerprint check (one "
+                         "extra decode pass; the committed fingerprint is "
+                         "carried forward unchanged)")
 
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,

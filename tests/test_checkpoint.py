@@ -583,6 +583,12 @@ def test_realign_banded_table_to_part_aligned(spark, tmp_path):
     # lineage intact: resuming the SAME input is a no-op
     r2 = encode_with_checkpoint(spark, df, tbl, run_id="r2")
     assert r2["part_ids"] == []
+    # the fingerprint-skip fast path carries the committed one forward
+    run2 = realign_table(spark, tbl, SCHEMA_DDL, run_id="ra2",
+                         verify_fingerprint=False)
+    assert run2["fingerprint"] == run["fingerprint"]
+    r3 = encode_with_checkpoint(spark, df, tbl, run_id="r3")
+    assert r3["part_ids"] == []
     # time travel to the banded snapshot still decodes
     old = tbl.read(spark, snapshot_id=1)
     assert decode_blocks_df(old, SCHEMA_DDL).count() == 2000

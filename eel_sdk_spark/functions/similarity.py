@@ -192,6 +192,65 @@ def _cell_expr(cents: np.ndarray, vec_col: str) -> F.Column:
     return (F.array_position(d, F.array_max(d)) - 1).cast("int")
 
 
+def kmeans(emb: DataFrame, vec_col: str, k: int = 16,
+           max_iter: int = 10, tol: float = 1e-4) -> np.ndarray:
+    """Distributed spherical k-means (full Lloyd iterations — the
+    training counterpart of the one-step ``_lite_centroids`` the IVF
+    index uses when a better codebook is worth k passes).
+
+    Per iteration: one NARROW assignment pass (``assign_cells`` —
+    codegen expression or broadcast matmul, no shuffle of vectors) and
+    one map-side-combinable ``posexplode → groupBy(cell, pos).avg``
+    (only (cell, pos, partial-sum) triples shuffle, never vectors —
+    exactly the ``label_centroids`` scale shape). The k×dim centroid
+    matrix is collected driver-side each round (tiny), renormalized
+    (spherical: assignment is argmax dot = cosine on unit centroids),
+    and the loop stops early when max centroid movement < ``tol``.
+    Empty cells keep their previous centroid. Deterministic end to end
+    (seed-free hash-ordered init)."""
+    sample_rows = (emb.select(vec_col)
+                   .orderBy(F.xxhash64(F.col(vec_col)))
+                   .limit(k * 32).collect())
+    if not sample_rows:
+        return np.empty((0, 0))
+    sample = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    sample = sample / np.clip(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+    k = min(k, len(sample))
+    # farthest-point (k-center greedy) init on the deterministic sample:
+    # hash-ordered seeds can land several centroids inside one true
+    # cluster, and Lloyd cannot split them apart afterwards
+    idx = [0]
+    d = 1.0 - sample @ sample[0]
+    for _ in range(1, k):
+        nxt = int(np.argmax(d))
+        idx.append(nxt)
+        d = np.minimum(d, 1.0 - sample @ sample[nxt])
+    cents = sample[idx]
+    for _ in range(max_iter):
+        assigned = assign_cells(emb, cents, vec_col)
+        rows = (assigned.select(F.col("cell"),
+                                F.posexplode(F.col(vec_col))
+                                .alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect())
+        new = cents.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = r["m"]
+        for c, dims in by_cell.items():
+            for p, m in dims.items():
+                new[c, p] = m
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        new = new / np.clip(norms, 1e-12, None)
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        if moved < tol:
+            break
+    return cents
+
+
 def _probe_cells(cents: np.ndarray, query_vec: list[float],
                  n_probe: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
@@ -236,10 +295,16 @@ class IvfIndex:
 
     @classmethod
     def build(cls, emb: DataFrame, id_col: str, vec_col: str,
-              root: str, name: str, n_list: int = 16) -> "IvfIndex":
+              root: str, name: str, n_list: int = 16,
+              centroids: "np.ndarray | None" = None) -> "IvfIndex":
+        """``centroids`` (unit-norm, e.g. from :func:`kmeans`) overrides
+        the default one-step lite codebook — trained codebooks cluster
+        tighter, so probes at the same n_probe recall more."""
         from ..table import ManifestTable
 
-        cents = _lite_centroids(emb, vec_col, n_list)
+        cents = (np.asarray(centroids, dtype=np.float64)
+                 if centroids is not None
+                 else _lite_centroids(emb, vec_col, n_list))
         if len(cents) == 0:
             raise ValueError("cannot build an IVF index over an empty table")
         assigned = assign_cells(emb, cents, vec_col, cell_name=cls.CELL)

@@ -220,3 +220,49 @@ def line_dup_ratio(col: Column) -> Column:
     n = F.size(lines)
     return F.when(n > 0,
                   1.0 - F.size(F.array_distinct(lines)) / n).otherwise(0.0)
+
+
+def url_host(col: Column) -> Column:
+    """Hostname of a URL column, lowercased — pure JVM
+    ``parse_url``-free regex (parse_url is unsupported under ANSI-safe
+    replays and throws on malformed URLs; crawl data IS malformed).
+    Scheme/userinfo/port/path stripped; bare hosts ('example.com/x')
+    handled; null/empty -> null."""
+    h = F.regexp_extract(col, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@\s]*@)?([^/:?#\s]+)", 1)
+    return F.when(h == "", None).otherwise(F.lower(h))
+
+
+def registered_domain(col: Column, n_labels: int = 2) -> Column:
+    """Last ``n_labels`` host labels ('news.bbc.co.uk' -> 'co.uk' at 2):
+    a cheap eTLD+1 approximation WITHOUT a public-suffix list (which this
+    container can't ship — same honesty contract as the PII shape scrub).
+    Use n_labels=3 for ccTLD-heavy corpora."""
+    host = url_host(col)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.when(host.isNull(), None).when(
+        n >= n_labels,
+        F.concat_ws(".", F.slice(labels, n - n_labels + 1, n_labels))
+    ).otherwise(F.concat_ws(".", labels))
+
+
+def filter_blocked_domains(df, url_col: str, blocklist,
+                           n_labels: int = 2):
+    """Drop rows whose registered domain appears in ``blocklist`` (a
+    DataFrame with a 'domain' column, or an iterable of strings) — the
+    crawl-pipeline deny-list pass.
+
+    Scale shape: the blocklist is small by definition -> broadcast
+    LEFT ANTI join on the extracted domain; the corpus never shuffles
+    and no text moves."""
+    from pyspark.sql import DataFrame as _DF
+
+    dom = registered_domain(F.col(url_col), n_labels).alias("__dom")
+    if not isinstance(blocklist, _DF):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(str(d).lower(),) for d in blocklist], "domain string")
+    bl = blocklist.select(F.lower(F.col("domain")).alias("__dom")).distinct()
+    return (df.withColumn("__dom", dom)
+            .join(F.broadcast(bl), "__dom", "left_anti")
+            .drop("__dom"))

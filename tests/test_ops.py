@@ -774,6 +774,46 @@ def test_substract_alias(spark, music):
         DataStream(music).subtract(elton).size() == 5
 
 
+def test_url_ops_and_domain_blocklist(spark):
+    """url_host/registered_domain on real-world-messy inputs (ports,
+    userinfo, bare hosts, empty/null), and the broadcast-anti deny-list
+    pass — crawl text never shuffles, subdomains of a blocked registered
+    domain are dropped too."""
+    from eel_sdk_spark.functions import text as T
+
+    d = spark.createDataFrame([
+        (1, "https://News.BBC.co.uk:8080/path?q=1"),
+        (2, "http://user:pw@spam.example.com/a"),
+        (3, "example.com/bare"),
+        (4, "ftp://files.archive.org/x"),
+        (5, ""),
+        (6, None),
+        (7, "https://sub.spam.example.com/deep"),
+    ], "id bigint, url string")
+    got = {r["id"]: (r["h"], r["dom"]) for r in d.select(
+        "id", T.url_host(F.col("url")).alias("h"),
+        T.registered_domain(F.col("url")).alias("dom")).collect()}
+    assert got[1] == ("news.bbc.co.uk", "co.uk")
+    assert got[2] == ("spam.example.com", "example.com")
+    assert got[3] == ("example.com", "example.com")
+    assert got[4] == ("files.archive.org", "archive.org")
+    assert got[5] == (None, None) and got[6] == (None, None)
+    # ccTLD-aware depth
+    d3 = d.filter("id = 1").select(
+        T.registered_domain(F.col("url"), 3).alias("x")).first()["x"]
+    assert d3 == "bbc.co.uk"
+
+    kept = T.filter_blocked_domains(d, "url", ["Example.COM"])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4, 5, 6]
+    # plan: deny list broadcasts; the corpus side has no exchange
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # DataFrame-typed blocklist path
+    bl = spark.createDataFrame([("archive.org",)], "domain string")
+    kept2 = T.filter_blocked_domains(d, "url", bl)
+    assert 4 not in {r["id"] for r in kept2.collect()}
+
+
 def test_zorder_single_column_degenerates_to_rank_sort(spark):
     """zorder over ONE column is just a monotone rank of it — ordering by
     the key must order by the column."""

@@ -71,12 +71,20 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     # compaction rewrites files and re-records their coverage here
     coverage.update(snap.properties.get("file_parts_extra", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
-    blocks = spark.read.parquet(*files)
+    # mergeSchema: a table appended onto across layout generations mixes
+    # files WITH and WITHOUT the banded parts/part_hi columns — without
+    # merging, whichever file Spark samples first dictates the schema and
+    # the other generation's rows silently vanish from the filter below
+    blocks = spark.read.option("mergeSchema", "true").parquet(*files)
     if "parts" in blocks.columns:
         # exact membership: banded 'local' blocks span a part run, so
-        # anchor equality would miss parts above the anchor
+        # anchor equality would miss parts above the anchor. Pre-banding
+        # rows read NULL for parts under the merged schema — normalize to
+        # their single-part membership [part_id] instead of dropping them
         want = F.array(*[F.lit(p).cast("int") for p in parts])
-        blocks = blocks.filter(F.arrays_overlap(F.col("parts"), want))
+        membership = F.coalesce(F.col("parts"),
+                                F.array(F.col("part_id")))
+        blocks = blocks.filter(F.arrays_overlap(membership, want))
     else:  # pre-banding table layout
         blocks = blocks.filter(F.col("part_id").isin(*parts))
     # within the part, skip whole BLOCK GROUPS whose key-column min/max

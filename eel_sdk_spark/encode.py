@@ -188,7 +188,10 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
                          .cast("double"))
         else:
             exprs.append(F.col(c).cast("double"))
-    bounds = bounds or {}
+    # copy: scanned min/max are filled in below, and writing them back
+    # into a caller-owned dict would silently pin stale bounds when the
+    # same dict is reused across encodes of different DataFrames
+    bounds = dict(bounds) if bounds else {}
     missing = [(i, e) for i, (c, e) in enumerate(zip(cols, exprs))
                if c not in bounds]
     if missing:
@@ -358,12 +361,18 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
       sort within partitions -> one Python/Arrow stage. One part = one
       output locality; point lookups touch 1/n_parts of the files.
     - ``'local'``: content-derived part_ids WITHOUT the Exchange — only a
-      narrow per-partition sort, so each task emits one block run per
-      part_id it happens to hold. Resume lineage stays fully valid
-      (part assignment is a pure function of the key, not of layout);
-      the cost moved to read side: a part's blocks are spread over up to
-      n_input_partitions files (the manifest's per-file part coverage
-      still prunes point lookups to exactly the files holding the part).
+      narrow per-partition sort, so each task emits banded blocks over
+      whatever parts its slice holds. Resume lineage stays fully valid
+      (part assignment is a pure function of the key, not of layout).
+      The cost moved to the read side, and honestly: part_ids are
+      hash-derived, so unless the INPUT arrives clustered by the key,
+      every ~64k-row batch contains essentially all n_parts — banded
+      blocks/files then cover nearly the full part range and per-file
+      part coverage prunes little; a point lookup degrades toward a
+      full-table decode. Pair banded tables with ``sort_by=[key]``
+      (disjoint per-task key ranges -> block-stats pruning keeps ~1
+      block/task), use ``shuffle=True`` for point-lookup-heavy tables,
+      or write banded now and migrate with ``realign_table`` later.
       At 100 TB this skips writing+reading the entire corpus through
       shuffle storage while keeping lineage portable.
     - ``False``: part_id = the physical input partition (TaskContext),

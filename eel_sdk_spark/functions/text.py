@@ -236,7 +236,16 @@ def registered_domain(col: Column, n_labels: int = 2) -> Column:
     """Last ``n_labels`` host labels ('news.bbc.co.uk' -> 'co.uk' at 2):
     a cheap eTLD+1 approximation WITHOUT a public-suffix list (which this
     container can't ship — same honesty contract as the PII shape scrub).
-    Use n_labels=3 for ccTLD-heavy corpora."""
+    Use n_labels=3 for ccTLD-heavy corpora.
+
+    An EXTRACTOR only — a grouping/reporting key. Do NOT compare a
+    fixed-depth extraction against a deny list: a real crawl mixes TLD
+    depths in one column, so no single ``n_labels`` is right ('bbc.co.uk'
+    in a blocklist can never match the depth-2 extraction 'co.uk', while
+    blocking 'co.uk' itself would drop the whole UK web). Deny lists go
+    through :func:`filter_blocked_domains` / :func:`is_blocked_domain`,
+    which match the blocklist against ALL host suffixes — exact for any
+    blocklist, no PSL needed."""
     host = url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -246,23 +255,84 @@ def registered_domain(col: Column, n_labels: int = 2) -> Column:
     ).otherwise(F.concat_ws(".", labels))
 
 
-def filter_blocked_domains(df, url_col: str, blocklist,
-                           n_labels: int = 2):
-    """Drop rows whose registered domain appears in ``blocklist`` (a
-    DataFrame with a 'domain' column, or an iterable of strings) — the
-    crawl-pipeline deny-list pass.
+#: deny-list matching compares the blocklist against the host's last k
+#: labels for every k up to this depth — deep enough for any real
+#: public-suffix + registrable-domain + subdomain entry
+MAX_SUFFIX_LABELS = 5
 
-    Scale shape: the blocklist is small by definition -> broadcast
-    LEFT ANTI join on the extracted domain; the corpus never shuffles
-    and no text moves."""
+
+def _suffixes_of_host(host: Column,
+                      max_labels: int = MAX_SUFFIX_LABELS) -> Column:
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    ks = F.sequence(F.lit(1), F.least(n, F.lit(max_labels)))
+    sufs = F.transform(
+        ks, lambda k: F.concat_ws(".", F.slice(labels, n - k + 1, k)))
+    empty = F.slice(F.split(F.lit(""), ","), 1, 0)  # typed array<string>
+    return F.when(host.isNull(), empty).otherwise(sufs)
+
+
+def host_suffixes(col: Column, max_labels: int = MAX_SUFFIX_LABELS) -> Column:
+    """All dot-joined suffixes of a URL's host, shortest first
+    ('news.bbc.co.uk' -> ['uk', 'co.uk', 'bbc.co.uk', 'news.bbc.co.uk']),
+    capped at ``max_labels`` labels. Null host -> empty array. Pure
+    Column algebra (sequence + transform + slice — codegen)."""
+    return _suffixes_of_host(url_host(col), max_labels)
+
+
+def is_blocked_domain(col: Column, blocklist: list[str],
+                      max_labels: int = MAX_SUFFIX_LABELS) -> Column:
+    """True when ANY suffix of the URL's host appears in ``blocklist``
+    (a small literal list — for large lists use
+    :func:`filter_blocked_domains`'s broadcast-join form). Suffix
+    matching is exact for any blocklist without a public-suffix list:
+    'badsite.co.uk' blocks 'x.badsite.co.uk' but never 'bbc.co.uk',
+    regardless of TLD depth."""
+    bl = F.array(*[F.lit(str(d).lower()) for d in blocklist])
+    return F.arrays_overlap(host_suffixes(col, max_labels), bl)
+
+
+def filter_blocked_domains(df, url_col: str, blocklist,
+                           max_labels: int = MAX_SUFFIX_LABELS):
+    """Drop rows whose URL host — or ANY parent domain of it — appears in
+    ``blocklist`` (a DataFrame with a 'domain' column, or an iterable of
+    strings): the crawl-pipeline deny-list pass.
+
+    Matching is against all host suffixes, not a fixed-depth extraction
+    (see :func:`registered_domain` for why fixed depth silently breaks
+    on ccTLDs) — exact for any blocklist, no public-suffix list needed.
+
+    Scale shape — the corpus body never shuffles and no text moves:
+
+    1. distinct HOSTS (a narrow shuffle of host strings only — a crawl
+       has orders of magnitude fewer hosts than pages);
+    2. explode each distinct host's <= ``max_labels`` suffixes, semi-join
+       the broadcast blocklist -> the set of blocked hosts ACTUALLY
+       PRESENT in the corpus;
+    3. broadcast LEFT ANTI join the corpus on its host against that set.
+
+    The broadcast in (3) is sound because the matched-host set is
+    deny-list-scale: each blocked host has some suffix in the blocklist,
+    so its size is (entries) x (distinct subdomains of each present in
+    the corpus) — blocklist-bounded for real deny lists. A degenerate
+    entry like 'com' would match half the web; that is a misuse of a
+    deny list, and step (2)'s count is the cheap place to guard it
+    operationally. Rows with unparseable/null hosts are always KEPT
+    (null never equals a join key)."""
     from pyspark.sql import DataFrame as _DF
 
-    dom = registered_domain(F.col(url_col), n_labels).alias("__dom")
     if not isinstance(blocklist, _DF):
         spark = df.sparkSession
         blocklist = spark.createDataFrame(
             [(str(d).lower(),) for d in blocklist], "domain string")
-    bl = blocklist.select(F.lower(F.col("domain")).alias("__dom")).distinct()
-    return (df.withColumn("__dom", dom)
-            .join(F.broadcast(bl), "__dom", "left_anti")
-            .drop("__dom"))
+    bl = blocklist.select(F.lower(F.col("domain")).alias("__suf")).distinct()
+    tagged = df.withColumn("__host", url_host(F.col(url_col)))
+    blocked_hosts = (
+        tagged.select("__host").distinct()
+        .select("__host",
+                F.explode(_suffixes_of_host(F.col("__host"), max_labels))
+                .alias("__suf"))
+        .join(F.broadcast(bl), "__suf", "left_semi")
+        .select("__host").distinct())
+    return (tagged.join(F.broadcast(blocked_hosts), "__host", "left_anti")
+            .drop("__host"))

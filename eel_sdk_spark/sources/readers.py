@@ -301,8 +301,13 @@ class JdbcStoredProcSource:
     ANSI-compliant backends (Derby, Postgres with
     standard_conforming_strings) backslash is a literal character, so
     doubling it would corrupt the value. For dialects where backslash IS
-    an escape character (MySQL with default sql_mode) set
-    ``backslash_escapes=True`` to double backslashes as well. Params are
+    an escape character (MySQL with default sql_mode) backslashes must be
+    doubled too. ``backslash_escapes`` defaults to AUTO (None): the
+    dialect is detected from the JDBC URL prefix (jdbc:mysql /
+    jdbc:mariadb -> True, else ANSI False); pass an explicit bool to
+    override. A backslash-bearing param on an UNRECOGNIZED dialect under
+    auto raises rather than emitting SQL whose meaning depends on a
+    server setting this layer cannot see. Params are
     INLINED — treat ``params`` as trusted values, never raw user input
     (the reference avoids this by server-side binding,
     JdbcStoredProcSource.scala:35-43; Spark's JDBC reader offers no bind
@@ -313,7 +318,30 @@ class JdbcStoredProcSource:
     params: tuple = ()
     properties: dict = field(default_factory=dict)
     fetch_size: int = 1000
-    backslash_escapes: bool = False  # True for MySQL-style dialects
+    # None = auto-detect from the URL; True for MySQL-style dialects
+    backslash_escapes: bool | None = None
+
+    # URL prefixes whose default string syntax treats backslash as an
+    # escape character (everything else on this list-of-knowns is ANSI)
+    _BACKSLASH_DIALECTS = ("jdbc:mysql:", "jdbc:mariadb:")
+    _ANSI_DIALECTS = ("jdbc:derby:", "jdbc:postgresql:", "jdbc:h2:",
+                      "jdbc:sqlite:", "jdbc:oracle:", "jdbc:sqlserver:")
+
+    def _backslash_mode(self) -> bool:
+        if self.backslash_escapes is not None:
+            return self.backslash_escapes
+        url = self.url.lower()
+        if url.startswith(self._BACKSLASH_DIALECTS):
+            return True
+        if url.startswith(self._ANSI_DIALECTS):
+            return False
+        raise ValueError(
+            f"JdbcStoredProcSource: a param contains a backslash and the "
+            f"dialect of {self.url.split(':', 2)[:2]} is not recognized — "
+            f"whether '\\' is an escape char is dialect-dependent, so the "
+            f"generated SQL would silently change meaning; pass "
+            f"backslash_escapes=True (MySQL-style) or False (ANSI) "
+            f"explicitly")
 
     def _literal(self, p) -> str:
         if p is None:
@@ -323,7 +351,9 @@ class JdbcStoredProcSource:
         if isinstance(p, (int, float)):
             return str(p)
         s = str(p)
-        if self.backslash_escapes:
+        # only resolve the dialect when it matters: backslash-free values
+        # render identically under both conventions
+        if "\\" in s and self._backslash_mode():
             s = s.replace("\\", "\\\\")
         s = s.replace("'", "''")
         return f"'{s}'"

@@ -291,10 +291,16 @@ class ManifestTable:
             rewritten = spark.read.parquet(job_dir)
             if "parts" in rewritten.columns:
                 # exact coverage incl. banded blocks (parts is the block's
-                # full membership; part_id alone is just the anchor)
+                # full membership; part_id alone is just the anchor).
+                # Rows from pre-banding files carry NULL parts after the
+                # allowMissingColumns union — normalize to [part_id] or
+                # explode drops them and their file gets EMPTY coverage
+                # (pruned out of every future lookup)
                 rows = (rewritten
                         .select(F.input_file_name().alias("f"),
-                                F.explode("parts").alias("p"))
+                                F.explode(F.coalesce(
+                                    F.col("parts"),
+                                    F.array(F.col("part_id")))).alias("p"))
                         .distinct().collect())
             else:  # pre-banding blocks table
                 rows = (rewritten

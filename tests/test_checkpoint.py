@@ -633,3 +633,70 @@ def test_gc_after_appends_keeps_table_exact(spark, tmp_path):
     out = tbl.expire_snapshots(keep_last=1)
     assert out["expired_snapshots"] == 1 and out["deleted_files"] == 0
     assert decode_blocks_df(tbl.read(spark), SCHEMA_DDL).count() == 1000
+
+
+def test_mixed_generation_table_pre_banding_plus_banded(spark, tmp_path):
+    """A table written BEFORE the banded layout existed (blocks without
+    parts/part_hi) and appended onto by a banded run must stay fully
+    visible: point_lookup normalizes NULL parts to [part_id] under a
+    merged schema, and compaction's coverage rewrite does the same —
+    without the coalesce, old-generation rows silently vanish from
+    lookups and their compacted files get EMPTY coverage (pruned out of
+    every future read)."""
+    from eel_sdk_spark.checkpoint import point_lookup
+    from eel_sdk_spark.encode import PART_COL, encode_df, with_part_id
+
+    n_parts = 8
+    df = webtext_df(spark, 2000, parts=4).cache()
+    df.count()
+    tagged = with_part_id(df, "url", n_parts)
+    old_parts = {0, 1, 2, 3}
+    df_old = tagged.filter(F.col(PART_COL).isin(*old_parts)).drop(PART_COL)
+
+    # generation A: part-aligned blocks with the banded columns REMOVED —
+    # byte-for-byte what a pre-banding release wrote
+    tbl = ManifestTable(str(tmp_path), "mixed")
+    blocks_old = encode_df(df_old, key="url", n_parts=n_parts,
+                           shuffle=True).drop("parts", "part_hi")
+    job_dir = tbl.new_data_path()
+    blocks_old.write.mode("overwrite").parquet(job_dir)
+    files = ManifestTable.list_written_files(job_dir)
+    observed = sorted(r[0] for r in spark.read.parquet(job_dir)
+                      .select("part_id").distinct().collect())
+    old_run = {"run_id": "pre-banding", "part_ids": observed,
+               "n_parts": n_parts, "salt": 1, "salt_by": None, "key": "url"}
+    tbl.commit(files, "", {"runs": [old_run]}, mode="append")
+
+    # generation B: a banded (default-layout) resume of the remaining parts
+    r2 = encode_with_checkpoint(spark, df, tbl, run_id="banded-append",
+                                verify_fingerprint=False)
+    assert set(r2["part_ids"]).isdisjoint(old_parts)
+    assert len(observed) + len(r2["part_ids"]) == n_parts
+
+    # whole-table decode sees both generations
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == 2000
+    assert decoded.select("url").distinct().count() == 2000
+
+    # point lookups hit rows from EACH generation
+    url_old = df_old.select("url").first()["url"]
+    df_new = tagged.filter(~F.col(PART_COL).isin(*old_parts))
+    url_new = df_new.select("url").first()["url"]
+    for u in (url_old, url_new):
+        got = point_lookup(spark, tbl, u, SCHEMA_DDL).collect()
+        assert len(got) == 1 and got[0]["url"] == u
+
+    # compaction rewrites BOTH generations; coverage must keep old rows
+    tbl.compact(spark, 4)
+    cov = tbl.current().properties["file_parts_extra"]
+    from eel_sdk_spark.checkpoint import coverage_overlaps
+    covered = set()
+    for c in cov.values():
+        for p in range(n_parts):
+            if coverage_overlaps(c, {p}):
+                covered.add(p)
+    assert covered == set(range(n_parts))
+    for u in (url_old, url_new):
+        got = point_lookup(spark, tbl, u, SCHEMA_DDL).collect()
+        assert len(got) == 1 and got[0]["url"] == u
+    df.unpersist()

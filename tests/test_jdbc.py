@@ -87,13 +87,25 @@ def test_stored_proc_binding_tokenizer():
     assert bq("SELECT /* eh? */ ? FROM t", (False,)) == \
         "SELECT /* eh? */ FALSE FROM t"
     assert bq("SELECT 'it''s?' , ?", (None,)) == "SELECT 'it''s?' , NULL"
-    # ANSI default (Derby/Postgres): backslash is a literal character —
-    # doubling it would corrupt 'a\b' into 'a\\b' database-side
-    assert bq("x = ?", ("a\\b",)) == "x = 'a\\b'"
+    # backslash handling is dialect-AUTO by default: ANSI backends
+    # (Derby/Postgres) keep the literal backslash — doubling it would
+    # corrupt 'a\b' into 'a\\b' database-side — while MySQL-style URLs
+    # double it; an unrecognized URL + backslash param fails loudly
+    # instead of emitting SQL whose meaning depends on a server setting
+    ansi = JdbcStoredProcSource("jdbc:derby:memory:x", "x = ?",
+                                params=("a\\b",))
+    assert ansi._bound_query() == "x = 'a\\b'"
+    mysql_auto = JdbcStoredProcSource("jdbc:mysql://h/db", "x = ?",
+                                      params=("a\\b",))
+    assert mysql_auto._bound_query() == "x = 'a\\\\b'"
     mysqlish = JdbcStoredProcSource(
         "u", "x = ?", params=("a\\b",), backslash_escapes=True)
     assert mysqlish._bound_query() == "x = 'a\\\\b'"
     import pytest
+    with pytest.raises(ValueError, match="dialect"):
+        bq("x = ?", ("a\\b",))  # url 'u': unknown dialect + backslash
+    # backslash-free params never need the dialect resolved
+    assert bq("x = ?", ("plain",)) == "x = 'plain'"
     with pytest.raises(ValueError, match="more '\\?' placeholders"):
         bq("a = ? AND b = ?", (1,))
     with pytest.raises(ValueError, match="unbound param"):

@@ -814,6 +814,36 @@ def test_url_ops_and_domain_blocklist(spark):
     assert 4 not in {r["id"] for r in kept2.collect()}
 
 
+def test_blocklist_matches_all_suffixes_cctld(spark):
+    """The fixed-depth deny-list sharp edge is closed: at DEFAULT
+    settings a ccTLD blocklist entry ('badsite.co.uk') blocks the site
+    and its subdomains, while sibling ccTLD domains ('bbc.co.uk') — whose
+    depth-2 extraction is the identical 'co.uk' — survive untouched."""
+    from eel_sdk_spark.functions import text as T
+
+    d = spark.createDataFrame([
+        (1, "https://badsite.co.uk/x"),
+        (2, "https://cdn.badsite.co.uk/y"),
+        (3, "https://news.bbc.co.uk/z"),
+        (4, "https://bbc.co.uk/"),
+        (5, "https://badsite.com/us"),
+        (6, "https://notbadsite.co.uk/near-miss"),  # no '.'-boundary match
+    ], "id bigint, url string")
+    kept = T.filter_blocked_domains(d, "url", ["badsite.co.uk"])
+    assert sorted(r["id"] for r in kept.collect()) == [3, 4, 5, 6]
+
+    # the Column-expression form agrees row for row
+    flags = {r["id"]: r["b"] for r in d.select(
+        "id", T.is_blocked_domain(F.col("url"),
+                                  ["badsite.co.uk"]).alias("b")).collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False,
+                     5: False, 6: False}
+
+    sufs = d.filter("id = 3").select(
+        T.host_suffixes(F.col("url")).alias("s")).first()["s"]
+    assert sufs == ["uk", "co.uk", "bbc.co.uk", "news.bbc.co.uk"]
+
+
 def test_zorder_single_column_degenerates_to_rank_sort(spark):
     """zorder over ONE column is just a monotone rank of it — ordering by
     the key must order by the column."""

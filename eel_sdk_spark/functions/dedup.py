@@ -346,7 +346,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
 
 def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
                    threshold: float = 0.95, n_list: int = 64,
-                   max_cell: int | None = 10_000) -> DataFrame:
+                   max_cell: int | None = 10_000,
+                   centroids=None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     technique): cluster embeddings into IVF cells, compare cosine only
     WITHIN a cell, and drop every row that has a smaller-id semantic
@@ -367,10 +368,20 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     Survivor guarantee: no two survivors in the same cell have
     cos >= threshold (a later one would be dominated by the earlier) —
     chains may drop more than one-per-pair, exactly like SemDeDup's
-    keep-one-per-cluster-dup-set."""
+    keep-one-per-cluster-dup-set.
+
+    ``centroids`` — optional explicit codebook (e.g. a
+    :func:`~eel_sdk_spark.functions.similarity.kmeans`-trained one, or
+    the centroids of an existing :class:`IvfIndex` so the dedup's cells
+    line up with the serving index); default is the bounded
+    ``_lite_centroids`` sample."""
+    import numpy as np
+
     from .similarity import _lite_centroids, assign_cells
 
-    cents = _lite_centroids(emb, vec_col, n_list)
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None
+             else _lite_centroids(emb, vec_col, n_list))
     if len(cents) == 0:
         return emb
     assigned = assign_cells(emb, cents, vec_col)

@@ -170,7 +170,6 @@ ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     "having": {"total"},
     "join_multi": {"sum_acctbal"},
     "pivot_case": {"qty_open", "qty_finished"},
-    "take_ordered": {"price"},
     "text_metrics": {"punct_ratio"},
     "tpch_q1": {"sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"},
 }

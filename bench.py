@@ -103,7 +103,14 @@ def run_eelshape(spark) -> dict:
     }
 
 
-def run_scaling() -> dict:
+#: 1-minute load above which the scaling pair is re-run once: the
+#: estimator absorbs co-tenant load on the N side as INFLATED efficiency
+#: (it saturates high, never under-reports — so a loaded box can produce
+#: an unphysical >1.0 headline, as the round-4 driver record did)
+SCALE_LOAD_RETRY = 6.0
+
+
+def _scaling_attempt() -> dict:
     results = {}
     # enough warm samples that BOTH estimators (min and median) settle:
     # co-tenant noise is additive-positive, so min converges fastest, but
@@ -136,14 +143,44 @@ def run_scaling() -> dict:
         "rows": SCALE_ROWS,
         "t_n_sec": t_n,
         "t_4n_sec": t_4n,
-        "t_n_all": results[1]["encode_sec_all"],
-        "t_4n_all": results[4]["encode_sec_all"],
+        # capped: the record must stay within the driver's tail capture
+        "t_n_all": results[1]["encode_sec_all"][:8],
+        "t_4n_all": results[4]["encode_sec_all"][:8],
+        "load_1m_n": [results[1]["load_1m_before"],
+                      results[1]["load_1m_after"]],
+        "load_1m_4n": [results[4]["load_1m_before"],
+                       results[4]["load_1m_after"]],
         "throughput_n_rps": round(SCALE_ROWS / t_n, 1),
         "throughput_4n_rps": round(SCALE_ROWS / t_4n, 1),
-        "efficiency": round(eff, 3),
-        "efficiency_median": round(eff_median, 3),
-        "target": 0.8,
+        "efficiency_raw": round(eff, 3),
+        "efficiency_median_raw": round(eff_median, 3),
     }
+
+
+def run_scaling() -> dict:
+    """Scaling pair with load hygiene: efficiency > 1.0 is physically
+    impossible, so a super-unity raw estimate means the N side ran under
+    co-tenant load (the estimator only ever saturates HIGH). When that
+    happens on a loaded box, one retry is attempted; the REPORTED
+    ``efficiency`` is clamped to 1.0 with the raw value kept alongside,
+    so the headline can never overstate while the record stays honest."""
+    att = _scaling_attempt()
+    attempts = 1
+    loaded = max(att["load_1m_n"] + att["load_1m_4n"]) > SCALE_LOAD_RETRY
+    if att["efficiency_raw"] > 1.0 and loaded:
+        retry = _scaling_attempt()
+        attempts = 2
+        # keep the attempt with the more credible (lower-raw) estimate
+        if retry["efficiency_raw"] < att["efficiency_raw"]:
+            att = retry
+    att.update({
+        "efficiency": round(min(att["efficiency_raw"], 1.0), 3),
+        "efficiency_median": round(min(att["efficiency_median_raw"], 1.0), 3),
+        "attempts": attempts,
+        "load_saturated": att["efficiency_raw"] > 1.0,
+        "target": 0.8,
+    })
+    return att
 
 
 def main() -> None:
@@ -188,11 +225,16 @@ def main() -> None:
     queries_full["decode"] = enc_speed["decode_sec"]
 
     total = round(sum(v for v in queries_full.values() if v), 3)
+    # KEY-ORDER CONTRACT: the driver's capture keeps only the TAIL of
+    # this line when it grows past its window (the round-4 record lost
+    # its per-query section exactly this way), so sections are ordered
+    # least-critical-first — the large per-phase encode detail leads and
+    # the scaling summary + per-query latencies (the verdict-critical
+    # numbers) land at the very end of the line.
     out = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": queries_full,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "encode": {
             "speed": enc_speed,
@@ -201,10 +243,11 @@ def main() -> None:
             "compression": enc_comp,
         },
         "eelshape": eelshape,
-        "scaling": scaling,
         "load_1m": {"start": load_start, "queries": load_queries,
                     "end": round(os.getloadavg()[0], 1)},
         "wall_sec": round(time.monotonic() - t_start, 1),
+        "scaling": scaling,
+        "queries": queries_full,
     }
     print(json.dumps(out))
 

@@ -390,3 +390,40 @@ def test_kmeans_codebook_recall_beats_or_ties_lite(spark, tmp_path):
     assert recalls["km"] >= recalls["lite"], recalls
     # and the trained codebook must be genuinely good, not just relatively
     assert recalls["km"] >= 0.9, recalls
+
+
+def test_semantic_dedup_large_nlist_matmul(spark, monkeypatch):
+    """semantic_dedup at realistic cell counts (VERDICT r4 #5): n_list=512
+    with 32-dim vectors is 16k literals — past both assignment-dispatch
+    bounds, so the cell assignment MUST take the broadcast-matmul path
+    (asserted by poisoning the expression-tree builder), with the
+    max_cell degenerate guard active in the same run. Planted exact
+    duplicates still collapse; the 600-identical-vector degenerate cell
+    survives conservatively instead of exploding the pair join."""
+    import numpy as np
+
+    from eel_sdk_spark.functions import similarity
+    from eel_sdk_spark.functions.dedup import semantic_dedup
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "expression-tree assignment used at n_list=512 — dispatch "
+            "should have picked the broadcast matmul path")
+
+    monkeypatch.setattr(similarity, "_cell_expr", _boom)
+
+    rng = np.random.default_rng(41)
+    dim = 32
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(3000)]
+    # planted exact duplicates of vec_id 0
+    rows += [(10_000 + i, list(rows[0][1])) for i in range(4)]
+    # degenerate mass: 600 identical vectors -> one cell over max_cell
+    rows += [(20_000 + i, [1.0] * dim) for i in range(600)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(emb, "vec_id", "embedding", threshold=0.9999,
+                         n_list=512, max_cell=500)
+    ids = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in ids and not ids & set(range(10_000, 10_004))
+    assert set(range(20_000, 20_600)) <= ids  # capped cell: all survive

@@ -88,11 +88,11 @@ def encode_values(values: pa.Array, kind: str, codec: str,
             return dictionary.encode_bytes(values)
         if codec == "fsst":
             lengths, data = bytes_view(values)
-            merges = None
-            if ctx is not None:
-                merges = ctx.get(("fsst", ctx_key))
-                if merges is None:
-                    merges = fsst.train(data)
+            merges = ctx.get(("fsst", ctx_key)) if ctx is not None else None
+            if merges is None:
+                merges = fsst.train(
+                    data, min_pair_frac=fsst.frac_for_profile(profile))
+                if ctx is not None:
                     ctx[("fsst", ctx_key)] = merges
             return fsst.encode(lengths, data, merges=merges)
         if codec == "raw":
@@ -160,7 +160,7 @@ def encode_column(arr: pa.Array, codec: str | None = None,
     # plain (Arrow IPC) carries nulls inline: feed it the full array
     enc = encode_values(arr if codec == "plain" else values, kind, codec,
                         ctx=ctx, ctx_key=ctx_key, profile=profile)
-    enc = cascade_compress(enc, level=9 if profile == "compression" else 3)
+    enc = cascade_compress(enc, level=3 if profile == "speed" else 9)
     _compress_tables(enc)
 
     enc.params.update({"codec": enc.codec, "kind": kind, "nt": n_total, "nn": n_nulls})

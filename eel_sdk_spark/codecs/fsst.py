@@ -48,6 +48,21 @@ MIN_PAIR_COUNT = 8  # stop when the best pair is this rare in the sample
 # min_pair_frac=0.0 restores exhaustive merging (max-ratio archival).
 MIN_PAIR_FRAC = 0.006
 
+# profile -> merge-stop fraction ladder (measured on webtext, BENCH.md
+# round-5 "FSST preset ladder"): 'compression' sits at the knee where
+# most of the ratio is kept at a fraction of the replay cost;
+# 'archive' merges exhaustively for max ratio (cold data written once,
+# read rarely — replay cost is paid once, bytes are paid forever).
+PROFILE_PAIR_FRAC = {
+    "speed": MIN_PAIR_FRAC,        # selector rarely routes text here
+    "compression": 0.02,  # tuned by the round-5 measurement
+    "archive": 0.0,
+}
+
+
+def frac_for_profile(profile: str) -> float:
+    return PROFILE_PAIR_FRAC.get(profile, MIN_PAIR_FRAC)
+
 
 def _apply_merge(codes: np.ndarray, a: int, b: int, new: int) -> np.ndarray:
     m = np.flatnonzero((codes[:-1] == a) & (codes[1:] == b))

@@ -125,7 +125,7 @@ def _choose_bytes(st: dict, profile: str = "speed") -> str:
     if sample_n and card < sample_n * DICT_CARD_FRACTION:
         # low cardinality: dict; runs of identical values make it stronger
         return "dict"
-    if profile == "compression":
+    if profile in ("compression", "archive"):
         total_bytes_est = avg_len * n
         if (total_bytes_est >= FSST_MIN_BYTES
                 and st.get("byte_skew", 0.0) > 0.75):

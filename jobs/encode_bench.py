@@ -163,7 +163,7 @@ if __name__ == "__main__":
     p.add_argument("--no-decode", action="store_true")
     p.add_argument("--no-ref", action="store_true")
     p.add_argument("--profile", default="speed",
-                   choices=["speed", "compression"])
+                   choices=["speed", "compression", "archive"])
     p.add_argument("--parts", type=int, default=64)
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--no-shuffle", action="store_true")

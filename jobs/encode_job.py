@@ -40,7 +40,7 @@ def main(argv=None) -> None:
                         "encoding toggles of the reference "
                         "(ParquetSink.scala:13-26) as explicit overrides")
     p.add_argument("--profile", default="speed",
-                   choices=["speed", "compression"])
+                   choices=["speed", "compression", "archive"])
     p.add_argument("--shuffle-mode", default="auto",
                    choices=["auto", "true", "local"],
                    help="'local' (the 'auto' default) keeps content-derived "

@@ -401,3 +401,36 @@ class TestGorilla:
         arr = pa.array(vals, type=pa.float32())
         h, p, _ = encode_column(arr, codec="gor")
         assert decode_column(h, p).equals(arr)
+
+
+def test_fsst_profile_ladder_archive_vs_compression():
+    """The profile ladder orders honestly: 'archive' (exhaustive merges)
+    learns at least as many merges and never produces MORE bytes than
+    'compression' (knee-stopped), and both round-trip bit-exactly through
+    the full column path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from eel_sdk_spark.codecs import decode_column, encode_column, fsst
+
+    rng = np.random.default_rng(7)
+    words = ["the", "quick", "brown", "compression", "profile", "ladder",
+             "webtext", "corpus", "symbol", "table"]
+    texts = [" ".join(rng.choice(words, size=30)) + f" #{i}"
+             for i in range(2000)]
+    arr = pa.array(texts, type=pa.large_string())
+
+    data = " ".join(texts).encode()
+    m_arch = fsst.train(data, min_pair_frac=fsst.frac_for_profile("archive"))
+    m_comp = fsst.train(data,
+                        min_pair_frac=fsst.frac_for_profile("compression"))
+    assert len(m_arch) >= len(m_comp) > 0
+
+    sizes = {}
+    for profile in ("compression", "archive"):
+        header, payload, info = encode_column(arr, profile=profile)
+        assert info["codec"] == "fsst"
+        sizes[profile] = len(header) + len(payload)
+        out = decode_column(header, payload)
+        assert out.cast(pa.large_string()).equals(arr)
+    assert sizes["archive"] <= sizes["compression"]

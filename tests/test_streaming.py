@@ -188,3 +188,37 @@ def test_session_aggregate_streaming_matches_batch(spark, sf_dir, tmp_path):
         assert got.agg(F.sum("n_events")).first()[0] == n_events
     finally:
         q.stop()
+
+
+def test_streaming_encode_banded_layout_and_replay(spark, tmp_path):
+    """streaming_encode predates the banded default (VERDICT r4 #8):
+    a micro-batch epoch must now emit BANDED blocks (parts/part_hi
+    columns, spans > 1 part on hash-scattered input) whose union of
+    parts is exactly the batch's content-derived part set, and the
+    epoch-replay watermark must still make a replayed commit a no-op on
+    that layout."""
+    from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+    from eel_sdk_spark.encode import PART_COL, decode_blocks_df, with_part_id
+    from eel_sdk_spark.streaming.pipeline import encode_epoch
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(str(tmp_path), "stream_banded")
+    batch = webtext_df(spark, 800, parts=4)
+    assert encode_epoch(tbl, batch, 0, key="url", n_parts=8) is True
+
+    blocks = spark.read.parquet(*tbl.current().files)
+    assert {"parts", "part_hi"} <= set(blocks.columns)
+    assert blocks.filter("part_hi != part_id").count() > 0  # truly banded
+    got = {r["p"] for r in
+           blocks.select(F.explode("parts").alias("p")).distinct().collect()}
+    want = {r[0] for r in with_part_id(batch, "url", 8)
+            .select(PART_COL).distinct().collect()}
+    assert got == want  # exact parts, never range-filled
+
+    # replayed epoch on the banded layout: no-op, no duplicate rows
+    snap_before = tbl.current().snapshot_id
+    assert encode_epoch(tbl, batch, 0, key="url", n_parts=8) is False
+    assert tbl.current().snapshot_id == snap_before
+    decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
+    assert decoded.count() == 800
+    assert decoded.select("url").distinct().count() == 800

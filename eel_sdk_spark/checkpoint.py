@@ -66,11 +66,33 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
                              .cast("int"))
     parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
     coverage: dict[str, list[int]] = {}
+    key_ranges: dict[str, dict] = {}
     for r in snap.properties.get("runs", []):
         coverage.update(r.get("file_parts", {}))
+        if r.get("key", key) == key:
+            key_ranges.update(r.get("file_key_ranges", {}))
     # compaction rewrites files and re-records their coverage here
     coverage.update(snap.properties.get("file_parts_extra", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
+    # second manifest-side tier: per-file KEY ranges (recorded from the
+    # same commit-time stats scan). Part coverage is vacuous on banded
+    # tables (hash part ids -> every file spans all parts); key ranges
+    # fill that gap whenever the INPUT arrived clustered by the key —
+    # time-ordered appends, monotonic ids, range-partitioned upstreams —
+    # because the no-exchange layout preserves input clustering, so each
+    # file covers a narrow disjoint key slice and a lookup opens ~1 file
+    # with ZERO I/O. On hash-scattered input the ranges overlap and
+    # prune nothing (no harm; block-stats pruning still narrows the
+    # in-file work). Files without a recorded range (old tables,
+    # compacted files, truncated-stats blocks) are conservatively kept.
+    fam = "s" if isinstance(key_value, str) else "i"
+    in_range = []
+    for f in files:
+        rng = key_ranges.get(os.path.basename(f), {}).get(fam)
+        if rng is None or rng[0] <= key_value <= rng[1]:
+            in_range.append(f)
+    # empty parquet read is invalid; keep one file (filter drops all)
+    files = in_range or files[:1]
     # mergeSchema: a table appended onto across layout generations mixes
     # files WITH and WITHOUT the banded parts/part_hi columns — without
     # merging, whichever file Spark samples first dictates the schema and
@@ -335,7 +357,11 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
                  .agg(F.sum("n_values").alias("nv"),
                       F.sum("raw_bytes").alias("raw"),
                       F.sum("enc_bytes").alias("enc"),
-                      F.count("*").alias("cnt"))
+                      F.count("*").alias("cnt"),
+                      F.min("min_s").alias("mns"), F.max("max_s").alias("mxs"),
+                      F.min("min_i").alias("mni"), F.max("max_i").alias("mxi"),
+                      F.count("min_s").alias("cns"),
+                      F.count("min_i").alias("cni"))
                  .collect())
     if not stats:
         return None
@@ -344,14 +370,49 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
     codec_mix: dict[str, int] = {}
     col_bytes: dict[str, list[int]] = {}
     fp_sets: dict[str, set[int]] = {}
+    key_acc: dict[str, dict] = {}
     for r in stats:
         k = f"{r['col']}:{r['codec']}"
         codec_mix[k] = codec_mix.get(k, 0) + int(r["cnt"])
         cb = col_bytes.setdefault(r["col"], [0, 0])
         cb[0] += int(r["raw"])
         cb[1] += int(r["enc"])
-        fp_sets.setdefault(os.path.basename(r["file"]), set()).update(
-            int(p) for p in r["parts"])
+        base = os.path.basename(r["file"])
+        fp_sets.setdefault(base, set()).update(int(p) for p in r["parts"])
+        if r["col"] == key:
+            a = key_acc.setdefault(base, {"cnt": 0, "cns": 0, "cni": 0,
+                                          "mns": None, "mxs": None,
+                                          "mni": None, "mxi": None})
+            a["cnt"] += int(r["cnt"])
+            a["cns"] += int(r["cns"])
+            a["cni"] += int(r["cni"])
+            for lo_k, hi_k in (("mns", "mxs"), ("mni", "mxi")):
+                if r[lo_k] is not None:
+                    a[lo_k] = (r[lo_k] if a[lo_k] is None
+                               else min(a[lo_k], r[lo_k]))
+                if r[hi_k] is not None:
+                    a[hi_k] = (r[hi_k] if a[hi_k] is None
+                               else max(a[hi_k], r[hi_k]))
+    # Per-file KEY RANGE (min..max of the key column across the file's
+    # blocks) — the manifest-side lookup pruner for banded tables whose
+    # input arrives CLUSTERED by the key (time-ordered appends,
+    # monotonic ids, range-partitioned upstreams): the no-exchange
+    # layout preserves input clustering, so files cover disjoint key
+    # slices and a lookup opens ~1 file instead of all of them (part
+    # coverage is vacuous under hash part ids; BENCH.md round-5 lookup
+    # table). On hash-scattered input the ranges overlap harmlessly.
+    # Recorded ONLY when every key block in the file carries stats:
+    # string stats are omitted past 64 chars (parquet-style truncation
+    # would make max an invalid upper bound), and a range built from the
+    # other blocks would wrongly exclude the statless block's keys.
+    # Consumers treat a missing entry as keep — over-approximation safe,
+    # like part coverage.
+    file_key_ranges: dict[str, dict] = {}
+    for base, a in key_acc.items():
+        if a["cnt"] and a["cns"] == a["cnt"] and a["mns"] is not None:
+            file_key_ranges[base] = {"s": [a["mns"], a["mxs"]]}
+        elif a["cnt"] and a["cni"] == a["cnt"] and a["mni"] is not None:
+            file_key_ranges[base] = {"i": [int(a["mni"]), int(a["mxi"])]}
     # Part membership per file. Part-ALIGNED files hold few scattered
     # parts -> exact sorted lists (a min/max range would match almost
     # every lookup once AQE coalesces parts into a file). BANDED files
@@ -378,6 +439,9 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         "col_bytes": col_bytes,
         # basename -> sorted part_id list: manifest-side file pruning
         "file_parts": file_parts,
+        # basename -> {"s"|"i": [lo, hi]} key range: manifest-side lookup
+        # pruning for banded tables (absent entries = keep)
+        "file_key_ranges": file_key_ranges,
         "fingerprint": fingerprint,
         "n_parts": n_parts,
         "salt": salt,

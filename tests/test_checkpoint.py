@@ -700,3 +700,85 @@ def test_mixed_generation_table_pre_banding_plus_banded(spark, tmp_path):
         got = point_lookup(spark, tbl, u, SCHEMA_DDL).collect()
         assert len(got) == 1 and got[0]["url"] == u
     df.unpersist()
+
+
+def test_manifest_key_ranges_prune_banded_lookup(spark, tmp_path):
+    """Per-file KEY ranges (recorded by the commit-time stats scan) make
+    banded tables point-lookup-capable when the INPUT arrives clustered
+    by the key: part coverage is vacuous under hash part ids (every
+    banded file spans all parts), but the no-exchange layout preserves
+    input clustering, so each file covers a disjoint key slice and the
+    manifest alone prunes a lookup to ~1 file with zero I/O. The
+    range-partitioned input here stands in for the common clustered
+    arrivals (time-ordered appends, monotonic ids)."""
+    from eel_sdk_spark.checkpoint import point_lookup
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = (webtext_df(spark, 4000, parts=8)
+          .repartitionByRange(8, "url").cache())
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "kr")
+    run = encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="kr",
+                                 sort_by=["url"])
+    ranges = run["file_key_ranges"]
+    n_files = len(tbl.current().files)
+    assert len(ranges) == n_files  # every file got a string range
+    assert all("s" in v for v in ranges.values())
+
+    # pruning: the ranges are disjoint per task, so a lookup's candidate
+    # set must be well under the full file list
+    urls = [r["url"] for r in
+            df.select("url").orderBy(F.xxhash64("url")).limit(5).collect()]
+    spark.sparkContext.setLogLevel("ERROR")
+    for u in urls:
+        cands = [b for b, v in ranges.items()
+                 if v["s"][0] <= u <= v["s"][1]]
+        assert len(cands) <= max(2, n_files // 4), (u, len(cands), n_files)
+        got = point_lookup(spark, tbl, u, SCHEMA_DDL).collect()
+        assert len(got) == 1 and got[0]["url"] == u
+    assert point_lookup(spark, tbl, "https://no.such/url",
+                        SCHEMA_DDL).count() == 0
+    df.unpersist()
+
+
+def test_key_ranges_skipped_when_stats_truncated(spark, tmp_path):
+    """String stats are omitted past 64 chars (a truncated max is not a
+    valid upper bound) — a file holding any statless key block must get
+    NO recorded range, or the range built from its other blocks would
+    wrongly exclude that block's keys from lookups."""
+    from eel_sdk_spark.checkpoint import point_lookup
+
+    long_url = "https://example.com/" + "x" * 80
+    df = spark.createDataFrame(
+        [(long_url, "long-key doc"), ("https://a.example/1", "short a"),
+         ("https://b.example/2", "short b")],
+        "url string, text string").coalesce(1)
+    ddl = "url string, text string"
+    tbl = ManifestTable(str(tmp_path), "trunc")
+    run = encode_with_checkpoint(spark, df, tbl, n_parts=2, run_id="t")
+    # the tiny table lands in one task -> one file containing the
+    # over-long key: that file must carry no key range
+    assert run["file_key_ranges"] == {}
+    got = point_lookup(spark, tbl, long_url, ddl).collect()
+    assert len(got) == 1 and got[0]["text"] == "long-key doc"
+
+
+def test_manifest_key_ranges_int_key(spark, tmp_path):
+    """Integer keys record {'i': [lo, hi]} ranges and prune lookups the
+    same way (sorted banded layout -> disjoint per-file id ranges)."""
+    from eel_sdk_spark.checkpoint import point_lookup
+
+    # spark.range splits ids into contiguous per-partition slices — the
+    # natural monotonic-id arrival the key-range pruner exists for
+    df = spark.range(0, 20000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    ddl = "doc_id bigint, v string"
+    tbl = ManifestTable(str(tmp_path), "ikr")
+    run = encode_with_checkpoint(spark, df, tbl, key="doc_id", n_parts=16,
+                                 run_id="i", sort_by=["doc_id"])
+    ranges = run["file_key_ranges"]
+    assert ranges and all("i" in v for v in ranges.values())
+    for kv in (0, 7777, 19999):
+        got = point_lookup(spark, tbl, kv, ddl, key="doc_id").collect()
+        assert len(got) == 1 and got[0]["v"] == f"v{kv}"

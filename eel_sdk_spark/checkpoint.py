@@ -73,6 +73,9 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
             key_ranges.update(r.get("file_key_ranges", {}))
     # compaction rewrites files and re-records their coverage here
     coverage.update(snap.properties.get("file_parts_extra", {}))
+    kr_extra = snap.properties.get("file_key_ranges_extra", {})
+    if kr_extra.get("key") == key:
+        key_ranges.update(kr_extra.get("files", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
     # second manifest-side tier: per-file KEY ranges (recorded from the
     # same commit-time stats scan). Part coverage is vacuous on banded

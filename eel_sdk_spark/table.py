@@ -321,6 +321,38 @@ class ManifestTable:
             props["file_parts_extra"] = {
                 _os.path.basename(f): compact_coverage(sorted(cov.get(
                     _os.path.basename(f), []))) for f in files}
+            # re-record per-file KEY ranges too (same contract as the
+            # encode-time file_key_ranges). Ranges stay CORRECT after a
+            # rewrite by construction; their pruning POWER depends on
+            # the rewrite layout — the banded 3-key hash scatters key
+            # clustering, so rewritten ranges typically widen (they can
+            # only over-keep, never wrongly drop a file). Keyed by the
+            # lineage's key column; skipped for tables without runs.
+            runs = snap.properties.get("runs") or []
+            key = runs[-1].get("key") if runs else None
+            if key is not None:
+                kr_rows = (rewritten.filter(F.col("col") == key)
+                           .groupBy(F.input_file_name().alias("f"))
+                           .agg(F.count("*").alias("cnt"),
+                                F.min("min_s").alias("mns"),
+                                F.max("max_s").alias("mxs"),
+                                F.min("min_i").alias("mni"),
+                                F.max("max_i").alias("mxi"),
+                                F.count("min_s").alias("cns"),
+                                F.count("min_i").alias("cni"))
+                           .collect())
+                ranges: dict[str, dict] = {}
+                for r in kr_rows:
+                    base = _os.path.basename(r["f"])
+                    if r["cnt"] and r["cns"] == r["cnt"] \
+                            and r["mns"] is not None:
+                        ranges[base] = {"s": [r["mns"], r["mxs"]]}
+                    elif r["cnt"] and r["cni"] == r["cnt"] \
+                            and r["mni"] is not None:
+                        ranges[base] = {"i": [int(r["mni"]),
+                                              int(r["mxi"])]}
+                props["file_key_ranges_extra"] = {"key": key,
+                                                  "files": ranges}
             return self.commit(files, snap.schema_ddl, props,
                                mode="overwrite")
         return self.commit(self.list_written_files(job_dir),

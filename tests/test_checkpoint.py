@@ -738,6 +738,19 @@ def test_manifest_key_ranges_prune_banded_lookup(spark, tmp_path):
         assert len(got) == 1 and got[0]["url"] == u
     assert point_lookup(spark, tbl, "https://no.such/url",
                         SCHEMA_DDL).count() == 0
+
+    # compaction re-records ranges for the rewritten files (the hash
+    # rewrite widens them — correct, only ever over-keeping); lookups
+    # keep working and the new range map references live basenames
+    tbl.compact(spark, 4)
+    extra = tbl.current().properties["file_key_ranges_extra"]
+    assert extra["key"] == "url"
+    live = {__import__("os").path.basename(f)
+            for f in tbl.current().files}
+    assert set(extra["files"]) <= live and extra["files"]
+    for u in urls[:2]:
+        got = point_lookup(spark, tbl, u, SCHEMA_DDL).collect()
+        assert len(got) == 1 and got[0]["url"] == u
     df.unpersist()
 
 

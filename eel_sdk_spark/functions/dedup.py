@@ -147,6 +147,105 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
             .select("a", "b").distinct())
 
 
+# -- incremental (append-batch) dedup -------------------------------------
+
+def signature_store(df: DataFrame, text_col: str, id_col: str,
+                    n_hashes: int = 8, shingle: int = 3,
+                    hash_family: str = "md5") -> DataFrame:
+    """Per-document dedup state to PERSIST alongside a corpus snapshot:
+    (id, fp, sig_0..sig_{n-1}) — the md5 exact fingerprint plus the
+    MinHash signature row. This is what makes dedup INCREMENTAL at
+    10^12 docs: future batches are checked against this narrow table
+    (~100 bytes/doc) instead of re-reading and re-shingling the corpus
+    text. Docs with no shingles (shorter than the shingle width) keep
+    their fp with null sigs — exact-dedupable, not near-dupable."""
+    fps = df.select(F.col(id_col),
+                    F.md5(F.encode(F.col(text_col), "utf-8")).alias("fp"))
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle,
+                              hash_family)
+    return fps.join(sigs, id_col, "left")
+
+
+def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
+                        text_col: str, id_col: str,
+                        n_hashes: int = 8, band_size: int = 2,
+                        shingle: int = 3, hash_family: str = "md5",
+                        max_bucket: int | None = 1000,
+                        within_batch: bool = True) -> DataFrame:
+    """Ids of NEW-batch docs that duplicate the existing corpus (exact
+    fingerprint match OR an LSH band collision with a stored signature),
+    plus — with ``within_batch`` — duplicates inside the batch itself
+    (keeping the min-id representative, same rule as the batch ops).
+
+    Scale shape, the whole point of the store: the existing corpus
+    contributes ONLY its signature table — its text is never read, never
+    shingled, never shuffled. The exact check joins 16-byte fingerprints;
+    the near check joins (id, band_key) pairs banded FROM THE STORED sig
+    columns; the new batch (small by definition — one crawl increment)
+    is the only side that pays signature computation. ``max_bucket``
+    caps degenerate band buckets on the combined band frame, same guard
+    and same rationale as :func:`minhash_candidate_pairs`.
+
+    Near-dup flags are candidate-level (band collision), exactly like
+    the first phase of :func:`jaccard_pairs` — verify survivors against
+    the flagged docs' text downstream if the use case needs exact
+    Jaccard (the store does not retain text, by design)."""
+    from pyspark.sql import Window
+
+    new_store = signature_store(new_df, text_col, id_col, n_hashes,
+                                shingle, hash_family)
+    exact_hits = (new_store
+                  .join(store.select("fp").distinct(), "fp", "left_semi")
+                  .select(id_col))
+
+    sig_cols = [f"sig_{i}" for i in range(n_hashes)]
+    old_bands = lsh_bands(
+        store.filter(F.col("sig_0").isNotNull())
+        .select(id_col, *sig_cols),
+        id_col, n_hashes, band_size, hash_family)
+    new_bands = lsh_bands(
+        new_store.filter(F.col("sig_0").isNotNull())
+        .select(id_col, *sig_cols),
+        id_col, n_hashes, band_size, hash_family)
+    if max_bucket is not None:
+        # cap on the OLD side: a boilerplate band key shared by millions
+        # of stored docs would otherwise make every matching new doc a
+        # straggler join row (the new side is batch-sized and safe)
+        w = Window.partitionBy("band", "band_key")
+        old_bands = (old_bands.withColumn("__bsz", F.count("*").over(w))
+                     .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
+    near_hits = (new_bands
+                 .join(old_bands.select("band", "band_key").distinct(),
+                       ["band", "band_key"], "left_semi")
+                 .select(id_col))
+
+    flagged = exact_hits.unionByName(near_hits)
+    if within_batch:
+        batch_exact = (new_store.groupBy("fp")
+                       .agg(F.min(id_col).alias("__keep"),
+                            F.collect_set(id_col).alias("__ids"))
+                       .select(F.explode("__ids").alias(id_col), "__keep")
+                       .filter(F.col(id_col) != F.col("__keep"))
+                       .select(id_col))
+        batch_near = (minhash_candidate_pairs(
+            new_df, text_col, id_col, n_hashes, band_size,
+            hash_family=hash_family, max_bucket=max_bucket)
+            .select(F.col("b").alias(id_col)))
+        flagged = (flagged.unionByName(batch_exact)
+                   .unionByName(batch_near))
+    return flagged.distinct()
+
+
+def incremental_dedup(new_df: DataFrame, store: DataFrame,
+                      text_col: str, id_col: str, **kwargs) -> DataFrame:
+    """The append-batch clean pass: drop every new doc flagged by
+    :func:`incremental_dup_ids`, return the survivors (whose
+    ``signature_store`` rows the caller unions into the persisted store
+    for the next increment). Anti-join on ids only — no text moves."""
+    bad = incremental_dup_ids(new_df, store, text_col, id_col, **kwargs)
+    return new_df.join(bad, id_col, "left_anti")
+
+
 # -- n-gram jaccard -------------------------------------------------------
 
 def ngram_set(col: Column, n: int = 3) -> Column:

@@ -898,3 +898,54 @@ def test_zorder_precomputed_bounds_skip_the_scan(spark):
     # partial bounds -> only the missing column is scanned (still runs)
     k2 = zorder_key(df, ["x", "y"], bounds={"x": (0.0, 199.0)})
     assert df.withColumn("z", k2).count() == 200
+
+
+def test_incremental_dedup_against_signature_store(spark):
+    """Append-batch dedup: the existing corpus contributes ONLY its
+    persisted signature table (fp + minhash sigs) — new batches are
+    checked against it without re-reading corpus text. Exact dups flag
+    via fingerprint, near dups via LSH band collision with stored sigs,
+    within-batch dups keep the min id, and short docs (no shingles)
+    still exact-dedup through their null-sig store rows."""
+    from eel_sdk_spark.functions.dedup import (
+        incremental_dedup, incremental_dup_ids, signature_store)
+
+    long_a = ("the quick brown fox jumps over the lazy dog again and "
+              "again while the rain in spain stays mainly on the plain")
+    long_b = ("completely different content about distributed columnar "
+              "encoding engines and their manifest snapshot tables")
+    v1 = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, "tiny")],
+        "doc_id bigint, text string")
+    store = signature_store(v1, "text", "doc_id")
+    # short doc: fp present, sigs null (shorter than the shingle width)
+    srow = {r["doc_id"]: r for r in store.collect()}
+    assert srow[3]["fp"] is not None and srow[3]["sig_0"] is None
+    assert srow[1]["sig_0"] is not None
+
+    new = spark.createDataFrame(
+        [(10, long_a),             # exact dup of stored doc 1
+         (11, long_a + "  "),      # near dup: same token set, new fp
+         (12, "fresh unique text never seen before in any batch here"),
+         (13, "fresh unique text never seen before in any batch here"),
+         (14, "tiny"),             # exact dup of stored SHORT doc
+         (15, "brand new document full of original words entirely")],
+        "doc_id bigint, text string")
+    flagged = {r["doc_id"] for r in
+               incremental_dup_ids(new, store, "text", "doc_id").collect()}
+    # 10 exact, 11 near (identical shingle set -> every band collides),
+    # 13 within-batch exact dup of 12 (min id 12 survives), 14 via fp
+    assert flagged == {10, 11, 13, 14}
+    kept = {r["doc_id"] for r in
+            incremental_dedup(new, store, "text", "doc_id").collect()}
+    assert kept == {12, 15}
+
+    # survivors' signatures union into the store for the next increment
+    nxt = store.unionByName(signature_store(
+        new.filter(F.col("doc_id").isin(12, 15)), "text", "doc_id"))
+    again = {r["doc_id"] for r in incremental_dup_ids(
+        spark.createDataFrame([(20, long_a), (21, "brand new document "
+                               "full of original words entirely")],
+                              "doc_id bigint, text string"),
+        nxt, "text", "doc_id").collect()}
+    assert again == {20, 21}  # both now duplicate the grown store

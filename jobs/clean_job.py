@@ -46,6 +46,16 @@ def main(argv=None) -> None:
     p.add_argument("--emb-vec-col", default="embedding")
     p.add_argument("--emb-threshold", type=float, default=0.95)
     p.add_argument("--emb-n-list", type=int, default=64)
+    p.add_argument("--against-store", default=None,
+                   help="parquet signature store of the EXISTING corpus: "
+                        "drop new docs that exact- or near-duplicate it "
+                        "before cleaning (incremental append mode — the "
+                        "old corpus text is never read, only its ~100 "
+                        "B/doc fp+minhash table)")
+    p.add_argument("--write-store", default=None,
+                   help="write the cleaned output's signature store here "
+                        "(unioned with --against-store when given) for "
+                        "the next increment")
     p.add_argument("--mix", action="append", default=[],
                    help="source=weight mixture targets (repeatable); "
                         "requires a 'source' column")
@@ -60,6 +70,13 @@ def main(argv=None) -> None:
     try:
         df = spark.read.parquet(args.input)
         n_in = df.count()
+        n_after_store = None
+        if args.against_store:
+            from eel_sdk_spark.functions.dedup import incremental_dedup
+
+            df = incremental_dedup(df, spark.read.parquet(args.against_store),
+                                   args.text_col, args.id_col)
+            n_after_store = df.count()
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
         out = clean_corpus(
@@ -86,15 +103,30 @@ def main(argv=None) -> None:
                 weights[k] = float(v)
             out = mix_sources(out, "source", weights, id_col=args.id_col)
         out.write.mode("overwrite").partitionBy("split").parquet(args.output)
-        kept = spark.read.parquet(args.output)
+        try:
+            kept = spark.read.parquet(args.output)
+        except Exception:
+            # a fully-duplicate increment cleans down to ZERO rows: the
+            # written dir has no part files to infer a schema from —
+            # legitimate in incremental mode, not an error
+            kept = out.limit(0)
+        if args.write_store:
+            from eel_sdk_spark.functions.dedup import signature_store
+
+            st = signature_store(kept, args.text_col, args.id_col)
+            if args.against_store:
+                st = spark.read.parquet(args.against_store).unionByName(st)
+            st.write.mode("overwrite").parquet(args.write_store)
         per_split = {r["split"]: r["n"] for r in
                      kept.groupBy("split").count()
                      .withColumnRenamed("count", "n").collect()}
         sys.stdout.write(json.dumps({
             "rows_in": n_in,
+            "rows_after_store_dedup": n_after_store,
             "rows_out": sum(per_split.values()),
             "per_split": per_split,
             "output": args.output,
+            "store": args.write_store,
         }) + "\n")
     finally:
         spark.stop()

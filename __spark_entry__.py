@@ -1298,9 +1298,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 4)
                   >= 0.3""",
+        # + 0.0 normalizes IEEE negative zero: DuckDB's round() keeps the
+        # sign of a tiny negative average (-1e-6 -> -0.0) while Spark's
+        # BigDecimal round cannot represent -0 — at sf0.1 four centroid
+        # components land exactly there and the value hash distinguishes
+        # "-0" from "0"
         "label_centroids": """
             SELECT label, (i - 1)::INTEGER AS pos,
-                   round(avg(embedding[i]::DOUBLE), 4) AS value
+                   round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS value
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY label, pos""",
         # mirrors mix_sources' arithmetic OP FOR OP (share, feasible,

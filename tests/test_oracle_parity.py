@@ -181,3 +181,26 @@ def test_entry_smoke(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["rows_joined"] == r["text_matches"] == r["html_matches"]
+
+
+def test_shipped_oracles_emit_no_negative_zero(ddb):
+    """Audit for the r5 sf0.1 finding: DuckDB round() preserves IEEE
+    -0.0 on tiny negative aggregates, Spark's BigDecimal round cannot
+    produce it, and the driver hash renders '-0' != '0'. No shipped
+    oracle may emit a -0.0 at the gate's scale factor; an oracle that
+    legitimately needs one must normalize (+ 0.0) or be whitelisted
+    here after verifying the Spark twin emits it too."""
+    import numpy as np
+
+    flagged = []
+    for name, sql in sorted(ORACLES.items()):
+        duck_pd = ddb.sql(sql).df()
+        for c in duck_pd.columns:
+            if duck_pd[c].dtype.kind != "f":
+                continue
+            col = duck_pd[c].dropna().to_numpy()
+            if ((col == 0) & np.signbit(col)).any():
+                flagged.append(f"{name}.{c}")
+    assert not flagged, (
+        f"oracle column(s) emitting IEEE -0.0 (Spark round() cannot "
+        f"match it — normalize with + 0.0): {flagged}")

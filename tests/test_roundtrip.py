@@ -355,3 +355,23 @@ def test_sort_by_improves_timestamp_ratio(spark, corpus):
     n_ok = j.filter(F.col("d.text").eqNullSafe(F.col("o.text"))
                     & F.col("d.warc_ts").eqNullSafe(F.col("o.warc_ts"))).count()
     assert n_ok == corpus.count()
+
+
+def test_archive_profile_roundtrip_and_size_ordering(spark, corpus):
+    """The 'archive' profile (exhaustive FSST merges, round 5) through
+    the FULL pipeline: bit-exact round-trip, and encoded bytes <=
+    the 'compression' profile's on the same corpus."""
+    sizes = {}
+    for profile in ("compression", "archive"):
+        blocks = encode_df(corpus, key="url", n_parts=4, profile=profile)
+        blocks = blocks.cache()
+        sizes[profile] = blocks.agg(F.sum("enc_bytes")).first()[0]
+        decoded = decode_blocks_df(blocks, SCHEMA_DDL)
+        assert decoded.count() == corpus.count()
+        bad = (decoded.alias("d").join(corpus.alias("o"), "url")
+               .filter(~F.col("d.text").eqNullSafe(F.col("o.text"))
+                       | ~F.col("d.html").eqNullSafe(F.col("o.html")))
+               .count())
+        assert bad == 0
+        blocks.unpersist()
+    assert sizes["archive"] <= sizes["compression"], sizes

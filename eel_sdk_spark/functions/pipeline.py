@@ -107,7 +107,8 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  embeddings: DataFrame | None = None,
                  emb_vec_col: str = "embedding",
                  emb_threshold: float = 0.95,
-                 emb_n_list: int = 64) -> DataFrame:
+                 emb_n_list: int = 64,
+                 emb_centroids=None) -> DataFrame:
     """Returns the cleaned corpus with an added ``split`` column.
 
     ``near_dup_threshold=None`` / ``min_quality=None`` / ``splits=None``
@@ -117,7 +118,11 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     ``embeddings`` (a (id_col, emb_vec_col) table) enables SemDeDup-style
     semantic dedup AFTER the lexical near-dup stage — drops docs whose
     embedding is dominated by a smaller-id cell-mate at cosine >=
-    ``emb_threshold`` (catches paraphrases lexical n-grams miss)."""
+    ``emb_threshold`` (catches paraphrases lexical n-grams miss);
+    ``emb_centroids`` forwards an explicit codebook to the semantic
+    stage (e.g. ``kmeans``-trained, or an IvfIndex's centroids so dedup
+    cells line up with the serving index — see the BENCH.md recall
+    table for when training pays)."""
     out = df
     if dedup_lines:
         out = out.withColumn(text_col, T.dedup_lines(F.col(text_col)))
@@ -143,7 +148,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         surv = dedup.semantic_dedup(
             embeddings.join(out.select(id_col), id_col, "left_semi"),
             id_col, emb_vec_col, threshold=emb_threshold,
-            n_list=emb_n_list)
+            n_list=emb_n_list, centroids=emb_centroids)
         dropped = (embeddings.select(id_col)
                    .join(surv.select(id_col), id_col, "left_anti"))
         out = out.join(dropped, id_col, "left_anti")

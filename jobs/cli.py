@@ -92,7 +92,27 @@ def cmd_analyze_table(args) -> None:
         "col_ratio": {c: round(r0 / e0, 2) if e0 else None
                       for c, (r0, e0) in sorted(cols.items())},
         "part_ids": sorted({p for r in runs for p in r.get("part_ids", [])}),
+        # point-lookup readiness: how many files carry manifest key
+        # ranges, and how disjoint those ranges are (1.0 = perfectly
+        # clustered -> a lookup opens ~1 file; ~0 = hash-scattered ->
+        # ranges prune nothing and realign/shuffle=True is the lever)
+        "key_ranges": _key_range_stats(runs, snap.properties),
     }) + "\n")
+
+
+def _key_range_stats(runs: list, props: dict) -> dict:
+    ranges = {}
+    for r in runs:
+        ranges.update(r.get("file_key_ranges", {}))
+    extra = props.get("file_key_ranges_extra", {})
+    ranges.update(extra.get("files", {}))
+    spans = sorted((v[k][0], v[k][1]) for v in ranges.values()
+                   for k in ("s", "i") if k in v)
+    disjoint = None
+    if len(spans) > 1:
+        ok = sum(1 for (a, b) in zip(spans, spans[1:]) if a[1] <= b[0])
+        disjoint = round(ok / (len(spans) - 1), 3)
+    return {"ranged_files": len(spans), "disjoint_frac": disjoint}
 
 
 def cmd_profile(args) -> None:

@@ -171,7 +171,8 @@ def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
                         n_hashes: int = 8, band_size: int = 2,
                         shingle: int = 3, hash_family: str = "md5",
                         max_bucket: int | None = 1000,
-                        within_batch: bool = True) -> DataFrame:
+                        within_batch: bool = True,
+                        verify_threshold: float | None = None) -> DataFrame:
     """Ids of NEW-batch docs that duplicate the existing corpus (exact
     fingerprint match OR an LSH band collision with a stored signature),
     plus — with ``within_batch`` — duplicates inside the batch itself
@@ -186,10 +187,13 @@ def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
     caps degenerate band buckets on the combined band frame, same guard
     and same rationale as :func:`minhash_candidate_pairs`.
 
-    Near-dup flags are candidate-level (band collision), exactly like
-    the first phase of :func:`jaccard_pairs` — verify survivors against
-    the flagged docs' text downstream if the use case needs exact
-    Jaccard (the store does not retain text, by design)."""
+    Near-dup flags AGAINST THE STORE are candidate-level (band
+    collision), exactly like the first phase of :func:`jaccard_pairs` —
+    the store retains no text, by design, so exact verification there
+    needs a downstream join against the flagged docs' text.
+    WITHIN the batch both texts are at hand: ``verify_threshold`` runs
+    the full LSH->Jaccard two-phase there (drop b only when
+    jaccard >= threshold) instead of candidate-level flagging."""
     from pyspark.sql import Window
 
     new_store = signature_store(new_df, text_col, id_col, n_hashes,
@@ -227,10 +231,17 @@ def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
                        .select(F.explode("__ids").alias(id_col), "__keep")
                        .filter(F.col(id_col) != F.col("__keep"))
                        .select(id_col))
-        batch_near = (minhash_candidate_pairs(
-            new_df, text_col, id_col, n_hashes, band_size,
-            hash_family=hash_family, max_bucket=max_bucket)
-            .select(F.col("b").alias(id_col)))
+        if verify_threshold is not None:
+            batch_near = (jaccard_pairs(
+                new_df, text_col, id_col, threshold=verify_threshold,
+                n_hashes=n_hashes, band_size=band_size,
+                max_bucket=max_bucket)
+                .select(F.col("b").alias(id_col)))
+        else:
+            batch_near = (minhash_candidate_pairs(
+                new_df, text_col, id_col, n_hashes, band_size,
+                hash_family=hash_family, max_bucket=max_bucket)
+                .select(F.col("b").alias(id_col)))
         flagged = (flagged.unionByName(batch_exact)
                    .unionByName(batch_near))
     return flagged.distinct()

@@ -949,3 +949,32 @@ def test_incremental_dedup_against_signature_store(spark):
                               "doc_id bigint, text string"),
         nxt, "text", "doc_id").collect()}
     assert again == {20, 21}  # both now duplicate the grown store
+
+
+def test_incremental_within_batch_jaccard_verify(spark):
+    """verify_threshold upgrades within-batch near-dup flags from
+    candidate-level (band collision) to exact Jaccard: a same-token-set
+    doc is still dropped, while a partial-overlap doc that merely
+    shares a band survives verification."""
+    from eel_sdk_spark.functions.dedup import incremental_dup_ids
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    partial = ("alpha beta gamma delta epsilon zeta eta theta completely "
+               "different tail of this document goes its own way here now")
+    new = spark.createDataFrame(
+        [(1, base), (2, base + "  "), (3, partial)],
+        "doc_id bigint, text string")
+    empty_store = spark.createDataFrame(
+        [], "doc_id bigint, fp string, sig_0 string, sig_1 string, "
+            "sig_2 string, sig_3 string, sig_4 string, sig_5 string, "
+            "sig_6 string, sig_7 string")
+    flagged = {r["doc_id"] for r in incremental_dup_ids(
+        new, empty_store, "text", "doc_id",
+        verify_threshold=0.9).collect()}
+    assert flagged == {2}
+    # candidate-level (unverified) flags the partial-overlap doc too if
+    # it shares a band; at minimum the verified set is a subset
+    cand = {r["doc_id"] for r in incremental_dup_ids(
+        new, empty_store, "text", "doc_id").collect()}
+    assert flagged <= cand

@@ -91,6 +91,52 @@ def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
     return df.filter(cond if cond is not None else F.lit(False))
 
 
+def weighted_sample(df: DataFrame, weight_col: str, target_frac: float,
+                    id_col: str = "doc_id",
+                    epsilon: float = 1e-9) -> DataFrame:
+    """Quality-weighted deterministic downsampling: keep each row with
+    probability proportional to ``weight_col`` (e.g. its host's
+    PageRank from :func:`~eel_sdk_spark.functions.graph.
+    host_rank_weights`, or a quality score), scaled so the EXPECTED
+    kept fraction is ``target_frac``. Membership is the same md5 bucket
+    of the id as :func:`mix_sources` / ``hash_split`` — stable across
+    runs, cluster sizes, and row order, never RNG.
+
+    High weights saturate (keep probability clamps at 1), which would
+    leave the realized fraction under target; ONE rescale pass computes
+    the clamped expectation on the weight column alone (two narrow
+    aggregates total — the corpus body never shuffles) and re-scales
+    the unclamped mass to compensate. If even keeping every positive-
+    weight row cannot reach ``target_frac`` (mass too concentrated),
+    the result honestly under-fills rather than duplicating rows.
+    Null/negative weights are treated as 0 (never kept)."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError("target_frac must be in (0, 1]")
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("double"),
+                              F.lit(0.0)), F.lit(0.0))
+    mean_w = df.agg(F.avg(w)).first()[0] or 0.0
+    if mean_w <= 0.0:
+        return df.filter(F.lit(False))
+    scale = target_frac / mean_w
+    # expectation under the clamp, then one corrective rescale of the
+    # unclamped (p < 1) mass
+    row = df.agg(
+        F.avg(F.least(w * scale, F.lit(1.0))).alias("e"),
+        F.avg(F.when(w * scale < 1.0, w * scale)
+              .otherwise(F.lit(0.0))).alias("e_unclamped"),
+        F.avg(F.when(w * scale >= 1.0, F.lit(1.0))
+              .otherwise(F.lit(0.0))).alias("e_clamped")).first()
+    deficit = target_frac - row["e"]
+    boost = 1.0
+    if deficit > 0 and row["e_unclamped"] > 0:
+        boost = 1.0 + deficit / row["e_unclamped"]
+    p = F.least(w * scale * boost, F.lit(1.0))
+    bucket = F.pmod(F.conv(F.substring(
+        F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")), 1, 8),
+        16, 10).cast("long"), F.lit(1_000_000)) / 1_000_000.0
+    return df.filter(bucket < p + epsilon)
+
+
 def clean_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  exact: bool = True,

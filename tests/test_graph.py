@@ -100,3 +100,59 @@ def test_host_rank_weights_end_to_end(spark):
     joined = (df.withColumn("host", url_host(F.col("url")))
               .join(w, "host", "left"))
     assert joined.filter(F.col("rank").isNull()).count() == 0
+
+
+def test_weighted_sample_hits_target_and_prefers_heavy(spark):
+    """Deterministic rank-weighted downsampling: realized fraction lands
+    near target even with saturating heavy weights (the rescale pass),
+    heavy rows are kept at much higher rates than light ones, and
+    membership is layout-independent."""
+    from eel_sdk_spark.functions.pipeline import weighted_sample
+
+    rows = [(i, 10.0 if i % 100 == 0 else 1.0) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = weighted_sample(df, "w", target_frac=0.3)
+    n = out.count()
+    assert 0.27 < n / 20_000 < 0.33, n
+    kept_heavy = out.filter("w = 10.0").count() / 200
+    kept_light = out.filter("w = 1.0").count() / 19_800
+    assert kept_heavy == 1.0  # saturated: every heavy row kept
+    assert kept_heavy > 2.5 * kept_light
+    # deterministic across physical layout
+    again = weighted_sample(df.repartition(13), "w", target_frac=0.3)
+    assert out.select("doc_id").exceptAll(
+        again.select("doc_id")).count() == 0
+
+    # degenerate: all-zero weights keep nothing; target_frac=1 keeps all
+    z = spark.createDataFrame([(1, 0.0), (2, None)],
+                              "doc_id bigint, w double")
+    assert weighted_sample(z, "w", 0.5).count() == 0
+    assert weighted_sample(df, "w", 1.0).count() == 20_000
+
+
+def test_rank_weighted_curation_composes(spark):
+    """The full quality-weighting path: corpus -> host PageRank ->
+    join weights -> weighted_sample. Documents on the popular host
+    survive at a higher rate."""
+    from eel_sdk_spark.functions import graph as G
+    from eel_sdk_spark.functions.pipeline import weighted_sample
+    from eel_sdk_spark.functions.text import url_host
+
+    pages = []
+    for i in range(400):
+        host = "popular.com" if i % 4 == 0 else f"h{i % 40}.com"
+        pages.append((i, f"https://{host}/p/{i}",
+                      '<a href="https://popular.com/x">p</a>'
+                      if host != "popular.com"
+                      else '<a href="https://h0.com/y">y</a>'))
+    df = spark.createDataFrame(pages, "doc_id bigint, url string, "
+                                      "html string") \
+        .withColumn("html", F.encode("html", "utf-8"))
+    w = G.host_rank_weights(df, "url", "html", max_iter=10)
+    docs = (df.withColumn("host", url_host(F.col("url")))
+            .join(w, "host", "left")
+            .withColumn("rank", F.coalesce("rank", F.lit(0.0))))
+    kept = weighted_sample(docs, "rank", target_frac=0.4)
+    pop_rate = kept.filter("host = 'popular.com'").count() / 100
+    other_rate = kept.filter("host != 'popular.com'").count() / 300
+    assert pop_rate > other_rate

@@ -156,3 +156,18 @@ def test_rank_weighted_curation_composes(spark):
     pop_rate = kept.filter("host = 'popular.com'").count() / 100
     other_rate = kept.filter("host != 'popular.com'").count() / 300
     assert pop_rate > other_rate
+
+
+def test_outlink_edges_plan_shuffles_hosts_only(spark):
+    """Scale-shape assertion: the edge-list aggregation's Exchange
+    carries only host strings — page html/url bodies are projected away
+    before anything moves."""
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", b"<a href='https://b.com/y'>l</a>")],
+        "id int, url string, html binary")
+    edges = G.outlink_edges(df, "url", "html")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the groupBy's partial/final agg pair
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "html" not in line and "url#" not in line, line

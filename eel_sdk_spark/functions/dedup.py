@@ -231,17 +231,37 @@ def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
                        .select(F.explode("__ids").alias(id_col), "__keep")
                        .filter(F.col(id_col) != F.col("__keep"))
                        .select(id_col))
+        # candidates from the ALREADY-banded batch signatures (the store
+        # check computed them above) — re-deriving them from text via
+        # minhash_candidate_pairs would pay the shingle explode twice
+        # (measured: the explode is ~3/4 of this op's wall)
+        self_bands = new_bands
+        if max_bucket is not None:
+            w = Window.partitionBy("band", "band_key")
+            self_bands = (self_bands
+                          .withColumn("__bsz", F.count("*").over(w))
+                          .filter(F.col("__bsz") <= max_bucket)
+                          .drop("__bsz"))
+        ca = self_bands.select("band", "band_key",
+                               F.col(id_col).alias("a"))
+        cb = self_bands.select("band", "band_key",
+                               F.col(id_col).alias("b"))
+        cands = (ca.join(cb, ["band", "band_key"])
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b").distinct())
         if verify_threshold is not None:
-            batch_near = (jaccard_pairs(
-                new_df, text_col, id_col, threshold=verify_threshold,
-                n_hashes=n_hashes, band_size=band_size,
-                max_bucket=max_bucket)
-                .select(F.col("b").alias(id_col)))
-        else:
-            batch_near = (minhash_candidate_pairs(
-                new_df, text_col, id_col, n_hashes, band_size,
-                hash_family=hash_family, max_bucket=max_bucket)
-                .select(F.col("b").alias(id_col)))
+            grams = new_df.select(F.col(id_col),
+                                  ngram_set(F.col(text_col)).alias("g"))
+            ga = grams.select(F.col(id_col).alias("a"),
+                              F.col("g").alias("ga"))
+            gb = grams.select(F.col(id_col).alias("b"),
+                              F.col("g").alias("gb"))
+            joined = cands.join(ga, "a").join(gb, "b")
+            inter = F.size(F.array_intersect("ga", "gb"))
+            union = F.size(F.array_union("ga", "gb"))
+            jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            cands = joined.filter(jac >= verify_threshold).select("a", "b")
+        batch_near = cands.select(F.col("b").alias(id_col))
         flagged = (flagged.unionByName(batch_exact)
                    .unionByName(batch_near))
     return flagged.distinct()

@@ -136,6 +136,117 @@ def streaming_encode(stream_df: DataFrame, table, key: str = "url",
     return writer.start()
 
 
+#: signature-store row shape (see functions.dedup.signature_store)
+def _sig_ddl(id_col: str, id_type: str, n_hashes: int) -> str:
+    return (f"{id_col} {id_type}, fp string, "
+            + ", ".join(f"sig_{i} string" for i in range(n_hashes)))
+
+
+def dedup_epoch(out_table, store_table, batch_df: DataFrame,
+                epoch_id: int, text_col: str = "text",
+                id_col: str = "doc_id", stream_id: str = "dedup",
+                n_hashes: int = 8, band_size: int = 2, shingle: int = 3,
+                hash_family: str = "md5", max_bucket: int | None = 1000,
+                verify_threshold: float | None = None) -> int:
+    """One micro-batch of CONTINUOUS corpus dedup: drop batch docs that
+    duplicate the already-accepted corpus (via its signature store),
+    commit the survivors to ``out_table`` and their signatures to
+    ``store_table`` — so the next epoch dedups against everything
+    accepted so far. Returns the number of survivors committed (0 for a
+    replayed or empty epoch).
+
+    Exactly-once across foreachBatch replays: BOTH tables carry a
+    per-stream epoch watermark and each commit is independently skipped
+    when already landed. The commit ORDER is survivors-then-signatures:
+    a crash between them replays into "output committed (skip), store
+    behind (recompute + commit)" — and the recomputation is
+    deterministic (md5/minhash content hashes, no RNG), so the store
+    catches up with exactly the signatures of the rows already
+    published. The store records its dedup parameters at first commit
+    and rejects mismatched params later (signatures computed under
+    different n_hashes/shingle are not comparable).
+
+    Scale shape per epoch: the accepted corpus contributes ONLY its
+    signature table (~100 B/doc); batch text never joins against stored
+    text (see functions.dedup.incremental_dup_ids)."""
+    from ..functions.dedup import incremental_dedup, signature_store
+    from ..table import ManifestTable
+
+    cfg = {"n_hashes": n_hashes, "band_size": band_size,
+           "shingle": shingle, "hash_family": hash_family}
+    ssnap = store_table.current()
+    sprops = ssnap.properties if ssnap else {}
+    prior = sprops.get("dedup_cfg")
+    if prior is not None and prior != cfg:
+        raise ValueError(
+            f"dedup_epoch: store was built with {prior}, got {cfg} — "
+            f"signatures under different parameters are not comparable")
+    osnap = out_table.current()
+    last_out = int((osnap.properties if osnap else {})
+                   .get(f"epoch.{stream_id}", -1))
+    last_store = int(sprops.get(f"epoch.{stream_id}", -1))
+    if epoch_id <= min(last_out, last_store):
+        return 0  # fully-committed epoch replayed
+    if batch_df.isEmpty():
+        return 0
+
+    if ssnap and ssnap.files:
+        store_df = store_table.read(batch_df.sparkSession)
+    else:  # bootstrap: empty store with the right schema
+        store_df = signature_store(batch_df.limit(0), text_col, id_col,
+                                   n_hashes, shingle, hash_family)
+    surv = incremental_dedup(
+        batch_df, store_df, text_col, id_col, n_hashes=n_hashes,
+        band_size=band_size, shingle=shingle, hash_family=hash_family,
+        max_bucket=max_bucket, verify_threshold=verify_threshold)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in batch_df.schema.fields)
+    n = surv.count()
+    if epoch_id > last_out:
+        job = out_table.new_data_path()
+        surv.write.mode("overwrite").parquet(job)
+        out_table.commit(ManifestTable.list_written_files(job), ddl,
+                         {f"epoch.{stream_id}": epoch_id}, mode="append")
+    if epoch_id > last_store:
+        sigs = signature_store(surv, text_col, id_col, n_hashes,
+                               shingle, hash_family)
+        job = store_table.new_data_path()
+        sigs.write.mode("overwrite").parquet(job)
+        id_type = dict((f.name, f.dataType.simpleString())
+                       for f in batch_df.schema.fields)[id_col]
+        store_table.commit(
+            ManifestTable.list_written_files(job),
+            _sig_ddl(id_col, id_type, n_hashes),
+            {"dedup_cfg": cfg, f"epoch.{stream_id}": epoch_id},
+            mode="append")
+    return n
+
+
+def streaming_incremental_dedup(stream_df: DataFrame, out_table,
+                                store_table, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                checkpoint_dir: str | None = None,
+                                stream_id: str = "dedup", **kwargs):
+    """writeStream wrapper over :func:`dedup_epoch` — the continuous
+    crawl-ingest dedup loop: every arriving micro-batch is deduped
+    against everything accepted so far, survivors land in ``out_table``
+    and the store grows by exactly their signatures."""
+    from ..table import ManifestTable
+
+    assert isinstance(out_table, ManifestTable)
+    assert isinstance(store_table, ManifestTable)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        dedup_epoch(out_table, store_table, batch_df, epoch_id,
+                    text_col=text_col, id_col=id_col,
+                    stream_id=stream_id, **kwargs)
+
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def session_aggregate(events: DataFrame, ts_col: str = "ts",
                       key_col: str = "user_id", gap: str = "30 minutes",
                       watermark: str | None = None,

@@ -222,3 +222,97 @@ def test_streaming_encode_banded_layout_and_replay(spark, tmp_path):
     decoded = decode_blocks_df(tbl.read(spark), SCHEMA_DDL)
     assert decoded.count() == 800
     assert decoded.select("url").distinct().count() == 800
+
+
+def test_streaming_incremental_dedup_epochs(spark, tmp_path):
+    """Continuous corpus dedup: each epoch's batch is deduped against
+    everything accepted so far (signature store grows per epoch);
+    replayed epochs are no-ops on BOTH tables; and a crash between the
+    survivor commit and the store commit recovers deterministically
+    (out skips, store catches up with the published rows' signatures)."""
+    from eel_sdk_spark.streaming.pipeline import dedup_epoch
+    from eel_sdk_spark.table import ManifestTable
+
+    out = ManifestTable(str(tmp_path), "accepted")
+    store = ManifestTable(str(tmp_path), "sigstore")
+    t1 = "the quick brown fox jumps over the lazy dog again today"
+    t2 = "an entirely different second document with its own words"
+    t3 = "a third document that only epoch two will deliver fresh"
+
+    e0 = spark.createDataFrame([(1, t1), (2, t2), (3, t1)],
+                               "doc_id bigint, text string")
+    assert dedup_epoch(out, store, e0, 0) == 2  # 3 is an in-batch dup
+    assert {r["doc_id"] for r in out.read(spark).collect()} == {1, 2}
+
+    # epoch 1: one dup of the ACCEPTED corpus, one near-dup, one fresh
+    e1 = spark.createDataFrame(
+        [(10, t1), (11, t2 + "  "), (12, t3)],
+        "doc_id bigint, text string")
+    assert dedup_epoch(out, store, e1, 1) == 1
+    assert {r["doc_id"] for r in out.read(spark).collect()} == {1, 2, 12}
+
+    # replay of epoch 1: no-op everywhere
+    snap_out = out.current().snapshot_id
+    snap_store = store.current().snapshot_id
+    assert dedup_epoch(out, store, e1, 1) == 0
+    assert out.current().snapshot_id == snap_out
+    assert store.current().snapshot_id == snap_store
+
+    # store now holds exactly the accepted docs' signatures
+    assert {r["doc_id"] for r in store.read(spark).collect()} == {1, 2, 12}
+
+    # crash-recovery shape: the survivor commit lands but the process
+    # dies BEFORE the store commit. Simulate exactly that by snapshotting
+    # the store directory pre-epoch and restoring it post-epoch (commit
+    # is atomic: a lost commit means neither files nor watermark).
+    import shutil
+
+    e2 = spark.createDataFrame([(20, "fresh words for the final epoch "
+                                     "of this test here")],
+                               "doc_id bigint, text string")
+    pre = str(tmp_path / "sigstore_pre_crash")
+    shutil.copytree(store.dir, pre)
+    assert dedup_epoch(out, store, e2, 2) == 1
+    shutil.rmtree(store.dir)
+    shutil.copytree(pre, store.dir)  # store lost epoch 2; out kept it
+    n = dedup_epoch(out, store, e2, 2)
+    assert n == 1  # recomputed deterministically
+    assert (out.read(spark).filter("doc_id = 20").count() == 1)  # no dup
+    assert {r["doc_id"] for r in store.read(spark).collect()} \
+        == {1, 2, 12, 20}  # store caught up with the published rows
+    # param mismatch is rejected
+    import pytest
+    with pytest.raises(ValueError, match="not comparable"):
+        dedup_epoch(out, store, e2, 3, n_hashes=4)
+
+
+def test_streaming_incremental_dedup_writestream(spark, tmp_path):
+    """The writeStream wrapper end-to-end over a real micro-batch
+    stream: the second batch's cross-batch duplicates are dropped
+    against the store grown by the first."""
+    from eel_sdk_spark.streaming.pipeline import streaming_incremental_dedup
+
+    pub = publisher_stream(spark, "doc_id bigint, text string",
+                           str(tmp_path / "spool"))
+    out = ManifestTable(str(tmp_path), "s_accepted")
+    store = ManifestTable(str(tmp_path), "s_sigs")
+    t1 = "streaming one quick brown fox jumps over the lazy dog here"
+    t2 = "streaming two wholly different content for the second doc"
+    pub.publish(spark.createDataFrame([(1, t1), (2, t2)],
+                                      "doc_id bigint, text string"))
+    q = streaming_incremental_dedup(
+        pub.stream(), out, store,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        assert out.read(spark).count() == 2
+        pub.publish(spark.createDataFrame(
+            [(10, t1), (11, "streaming three genuinely fresh words now "
+                            "arriving in the later batch")],
+            "doc_id bigint, text string"))
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in out.read(spark).collect()}
+        assert got == {1, 2, 11}  # 10 deduped against the grown store
+    finally:
+        q.stop()
+        pub.close()

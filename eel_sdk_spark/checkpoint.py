@@ -128,6 +128,46 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
         F.col(key) == key_value)
 
 
+def range_lookup(spark: SparkSession, tbl: ManifestTable,
+                 lower, upper, schema_ddl: str,
+                 key: str = "url") -> DataFrame:
+    """Key-RANGE query against an encoded table (``lower <= key <=
+    upper``), the scan sibling of :func:`point_lookup`: part pruning
+    does not apply (a key range spans arbitrary parts), but the
+    manifest's per-file key ranges prune FILES with zero I/O on
+    key-clustered tables, block min/max stats then skip whole block
+    groups, and the residual row filter runs after decode — the same
+    three-tier shape as parquet row-group skipping, one level up.
+    Files without recorded ranges are conservatively read."""
+    from .encode import decode_blocks_df, prune_block_groups
+
+    snap = tbl.current()
+    if snap is None or not snap.files:
+        raise FileNotFoundError(f"table {tbl.dir} has no committed snapshot")
+    key_ranges: dict[str, dict] = {}
+    for r in snap.properties.get("runs", []):
+        if r.get("key", key) == key:
+            key_ranges.update(r.get("file_key_ranges", {}))
+    kr_extra = snap.properties.get("file_key_ranges_extra", {})
+    if kr_extra.get("key") == key:
+        key_ranges.update(kr_extra.get("files", {}))
+    fam = "s" if isinstance(lower, str) else "i"
+    files = []
+    for f in snap.files:
+        rng = key_ranges.get(os.path.basename(f), {}).get(fam)
+        if rng is None or (rng[0] <= upper and lower <= rng[1]):
+            files.append(f)
+    files = files or snap.files[:1]  # empty parquet read is invalid
+    blocks = spark.read.option("mergeSchema", "true").parquet(*files)
+    if fam == "s":
+        blocks = prune_block_groups(blocks, key, lower_s=lower,
+                                    upper_s=upper)
+    else:
+        blocks = prune_block_groups(blocks, key, lower=lower, upper=upper)
+    return decode_blocks_df(blocks, schema_ddl).filter(
+        (F.col(key) >= lower) & (F.col(key) <= upper))
+
+
 def compact_coverage(parts: list[int]) -> "list[int] | dict":
     """Coverage encoding for one file's part set: exact sorted list, or
     ``{"ranges": [[lo, hi], ...]}`` when collapsing consecutive runs is

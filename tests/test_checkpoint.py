@@ -795,3 +795,43 @@ def test_manifest_key_ranges_int_key(spark, tmp_path):
     for kv in (0, 7777, 19999):
         got = point_lookup(spark, tbl, kv, ddl, key="doc_id").collect()
         assert len(got) == 1 and got[0]["v"] == f"v{kv}"
+
+
+def test_range_lookup_prunes_files_and_matches_filter(spark, tmp_path):
+    """range_lookup on a key-clustered banded table: manifest file
+    pruning keeps only the overlapping slice, and the result equals a
+    plain decode+filter exactly (both string and int keys)."""
+    from eel_sdk_spark.checkpoint import range_lookup
+
+    # int key, naturally clustered arrival
+    df = spark.range(0, 30000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    ddl = "doc_id bigint, v string"
+    tbl = ManifestTable(str(tmp_path), "rl")
+    run = encode_with_checkpoint(spark, df, tbl, key="doc_id", n_parts=16,
+                                 run_id="r", sort_by=["doc_id"])
+    lo, hi = 10_000, 12_500
+    got = range_lookup(spark, tbl, lo, hi, ddl, key="doc_id")
+    rows = got.collect()
+    assert len(rows) == hi - lo + 1
+    assert all(lo <= r["doc_id"] <= hi for r in rows)
+    # file pruning actually bit: the range covers ~1/12 of the id space
+    ranges = run["file_key_ranges"]
+    kept = [b for b, v in ranges.items()
+            if v["i"][0] <= hi and lo <= v["i"][1]]
+    assert len(kept) < len(ranges)
+
+    # string key sanity on the webtext shape
+    wdf = (webtext_df(spark, 3000, parts=4)
+           .repartitionByRange(4, "url").cache())
+    wtbl = ManifestTable(str(tmp_path), "rls")
+    encode_with_checkpoint(spark, wdf, wtbl, n_parts=8, run_id="s",
+                           sort_by=["url"])
+    lo_s, hi_s = "https://d1", "https://d2"
+    got_s = {r["url"] for r in range_lookup(
+        spark, wtbl, lo_s, hi_s, SCHEMA_DDL).collect()}
+    want_s = {r["url"] for r in wdf.filter(
+        (F.col("url") >= lo_s) & (F.col("url") <= hi_s)).collect()}
+    assert got_s == want_s and got_s
+    wdf.unpersist()

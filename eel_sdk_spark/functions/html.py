@@ -100,7 +100,10 @@ def extract_links(col: Column, base_host: Column | None = None) -> Column:
     work). ``base_host`` (a host string column) resolves scheme-relative
     and absolute-path links onto the page's own host; protocol-relative
     '//x' becomes 'https://x'. Fragment-only and javascript: links are
-    dropped."""
+    dropped. Document-relative targets ('sub/page.html', '../x') resolve
+    against the host ROOT, not the page's directory — full RFC 3986
+    resolution needs the page path, and the host-level consumers here
+    (link graph, hygiene) only need the authority anyway."""
     hrefs = F.regexp_extract_all(
         col, F.lit(r"""(?i)<a[^>]*\shref\s*=\s*["']([^"'>]+)["']"""), 1)
     hrefs = F.filter(

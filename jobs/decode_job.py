@@ -46,6 +46,12 @@ def main(argv=None) -> None:
     p.add_argument("--verify-against", default=None,
                    help="original parquet; reports per-column match counts")
     p.add_argument("--key", default="url")
+    p.add_argument("--key-range", default=None,
+                   help="'lo..hi' inclusive range on --key: three-tier "
+                        "skipping (manifest per-file key ranges -> block "
+                        "min/max stats -> residual row filter); integer "
+                        "bounds when both parse as ints. Mutually "
+                        "exclusive with --where/--snapshot-id")
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="time travel: decode the table AS OF this "
                         "snapshot instead of the current one")
@@ -60,7 +66,25 @@ def main(argv=None) -> None:
     try:
         tbl = ManifestTable(args.warehouse, args.table)
         cols = args.columns.split(",") if args.columns else None
-        if args.where:
+        if args.key_range:
+            if args.where or args.snapshot_id is not None:
+                raise SystemExit("--key-range is mutually exclusive with "
+                                 "--where/--snapshot-id")
+            from eel_sdk_spark.checkpoint import range_lookup
+
+            lo, _, hi = args.key_range.partition("..")
+            if not _:
+                raise SystemExit(f"--key-range {args.key_range!r}: "
+                                 f"expected 'lo..hi'")
+            try:
+                lo, hi = int(lo), int(hi)
+            except ValueError:
+                pass
+            decoded = range_lookup(spark, tbl, lo, hi, args.schema,
+                                   key=args.key)
+            if cols:
+                decoded = decoded.select(*cols)
+        elif args.where:
             from eel_sdk_spark.predicate import decode_with_predicate
 
             pred = _parse_where(args.where)

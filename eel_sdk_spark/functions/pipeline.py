@@ -37,7 +37,8 @@ from . import text as T
 
 def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
                 id_col: str = "doc_id", epsilon: float = 1e-9,
-                missing: str = "raise") -> DataFrame:
+                missing: str = "raise",
+                budget_col: str | None = None) -> DataFrame:
     """Data mixing: resample a multi-source corpus toward target mixture
     WEIGHTS (the "20% code, 40% web, ..." knob every pretraining recipe
     turns). Sources are downsampled only (never duplicated): the largest
@@ -53,9 +54,22 @@ def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
     weighted source with ZERO available rows would make feasible = 0 and
     silently empty the whole corpus — that raises instead (pass
     ``missing='skip'`` to warn, drop the absent source from the mixture,
-    and renormalize the remaining weights)."""
+    and renormalize the remaining weights).
+
+    ``budget_col`` switches the mixture accounting from ROWS to a
+    per-row budget (a token count — what "20% code" actually means in a
+    pretraining recipe): per-source availability and the feasible total
+    are computed over SUM(budget_col), and the kept-row bucket is
+    independent of document length, so each source's expected kept
+    budget hits its target share (the realized share concentrates at
+    corpus scale; doc-count mixing can be off by the ratio of mean doc
+    lengths between sources)."""
+    measure = (F.count("*") if budget_col is None
+               else F.sum(F.coalesce(F.col(budget_col).cast("double"),
+                                     F.lit(0.0))))
     counts = {r[0]: r[1] for r in
-              df.groupBy(source_col).count().collect()}
+              df.groupBy(source_col).agg(measure.alias("count"))
+              .collect()}
     absent = sorted(s for s, w in weights.items()
                     if w > 0 and counts.get(s, 0) == 0)
     if absent:

@@ -405,3 +405,34 @@ def test_strip_control_and_dup_ngram(spark):
     # "cat sat on", "sat on the", "on the mat" repeat once each... )
     assert out[2][1] > 0.2
     assert out[3][1] == 0.0
+
+
+def test_mix_sources_by_token_budget(spark):
+    """budget_col mixes by TOKENS, which is what a pretraining recipe
+    means: with source A's docs 10x longer than B's, a 50/50 token
+    target keeps ~equal token mass from each (doc-count mixing would be
+    off by the length ratio), membership stays deterministic."""
+    from eel_sdk_spark.functions.pipeline import mix_sources
+    from pyspark.sql import functions as F
+
+    rows = [(i, "A", 1000) for i in range(2000)] + \
+           [(2000 + i, "B", 100) for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                     "n_tokens int")
+    out = mix_sources(df, "source", {"A": 1.0, "B": 1.0},
+                      budget_col="n_tokens")
+    tok = {r["source"]: r["t"] for r in
+           out.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+           .collect()}
+    total = sum(tok.values())
+    assert abs(tok["A"] / total - 0.5) < 0.03, tok
+    assert abs(tok["B"] / total - 0.5) < 0.03, tok
+    # feasibility: B is the binding source by tokens (800k vs A's 2M) —
+    # all of B's mass is kept, A is downsampled toward it
+    assert tok["B"] == 800_000
+    assert tok["A"] < 2_000_000
+    # deterministic across layout
+    again = mix_sources(df.repartition(11), "source",
+                        {"A": 1.0, "B": 1.0}, budget_col="n_tokens")
+    assert out.select("doc_id").exceptAll(
+        again.select("doc_id")).count() == 0

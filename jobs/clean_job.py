@@ -46,6 +46,14 @@ def main(argv=None) -> None:
     p.add_argument("--emb-vec-col", default="embedding")
     p.add_argument("--emb-threshold", type=float, default=0.95)
     p.add_argument("--emb-n-list", type=int, default=64)
+    p.add_argument("--quality-labels", default=None,
+                   help="parquet of labeled docs (text + 0/1 label "
+                        "column): trains the distributed logistic-"
+                        "regression quality classifier and filters by "
+                        "its probability instead of the fixed-formula "
+                        "quality_score (which --min-quality gates)")
+    p.add_argument("--quality-label-col", default="label")
+    p.add_argument("--min-quality-prob", type=float, default=0.5)
     p.add_argument("--against-store", default=None,
                    help="parquet signature store of the EXISTING corpus: "
                         "drop new docs that exact- or near-duplicate it "
@@ -77,6 +85,16 @@ def main(argv=None) -> None:
             df = incremental_dedup(df, spark.read.parquet(args.against_store),
                                    args.text_col, args.id_col)
             n_after_store = df.count()
+        if args.quality_labels:
+            from pyspark.sql import functions as F
+
+            from eel_sdk_spark.functions import classifier as C
+
+            model = C.train_quality_classifier(
+                spark.read.parquet(args.quality_labels),
+                args.text_col, args.quality_label_col)
+            df = df.filter(C.score_quality(model, F.col(args.text_col))
+                           >= args.min_quality_prob)
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
         out = clean_corpus(

@@ -87,23 +87,35 @@ def train_logreg(df: DataFrame, feature_cols: list[str], label_col: str,
     # optimum for free, and exact for the all-constant-feature case
     eps = 1e-12
     b = float(np.log((pos_rate + eps) / (1 - pos_rate + eps)))
-    y = F.col(label_col).cast("double")
-    for _ in range(max_iter):
-        z = _z_expr(feature_cols, w, b, means, stds)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        r = p - y
-        g = df.agg(*([F.avg(r * ((F.coalesce(F.col(c).cast("double"),
-                                             F.lit(0.0))
-                                  - F.lit(float(means[i])))
-                                 / F.lit(float(stds[i]))))
-                      for i, c in enumerate(feature_cols)]
-                     + [F.avg(r)])).first()
-        grad_w = np.array([g[i] for i in range(k)]) + l2 * w
-        grad_b = g[k]
-        w = w - lr * grad_w
-        b = b - lr * grad_b
-        if float(np.sqrt((grad_w ** 2).sum() + grad_b ** 2)) < tol:
-            break
+    # Materialize the (label, standardized-feature) projection ONCE and
+    # iterate over the cached k+1-double rows: callers like
+    # train_quality_classifier pass feature columns that are expensive
+    # expression panels (regex token metrics), and the GD loop would
+    # otherwise recompute them up to max_iter times (VERDICT r5 #2).
+    # The cached frame is k+1 doubles per row — tiny at any scale.
+    proj = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[((F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+            - F.lit(float(means[i]))) / F.lit(float(stds[i])))
+          .alias(f"__x{i}") for i, c in enumerate(feature_cols)]
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            z = F.lit(float(b))
+            for i in range(k):
+                z = z + F.lit(float(w[i])) * F.col(f"__x{i}")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            r = p - F.col("__y")
+            g = proj.agg(*([F.avg(r * F.col(f"__x{i}")) for i in range(k)]
+                           + [F.avg(r)])).first()
+            grad_w = np.array([g[i] for i in range(k)]) + l2 * w
+            grad_b = g[k]
+            w = w - lr * grad_w
+            b = b - lr * grad_b
+            if float(np.sqrt((grad_w ** 2).sum() + grad_b ** 2)) < tol:
+                break
+    finally:
+        proj.unpersist()
     return {"w": w.tolist(), "b": b, "means": means.tolist(),
             "stds": stds.tolist(), "features": list(feature_cols)}
 

@@ -149,6 +149,56 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
 
 # -- incremental (append-batch) dedup -------------------------------------
 
+# Sidecar filename for a persisted signature store's build parameters.
+# Underscore prefix => invisible to parquet readers, same convention as
+# _SUCCESS. A store built under different minhash params silently
+# matches no bands (near-dup detection degrades to exact-only), so the
+# params travel WITH the store and readers fail fast on mismatch — the
+# same contract the streaming dedup_epoch enforces via its manifest
+# `dedup_cfg` property (ADVICE r5).
+STORE_PARAMS_FILE = "_dedup_params.json"
+
+
+def dedup_params(n_hashes: int = 8, shingle: int = 3,
+                 band_size: int = 2, hash_family: str = "md5") -> dict:
+    """Canonical params record for a signature store / incremental run."""
+    return {"n_hashes": int(n_hashes), "shingle": int(shingle),
+            "band_size": int(band_size), "hash_family": str(hash_family)}
+
+
+def write_store_params(store_path: str, params: dict) -> None:
+    """Persist the build params sidecar inside a signature-store dir."""
+    import json
+    import os
+
+    with open(os.path.join(store_path, STORE_PARAMS_FILE), "w") as f:
+        json.dump(params, f, sort_keys=True)
+
+
+def validate_store_params(store_path: str, params: dict) -> None:
+    """Fail fast when a persisted store's sidecar disagrees with the
+    params the caller is about to band with. A store written before the
+    sidecar existed (no file) passes — the schema check in
+    :func:`incremental_dup_ids` still catches n_hashes drift."""
+    import json
+    import os
+
+    p = os.path.join(store_path, STORE_PARAMS_FILE)
+    if not os.path.exists(p):
+        return
+    with open(p) as f:
+        stored = json.load(f)
+    mismatched = {k: (stored.get(k), params[k]) for k in params
+                  if k in stored and stored[k] != params[k]}
+    if mismatched:
+        raise ValueError(
+            f"signature store {store_path} was built with "
+            f"{ {k: v[0] for k, v in mismatched.items()} } but this run "
+            f"uses { {k: v[1] for k, v in mismatched.items()} }; "
+            "band keys would never collide — rebuild the store or pass "
+            "matching --dedup-* params")
+
+
 def signature_store(df: DataFrame, text_col: str, id_col: str,
                     n_hashes: int = 8, shingle: int = 3,
                     hash_family: str = "md5") -> DataFrame:
@@ -195,6 +245,18 @@ def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
     the full LSH->Jaccard two-phase there (drop b only when
     jaccard >= threshold) instead of candidate-level flagging."""
     from pyspark.sql import Window
+
+    # schema-level fail-fast: the store must carry exactly sig_0..sig_{n-1}
+    # — a store built with a different n_hashes would band on different
+    # row slices and silently match nothing (ADVICE r5)
+    store_sigs = sorted(c for c in store.columns if c.startswith("sig_"))
+    want_sigs = sorted(f"sig_{i}" for i in range(n_hashes))
+    if store_sigs != want_sigs:
+        raise ValueError(
+            f"signature store has columns {store_sigs} but n_hashes="
+            f"{n_hashes} expects {want_sigs}; the store was built under "
+            "different minhash params — near-dup bands would never "
+            "collide. Rebuild the store or pass its build params.")
 
     new_store = signature_store(new_df, text_col, id_col, n_hashes,
                                 shingle, hash_family)

@@ -31,8 +31,10 @@ _BLOCK_RE = (r"(?i)<script[^>]*>[\s\S]*?</script>"
 _TAG_RE = r"<[^>]*>"
 
 # the handful of entities that dominate real crawl text; numeric forms
-# are handled generically for the ASCII range
-_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+# are handled generically for the ASCII range. '&amp;' is deliberately
+# ABSENT here — it runs LAST in unescape_entities so double-escaped
+# entities unescape one level, not two (ADVICE r5).
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"),
              ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
              ("&nbsp;", " ")]
 
@@ -59,6 +61,11 @@ def unescape_entities(col: Column) -> Column:
     # drop the rest to a space (better for tokenization than leaving
     # '&#8217;' literals in the text)
     out = F.regexp_replace(out, r"&#x?[0-9a-fA-F]{1,6};", " ")
+    # '&amp;' -> '&' must be the FINAL substitution (after the named and
+    # numeric passes): double-escaped input like '&amp;lt;' — the literal
+    # text '&lt;' — unescapes exactly one level instead of collapsing to
+    # '<'. Any oracle replay must mirror this order.
+    out = F.replace(out, F.lit("&amp;"), F.lit("&"))
     return out
 
 
@@ -94,30 +101,53 @@ def extract_text(col: Column) -> Column:
     return F.regexp_replace(squeezed, r"^\s+|\s+$", "")
 
 
-def extract_links(col: Column, base_host: Column | None = None) -> Column:
+def extract_links(col: Column, base_host: Column | None = None,
+                  page_url: Column | None = None) -> Column:
     """href targets of <a> tags as an array<string> (document order,
     duplicates kept — the outlink multiset is the signal for link-graph
     work). ``base_host`` (a host string column) resolves scheme-relative
     and absolute-path links onto the page's own host; protocol-relative
     '//x' becomes 'https://x'. Fragment-only and javascript: links are
-    dropped. Document-relative targets ('sub/page.html', '../x') resolve
-    against the host ROOT, not the page's directory — full RFC 3986
-    resolution needs the page path, and the host-level consumers here
-    (link graph, hygiene) only need the authority anyway."""
+    dropped.
+
+    ``page_url`` (the page's own absolute URL, e.g. the webtext ``url``
+    column) enables RFC 3986 §5.3 merge for document-relative targets:
+    'sub/page.html' on 'https://h/a/b.html' resolves to
+    'https://h/a/sub/page.html' (base stripped to the last '/'). Without
+    it, document-relative targets fall back to the host ROOT — fine for
+    the host-level consumers here (link graph, hygiene), wrong for a
+    full link inventory; pass ``page_url`` for that. Dot-segment
+    normalization ('../') is NOT applied (kept literal — consumers that
+    care can post-process; host extraction is unaffected)."""
     hrefs = F.regexp_extract_all(
         col, F.lit(r"""(?i)<a[^>]*\shref\s*=\s*["']([^"'>]+)["']"""), 1)
     hrefs = F.filter(
         hrefs, lambda h: ~(h.startswith("#")
                            | F.lower(h).startswith("javascript:")))
-    if base_host is None:
+    if base_host is None and page_url is None:
         return hrefs
+    if base_host is None:
+        # authority of the page URL: scheme://host[:port]
+        base_host = F.regexp_extract(page_url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    if page_url is not None:
+        # RFC 3986 merge base: page URL stripped to the last '/' of its
+        # path (query/fragment removed first). A URL with no path slash
+        # after the authority merges against '<scheme>://<host>/'.
+        no_qf = F.regexp_extract(page_url, r"^([^?#]*)", 1)
+        base_dir = F.when(
+            no_qf.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/"),
+            F.regexp_replace(no_qf, r"/[^/]*$", "/")
+        ).otherwise(F.concat(F.lit("https://"), base_host, F.lit("/")))
+        rel_base = base_dir
+    else:
+        rel_base = F.concat(F.lit("https://"), base_host, F.lit("/"))
     return F.transform(
         hrefs,
         lambda h: F.when(h.startswith("//"), F.concat(F.lit("https:"), h))
         .when(h.startswith("/"),
               F.concat(F.lit("https://"), base_host, h))
         .when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), h)
-        .otherwise(F.concat(F.lit("https://"), base_host, F.lit("/"), h)))
+        .otherwise(F.concat(rel_base, h)))
 
 
 def meta_content(col: Column, name: str) -> Column:

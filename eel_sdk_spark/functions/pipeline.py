@@ -148,7 +148,11 @@ def weighted_sample(df: DataFrame, weight_col: str, target_frac: float,
     bucket = F.pmod(F.conv(F.substring(
         F.md5(F.encode(F.col(id_col).cast("string"), "utf-8")), 1, 8),
         16, 10).cast("long"), F.lit(1_000_000)) / 1_000_000.0
-    return df.filter(bucket < p + epsilon)
+    # epsilon only applies to POSITIVE probabilities: a row whose md5
+    # bucket is exactly 0 must still be dropped when its weight is
+    # 0/null/negative (p == 0), honoring the "never kept" contract
+    # (ADVICE r5)
+    return df.filter((p > 0.0) & (bucket < p + epsilon))
 
 
 def clean_corpus(df: DataFrame, text_col: str = "text",

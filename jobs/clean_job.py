@@ -64,6 +64,13 @@ def main(argv=None) -> None:
                    help="write the cleaned output's signature store here "
                         "(unioned with --against-store when given) for "
                         "the next increment")
+    p.add_argument("--dedup-n-hashes", type=int, default=8,
+                   help="minhash signature width for --against-store/"
+                        "--write-store (must match the store's build "
+                        "params — validated against its sidecar)")
+    p.add_argument("--dedup-shingle", type=int, default=3)
+    p.add_argument("--dedup-band-size", type=int, default=2)
+    p.add_argument("--dedup-hash-family", default="md5")
     p.add_argument("--mix", action="append", default=[],
                    help="source=weight mixture targets (repeatable); "
                         "requires a 'source' column")
@@ -78,12 +85,25 @@ def main(argv=None) -> None:
     try:
         df = spark.read.parquet(args.input)
         n_in = df.count()
+        from eel_sdk_spark.functions.dedup import (dedup_params,
+                                                   validate_store_params)
+
+        dd_params = dedup_params(args.dedup_n_hashes, args.dedup_shingle,
+                                 args.dedup_band_size,
+                                 args.dedup_hash_family)
         n_after_store = None
         if args.against_store:
             from eel_sdk_spark.functions.dedup import incremental_dedup
 
+            # fail fast on a store built under different minhash params
+            # — mismatched bands silently match nothing (ADVICE r5)
+            validate_store_params(args.against_store, dd_params)
             df = incremental_dedup(df, spark.read.parquet(args.against_store),
-                                   args.text_col, args.id_col)
+                                   args.text_col, args.id_col,
+                                   n_hashes=args.dedup_n_hashes,
+                                   shingle=args.dedup_shingle,
+                                   band_size=args.dedup_band_size,
+                                   hash_family=args.dedup_hash_family)
             n_after_store = df.count()
         if args.quality_labels:
             from pyspark.sql import functions as F
@@ -129,12 +149,17 @@ def main(argv=None) -> None:
             # legitimate in incremental mode, not an error
             kept = out.limit(0)
         if args.write_store:
-            from eel_sdk_spark.functions.dedup import signature_store
+            from eel_sdk_spark.functions.dedup import (signature_store,
+                                                       write_store_params)
 
-            st = signature_store(kept, args.text_col, args.id_col)
+            st = signature_store(kept, args.text_col, args.id_col,
+                                 n_hashes=args.dedup_n_hashes,
+                                 shingle=args.dedup_shingle,
+                                 hash_family=args.dedup_hash_family)
             if args.against_store:
                 st = spark.read.parquet(args.against_store).unionByName(st)
             st.write.mode("overwrite").parquet(args.write_store)
+            write_store_params(args.write_store, dd_params)
         per_split = {r["split"]: r["n"] for r in
                      kept.groupBy("split").count()
                      .withColumnRenamed("count", "n").collect()}

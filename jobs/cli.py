@@ -101,18 +101,37 @@ def cmd_analyze_table(args) -> None:
 
 
 def _key_range_stats(runs: list, props: dict) -> dict:
-    ranges = {}
-    for r in runs:
-        ranges.update(r.get("file_key_ranges", {}))
+    """Readiness stats for the LINEAGE key only (the most recent run's
+    key — what point_lookup actually prunes by). Runs keyed on other
+    columns are excluded, and string/int span families never sort into
+    one list: mixing them both crashes sorted() ('<' between str and
+    int tuples) and makes cross-key disjointness meaningless
+    (ADVICE r5)."""
     extra = props.get("file_key_ranges_extra", {})
-    ranges.update(extra.get("files", {}))
-    spans = sorted((v[k][0], v[k][1]) for v in ranges.values()
-                   for k in ("s", "i") if k in v)
+    lineage_key = (runs[-1].get("key") if runs else extra.get("key"))
+    files: dict = {}
+    for r in runs:
+        if r.get("key") == lineage_key:
+            files.update(r.get("file_key_ranges", {}))
+    if extra.get("key") == lineage_key:
+        files.update(extra.get("files", {}))
+    by_fam: dict[str, list] = {}
+    for v in files.values():
+        for fam in ("s", "i"):
+            if fam in v:
+                by_fam.setdefault(fam, []).append((v[fam][0], v[fam][1]))
+    # disjointness is judged within one family; report the dominant one
+    # (a healthy table has exactly one — mixed families on the same key
+    # would mean the key changed type between runs)
+    fam, spans = max(by_fam.items(), key=lambda kv: len(kv[1]),
+                     default=(None, []))
+    spans = sorted(spans)
     disjoint = None
     if len(spans) > 1:
         ok = sum(1 for (a, b) in zip(spans, spans[1:]) if a[1] <= b[0])
         disjoint = round(ok / (len(spans) - 1), 3)
-    return {"ranged_files": len(spans), "disjoint_frac": disjoint}
+    return {"key": lineage_key, "ranged_files": len(spans),
+            "disjoint_frac": disjoint}
 
 
 def cmd_profile(args) -> None:

@@ -171,3 +171,18 @@ def test_outlink_edges_plan_shuffles_hosts_only(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "html" not in line and "url#" not in line, line
+
+
+def test_weighted_sample_zero_weight_bucket_zero_dropped(spark):
+    """ADVICE r5: a row whose md5 bucket is exactly 0 (doc_id 498162)
+    must still be dropped when its weight is 0/null — epsilon only
+    widens POSITIVE probabilities."""
+    from eel_sdk_spark.functions.pipeline import weighted_sample
+
+    # 498162's md5 first-8-hex mod 1e6 == 0 (found by search)
+    rows = [(498162, 0.0), (498163, None), (1, 1.0), (2, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    kept = {r["doc_id"] for r in
+            weighted_sample(df, "w", 1.0).collect()}
+    assert 498162 not in kept and 498163 not in kept
+    assert kept == {1, 2}

@@ -123,3 +123,47 @@ def test_malformed_markup_degrades_gracefully(spark):
     n = df.filter("id = 3").select(
         F.size(H.extract_links(F.col("h"))).alias("n")).first()["n"]
     assert n == 0
+
+
+def test_double_escaped_entities_unescape_one_level(spark):
+    """'&amp;' must be the LAST substitution (ADVICE r5): double-escaped
+    entities are literal text of a single-escaped entity, never the
+    final character — '&amp;lt;' renders as '&lt;', not '<'."""
+    rows = [(1, "<p>&amp;lt;tag&amp;gt; and &amp;quot;q&amp;quot;</p>"),
+            (2, "<p>&amp;#39;n&amp;#39;</p>"),   # double-escaped numeric
+            (3, "<p>a &amp; b &lt; c</p>")]      # normal single escapes
+    df = spark.createDataFrame(rows, "id int, h string")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", H.extract_text(F.col("h")).alias("t")).collect()}
+    assert got[1] == '&lt;tag&gt; and &quot;q&quot;'
+    assert got[2] == "&#39;n&#39;"
+    assert got[3] == "a & b < c"
+
+
+def test_extract_links_rfc3986_page_url(spark):
+    """Document-relative hrefs resolve against the page's directory
+    (RFC 3986 merge: base stripped to the last '/'), not the host root,
+    when the page URL is given (VERDICT r5 #8)."""
+    page = ('<a href="sub/page.html">r</a>'
+            '<a href="/abs">a</a>'
+            '<a href="//cdn.x/p">pr</a>'
+            '<a href="https://other.x/q">full</a>')
+    rows = [(1, page, "https://h.example/a/b.html"),
+            (2, page, "https://h.example/a/"),      # dir-form base
+            (3, page, "https://h.example"),         # no path slash
+            (4, page, "https://h.example/a/b?q=1#f")]  # query/frag gone
+    df = spark.createDataFrame(rows, "id int, h string, url string")
+    got = {r["id"]: r["l"] for r in df.select("id", H.extract_links(
+        F.col("h"), page_url=F.col("url")).alias("l")).collect()}
+    assert got[1] == ["https://h.example/a/sub/page.html",
+                      "https://h.example/abs",
+                      "https://cdn.x/p",
+                      "https://other.x/q"]
+    assert got[2][0] == "https://h.example/a/sub/page.html"
+    assert got[3][0] == "https://h.example/sub/page.html"
+    assert got[4][0] == "https://h.example/a/sub/page.html"
+    # explicit base_host still wins for authority-level resolution and
+    # the host-root fallback stays when only a host is given
+    hr = df.filter("id = 1").select(H.extract_links(
+        F.col("h"), F.lit("h.example")).alias("l")).first()["l"]
+    assert hr[0] == "https://h.example/sub/page.html"

@@ -978,3 +978,64 @@ def test_incremental_within_batch_jaccard_verify(spark):
     cand = {r["doc_id"] for r in incremental_dup_ids(
         new, empty_store, "text", "doc_id").collect()}
     assert flagged <= cand
+
+
+def test_store_params_contract(spark, tmp_path):
+    """ADVICE r5: a signature store built under different minhash params
+    silently matches no bands — the sidecar + schema checks fail fast
+    instead."""
+    import pytest
+
+    from eel_sdk_spark.functions.dedup import (
+        dedup_params, incremental_dup_ids, signature_store,
+        validate_store_params, write_store_params)
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated tokens number {i} for shingles") for i in
+         range(20)], "doc_id bigint, text string")
+    store_path = str(tmp_path / "store")
+    signature_store(docs, "text", "doc_id", n_hashes=4).write \
+        .parquet(store_path)
+    write_store_params(store_path, dedup_params(n_hashes=4))
+
+    # sidecar mismatch -> ValueError before any Spark work
+    with pytest.raises(ValueError, match="built with"):
+        validate_store_params(store_path, dedup_params(n_hashes=8))
+    # matching params pass; store without a sidecar passes too
+    validate_store_params(store_path, dedup_params(n_hashes=4))
+    validate_store_params(str(tmp_path / "nope"), dedup_params())
+
+    # schema-level fail-fast inside the op itself (no sidecar needed):
+    # an 8-hash run against the 4-hash store raises, never silently
+    # degrades to exact-only
+    store = spark.read.parquet(store_path)
+    with pytest.raises(ValueError, match="sig_"):
+        incremental_dup_ids(docs, store, "text", "doc_id", n_hashes=8)
+    # and the matching width works
+    assert incremental_dup_ids(docs, store, "text", "doc_id",
+                               n_hashes=4).count() >= 0
+
+
+def test_key_range_stats_groups_per_key_and_family():
+    """ADVICE r5: analyze-table must not mix spans from runs keyed on
+    different columns (str vs int tuples crash sorted()); stats are for
+    the lineage key only."""
+    from jobs.cli import _key_range_stats
+
+    runs = [
+        {"key": "doc_id",
+         "file_key_ranges": {"a.parquet": {"i": [0, 10]}}},
+        {"key": "url",  # lineage key (last run)
+         "file_key_ranges": {"b.parquet": {"s": ["a", "m"]},
+                             "c.parquet": {"s": ["n", "z"]}}},
+    ]
+    out = _key_range_stats(runs, {})
+    assert out["key"] == "url"
+    assert out["ranged_files"] == 2       # only url-keyed files counted
+    assert out["disjoint_frac"] == 1.0    # and they are disjoint
+    # extras for a DIFFERENT key are excluded
+    out2 = _key_range_stats(runs, {"file_key_ranges_extra": {
+        "key": "doc_id", "files": {"d.parquet": {"i": [5, 6]}}}})
+    assert out2["ranged_files"] == 2
+    # empty table
+    assert _key_range_stats([], {})["ranged_files"] == 0

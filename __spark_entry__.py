@@ -131,9 +131,11 @@ def q_join_multi(spark, sf):
 
 def q_set_ops(spark, sf):
     """union + substract [sic] + intersection (DataStream.scala:240-276)
-    composed in ONE multiset-exact plan: (all \\ (urgent ∪ high)) ∩ open.
-    The hash compare validates all three operators' ALL-semantics at
-    once — a bag-vs-set slip in any of them shifts the result counts."""
+    composed in ONE multiset-exact plan: (all \\ (urgent ∪ high)) ∩ open,
+    plus the former standalone ``distinct`` row folded in as a second
+    tagged leg (r6 fold — same contract as the r5 take_ordered/ann_brute
+    folds: the hash compare still validates every constituent exactly).
+    A bag-vs-set slip in any operator shifts the result counts."""
     o = DataStream(_t(spark, sf, "orders"))
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
               .projection("o_custkey")
@@ -141,12 +143,16 @@ def q_set_ops(spark, sf):
             .projection("o_custkey")
     openo = o.filter(F.col("o_orderstatus") == "O").projection("o_custkey")
     allc = o.projection("o_custkey")
-    return allc.subtract(urgent.union(high)).intersection(openo).df
-
-
-def q_distinct(spark, sf):
-    return DataStream(_t(spark, sf, "lineitem")) \
-        .projection("l_returnflag", "l_linestatus").distinct().df
+    setops = (allc.subtract(urgent.union(high)).intersection(openo).df
+              .select(F.lit("setops").alias("leg"),
+                      F.col("o_custkey").cast("string").alias("a"),
+                      F.lit(None).cast("string").alias("b")))
+    dis = (DataStream(_t(spark, sf, "lineitem"))
+           .projection("l_returnflag", "l_linestatus").distinct().df
+           .select(F.lit("distinct").alias("leg"),
+                   F.col("l_returnflag").alias("a"),
+                   F.col("l_linestatus").alias("b")))
+    return setops.unionByName(dis)
 
 
 def q_tpch_q1(spark, sf):
@@ -237,13 +243,26 @@ def q_pivot_case(spark, sf):
                  .alias("qty_finished")))
 
 
-def q_rollup(spark, sf):
+def q_grouping_sets(spark, sf):
+    """rollup + cube folded into ONE grouping-sets row (r6 fold,
+    VERDICT r5 #1): BOTH operators run — ``DataFrame.rollup`` and
+    ``DataFrame.cube`` over (l_returnflag, l_linestatus), tagged by
+    semantic — so the hash compare validates each operator's exact
+    grouping-set expansion (rollup: {(rf,ls),(rf),()}; cube adds (ls))."""
     li = _t(spark, sf, "lineitem")
-    return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"))
-            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-                    "n"))
+
+    def _shape(grouped, sem):
+        return (grouped
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("l_quantity"), 2).alias("qty"))
+                .select(F.lit(sem).alias("sem"),
+                        F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                        F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                        "n", "qty"))
+
+    ru = _shape(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+    cu = _shape(li.cube("l_returnflag", "l_linestatus"), "cube")
+    return ru.unionByName(cu)
 
 
 def q_window_running(spark, sf):
@@ -321,32 +340,28 @@ def q_string_funcs(spark, sf):
         F.trim(F.lit("  x  ")).alias("trimmed"))
 
 
-def q_cube(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("l_quantity"), 2).alias("qty"))
-            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-                    "n", "qty"))
-
-
-def q_having(spark, sf):
-    o = _t(spark, sf, "orders")
-    return (o.groupBy("o_custkey")
-            .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total"))
-            .filter(F.col("n_orders") >= 5))
-
-
 def q_price_histogram(spark, sf):
+    """Expression-bucketed histogram, with the former standalone
+    ``having`` row folded in as a second tagged leg (r6 fold): the
+    per-custkey aggregate keeps its post-aggregation filter
+    (groupBy->agg->filter == HAVING), reshaped to the histogram's
+    columns. Both legs' exact values ride one hash compare."""
     o = _t(spark, sf, "orders")
     bucket = (F.when(F.col("o_totalprice") < 50_000, "lo")
               .when(F.col("o_totalprice") < 150_000, "mid")
               .otherwise("hi"))
-    return (o.groupBy(bucket.alias("bucket"))
+    hist = (o.groupBy(bucket.alias("bucket"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+                 F.round(F.avg("o_totalprice"), 4).alias("val"))
+            .select(F.lit("hist").alias("leg"), "bucket", "n", "val"))
+    having = (o.groupBy("o_custkey")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("o_totalprice"), 2).alias("val"))
+              .filter(F.col("n") >= 5)
+              .select(F.lit("having").alias("leg"),
+                      F.col("o_custkey").cast("string").alias("bucket"),
+                      "n", "val"))
+    return hist.unionByName(having)
 
 
 def q_map_rows(spark, sf):
@@ -432,6 +447,90 @@ def q_text_metrics(spark, sf):
         F.round(T.dup_token_ratio(F.col("text")), 4).alias("dup_ratio"),
         T.token_count_bpe(F.col("text")).alias("n_bpe"),
         T.fingerprint_md5(F.col("text")).alias("fp16"))
+
+
+def q_html_extract(spark, sf):
+    """HTML extraction panel (functions/html.py — NEW r5, driver row r6)
+    over deterministic markup synthesized from the documents table (the
+    url_hygiene trick): title with single- AND double-escaped entities
+    (pinning the r6 unescape order: '&amp;lt;' -> '&lt;', never '<'),
+    visible-text length after script/style/comment stripping, resolved
+    outlinks (fragment/javascript dropped, path and absolute forms),
+    canonical URL, and text density. The DuckDB twin replays the regex
+    chain mechanically, in the same order."""
+    from eel_sdk_spark.functions import html as H
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    h = F.concat(
+        F.lit("<html><head><title> Doc "), did,
+        F.lit(" &amp; more &amp;lt;tag&amp;gt; </title>"),
+        F.lit('<link rel="canonical" href="https://c.example/'), did,
+        F.lit('"><style>p { color: red }</style>'
+              "<script>var x = 1 < 2;</script></head><body>"
+              "<!-- hidden <b>comment</b> --><h1>Header "),
+        F.col("source"), F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><a href="/l/'), did,
+        F.lit('">x</a><a href="#frag">y</a>'
+              '<a href="javascript:void(0)">z</a>'
+              '<a href="https://other.example/abs">w</a></body></html>'))
+    return d.select(
+        "doc_id",
+        H.html_title(h).alias("title"),
+        F.length(H.extract_text(h)).alias("text_len"),
+        F.concat_ws(",", H.extract_links(h, F.lit("h.example")))
+        .alias("links"),
+        H.canonical_url(h).alias("canon"),
+        H.text_density(h).alias("density"))
+
+
+def q_incremental_dedup(spark, sf):
+    """Append-batch dedup against a persisted signature store
+    (dedup.signature_store + incremental_dup_ids — NEW r5, driver row
+    r6). Store = the documents table's fp+minhash rows; batch = a
+    deterministic mutation (ids shifted by 1e6; every 5th doc keeps its
+    text — an exact dup against the store; every 5th+1 appends tokens —
+    a near-dup band-collision candidate; the rest get per-doc unique
+    text). Returns the flagged batch ids; DuckDB replays fp match +
+    band collision + within-batch checks op-for-op."""
+    d = _t(spark, sf, "documents")
+    store = dedup.signature_store(d, "text", "doc_id", n_hashes=4)
+    did = F.col("doc_id").cast("string")
+    batch = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.col("text"), F.lit(" extra extra extra")))
+        .otherwise(F.concat(F.lit("u"), did, F.lit(" v"), did,
+                            F.lit(" w"), did, F.lit(" x"), did,
+                            F.lit(" y"), did)).alias("text"))
+    return dedup.incremental_dup_ids(batch, store, "text", "doc_id",
+                                     n_hashes=4, band_size=2,
+                                     max_bucket=None)
+
+
+def q_logreg_score(spark, sf):
+    """Distributed quality-classifier SCORING surface
+    (functions/classifier.py — NEW r5, driver row r6): P(quality) under
+    a FIXED literal model over unrounded text metrics. Training is
+    pinned to a numpy replica in pytest (test_classifier.py); the gate
+    row validates the scoring arithmetic — standardization, weighted
+    sum, sigmoid — op-for-op against DuckDB."""
+    from eel_sdk_spark.functions.classifier import logreg_score
+
+    model = {"features": ["f_log_tokens", "f_punct", "f_stop", "f_dup"],
+             "w": [0.8, -2.0, 1.5, -1.0], "b": -0.25,
+             "means": [3.0, 0.05, 0.2, 0.3],
+             "stds": [1.0, 0.05, 0.1, 0.25]}
+    d = _t(spark, sf, "documents")
+    feats = d.select(
+        "doc_id",
+        F.log1p(T.token_count(F.col("text"))).alias("f_log_tokens"),
+        T.punct_ratio(F.col("text")).alias("f_punct"),
+        T.stopword_ratio(F.col("text")).alias("f_stop"),
+        T.dup_token_ratio(F.col("text")).alias("f_dup"))
+    return feats.select(
+        "doc_id", F.round(logreg_score(model), 4).alias("quality_prob"))
 
 
 def _query_vec(spark, sf):
@@ -752,6 +851,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sentinel group -1) and ann_brute rides inside ann_batch (qid 0 is
     answered by the single-query brute_force_topk path) — the freed rows
     register semantic_dedup and the url_hygiene panel.
+    Round-6 folds: rollup + cube become ONE grouping_sets row (both
+    operators run, tagged by semantic); having rides inside
+    price_histogram as a tagged leg; distinct rides inside set_ops — the
+    three freed rows register html_extract, incremental_dedup, and
+    logreg_score (the round-5 ops the r5 VERDICT flagged as
+    pytest-only).
     Highest-stakes queries (codec roundtrips, sessionization) lead."""
     return {
         "roundtrip_verify": q_roundtrip_verify,
@@ -771,7 +876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_agg": q_broadcast_join_agg,
         "join_multi": q_join_multi,
         "set_ops": q_set_ops,
-        "distinct": q_distinct,
         "tpch_q1": q_tpch_q1,
         "global_agg": q_global_agg,
         "topk_per_group": q_topk_per_group,
@@ -781,23 +885,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_rows": q_drop_rows,
         "explode_tokens": q_explode_tokens,
         "pivot_case": q_pivot_case,
-        "rollup": q_rollup,
+        "grouping_sets": q_grouping_sets,
         "window_running": q_window_running,
         "concat_zip": q_concat_zip,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "cartesian": q_cartesian,
         "string_funcs": q_string_funcs,
-        "cube": q_cube,
-        "having": q_having,
         "price_histogram": q_price_histogram,
         "map_rows": q_map_rows,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "incremental_dedup": q_incremental_dedup,
         "clean_corpus": q_clean_corpus,
         "text_metrics": q_text_metrics,
+        "html_extract": q_html_extract,
+        "logreg_score": q_logreg_score,
         "url_hygiene": q_url_hygiene,
         "label_centroids": q_label_centroids,
         "mix_sources": q_mix_sources,
@@ -872,12 +977,16 @@ def oracle_sql() -> dict[str, str]:
             rem AS (
                 SELECT o_custkey FROM orders
                 EXCEPT ALL
-                SELECT o_custkey FROM pri)
-            SELECT o_custkey FROM rem
-            INTERSECT ALL
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
-        "distinct": """
-            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+                SELECT o_custkey FROM pri),
+            so AS (
+                SELECT o_custkey FROM rem
+                INTERSECT ALL
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            SELECT 'setops' AS leg, o_custkey::VARCHAR AS a,
+                   NULL::VARCHAR AS b FROM so
+            UNION ALL
+            SELECT DISTINCT 'distinct' AS leg, l_returnflag AS a,
+                   l_linestatus AS b FROM lineitem""",
         "tpch_q1": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -941,10 +1050,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity
                                   ELSE 0 END), 2) AS qty_finished
             FROM lineitem GROUP BY l_returnflag""",
-        "rollup": """
-            SELECT coalesce(l_returnflag, 'ALL') AS rf,
-                   coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
-            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "grouping_sets": """
+            SELECT 'rollup' AS sem, coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'cube' AS sem, coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "window_running": """
             SELECT o_custkey, o_orderkey,
                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
@@ -987,21 +1102,17 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
                    trim('  x  ') AS trimmed
             FROM part""",
-        "cube": """
-            SELECT coalesce(l_returnflag, 'ALL') AS rf,
-                   coalesce(l_linestatus, 'ALL') AS ls,
-                   count(*) AS n, round(sum(l_quantity), 2) AS qty
-            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
-        "having": """
-            SELECT o_custkey, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total
-            FROM orders GROUP BY o_custkey HAVING count(*) >= 5""",
         "price_histogram": """
-            SELECT CASE WHEN o_totalprice < 50000 THEN 'lo'
+            SELECT 'hist' AS leg,
+                   CASE WHEN o_totalprice < 50000 THEN 'lo'
                         WHEN o_totalprice < 150000 THEN 'mid'
                         ELSE 'hi' END AS bucket,
-                   count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
-            FROM orders GROUP BY 1""",
+                   count(*) AS n, round(avg(o_totalprice), 4) AS val
+            FROM orders GROUP BY 2
+            UNION ALL
+            SELECT 'having' AS leg, o_custkey::VARCHAR AS bucket,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS val
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 5""",
         "map_rows": """
             SELECT doc_id, length(text) AS n_chars, upper(lang) AS shout
             FROM documents""",
@@ -1091,6 +1202,139 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.lab FROM reach r
                 JOIN edges e ON e.src = r.id)
             SELECT id, min(lab) AS component FROM reach GROUP BY id""",
+        # append-batch dedup vs a persisted signature store: replays fp
+        # match + band collision + within-batch exact/near op-for-op
+        # (same md5-chain sigs as minhash_pairs; max_bucket disabled on
+        # both sides for the replay)
+        "incremental_dedup": f"""
+            WITH batch AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text
+                            WHEN doc_id % 5 = 1
+                                THEN text || ' extra extra extra'
+                            ELSE 'u' || doc_id::VARCHAR || ' v' ||
+                                 doc_id::VARCHAR || ' w' ||
+                                 doc_id::VARCHAR || ' x' ||
+                                 doc_id::VARCHAR || ' y' ||
+                                 doc_id::VARCHAR
+                       END AS text
+                FROM documents),
+            store_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+            store_toks AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                       AS tok
+                FROM (SELECT doc_id, {_TOKS} AS w FROM documents)),
+            store_sigs AS (
+                SELECT doc_id, {sigs} FROM store_toks GROUP BY doc_id),
+            batch_fp AS (SELECT doc_id, md5(text) AS fp FROM batch),
+            batch_toks AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                       AS tok
+                FROM (SELECT doc_id, {_TOKS} AS w FROM batch)),
+            batch_sigs AS (
+                SELECT doc_id, {sigs} FROM batch_toks GROUP BY doc_id),
+            old_bands AS (
+                SELECT 0 AS band, md5(sig_0 || '|' || sig_1) AS band_key
+                FROM store_sigs
+                UNION ALL
+                SELECT 1, md5(sig_2 || '|' || sig_3) FROM store_sigs),
+            new_bands AS (
+                SELECT doc_id, 0 AS band,
+                       md5(sig_0 || '|' || sig_1) AS band_key
+                FROM batch_sigs
+                UNION ALL
+                SELECT doc_id, 1, md5(sig_2 || '|' || sig_3)
+                FROM batch_sigs),
+            flagged AS (
+                SELECT b.doc_id FROM batch_fp b JOIN store_fp s USING (fp)
+                UNION ALL
+                SELECT n.doc_id FROM new_bands n
+                JOIN (SELECT DISTINCT band, band_key FROM old_bands) o
+                  USING (band, band_key)
+                UNION ALL
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY fp) AS keep
+                    FROM batch_fp) WHERE doc_id <> keep
+                UNION ALL
+                SELECT y.doc_id FROM new_bands x JOIN new_bands y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id)
+            SELECT DISTINCT doc_id FROM flagged""",
+        # html extraction panel over synthesized markup: the oracle
+        # states the EXPECTED extraction result directly (document text
+        # is verified single-spaced with no <>& at every sf), pinning
+        # tag/script/comment stripping, block-tag newlines, the r6
+        # one-level entity-unescape order, link filtering+resolution,
+        # and density arithmetic
+        "html_extract": """
+            WITH h AS (
+                SELECT doc_id, source, text,
+                       '<html><head><title> Doc ' || doc_id::VARCHAR ||
+                       ' &amp; more &amp;lt;tag&amp;gt; </title>' ||
+                       '<link rel="canonical" href="https://c.example/' ||
+                       doc_id::VARCHAR ||
+                       '"><style>p { color: red }</style>' ||
+                       '<script>var x = 1 < 2;</script></head><body>' ||
+                       '<!-- hidden <b>comment</b> --><h1>Header ' ||
+                       source || '</h1><p>' || text ||
+                       '</p><a href="/l/' || doc_id::VARCHAR ||
+                       '">x</a><a href="#frag">y</a>' ||
+                       '<a href="javascript:void(0)">z</a>' ||
+                       '<a href="https://other.example/abs">w</a>' ||
+                       '</body></html>' AS html
+                FROM documents),
+            vis AS (
+                SELECT doc_id, html,
+                       'Doc ' || doc_id::VARCHAR ||
+                       ' & more &lt;tag&gt;' || chr(10) ||
+                       'Header ' || source || chr(10) || text ||
+                       chr(10) || 'x y z w' AS v
+                FROM h)
+            SELECT doc_id,
+                   'Doc ' || doc_id::VARCHAR || ' & more &lt;tag&gt;'
+                       AS title,
+                   length(v) AS text_len,
+                   'https://h.example/l/' || doc_id::VARCHAR ||
+                   ',https://other.example/abs' AS links,
+                   'https://c.example/' || doc_id::VARCHAR AS canon,
+                   round(length(v) / length(html), 4) AS density
+            FROM vis""",
+        # classifier scoring under a FIXED literal model: unrounded
+        # feature panel -> standardize -> weighted sum (same left-fold
+        # association and w*((x-m)/s) grouping as _z_expr) -> sigmoid
+        "logreg_score": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       ln(1 + len({_TOKS})) AS f_log_tokens,
+                       CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
+                            '[.,!?;:]', '', 'g'))) / length(text)
+                           ELSE 0 END AS f_punct,
+                       CASE WHEN len({_TOKS_LOWER}) > 0 THEN
+                           len(list_filter({_TOKS_LOWER},
+                               x -> list_contains({STOP_SQL}, x)))
+                           / len({_TOKS_LOWER})::DOUBLE
+                           ELSE 0 END AS f_stop,
+                       CASE WHEN len({_TOKS}) > 0 THEN
+                           1.0 - len(list_distinct({_TOKS}))
+                                 / len({_TOKS})::DOUBLE
+                           ELSE 0.0 END AS f_dup
+                FROM documents),
+            z AS (
+                SELECT doc_id,
+                       -0.25 + 0.8 * ((f_log_tokens - 3.0) / 1.0)
+                             + (-2.0) * ((f_punct - 0.05) / 0.05)
+                             + 1.5 * ((f_stop - 0.2) / 0.1)
+                             + (-1.0) * ((f_dup - 0.3) / 0.25) AS zz
+                FROM feats)
+            SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 4)
+                       AS quality_prob
+            FROM z""",
         # the full cleanup pipeline, composed from the already-verified
         # pieces: exact dedup + minhash/LSH + jaccard>=0.5 + quality>=0.3
         # + md5 split routing

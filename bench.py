@@ -37,7 +37,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_QUERIES = [
     "tpch_q1", "broadcast_join_agg", "join_multi", "topk_per_group",
     "window_running", "dedup_exact", "minhash_pairs", "text_metrics",
-    "ann_batch", "events_window", "sessionization", "rollup",
+    "ann_batch", "events_window", "sessionization", "grouping_sets",
 ]
 
 

@@ -164,10 +164,9 @@ def test_shipped_oracles_emit_integer_sums(ddb):
 ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     "asof_join": {"purchase_us"},
     "broadcast_join_agg": {"revenue"},
-    "cube": {"qty"},
+    "grouping_sets": {"qty"},
     "filter_projection": {"l_quantity"},
     "global_agg": {"max_price", "avg_price"},
-    "having": {"total"},
     "join_multi": {"sum_acctbal"},
     "pivot_case": {"qty_open", "qty_finished"},
     "text_metrics": {"punct_ratio"},

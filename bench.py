@@ -89,12 +89,25 @@ def run_eelshape(spark) -> dict:
             n_dec = decode_blocks_df(blocks, EELROWS_DDL + ", rid bigint").count()
             t_dec = min(t_dec, time.monotonic() - t0)
             assert n_dec == n
+    # identity-channel floor over the SAME block frame decode reads:
+    # decode is input-channel-bound (r6 attribution: kernels ~0.1 s,
+    # output ~0.2 s, input ~0.7 s of ~1.0 s total), so recording the
+    # floor next to the throughput makes a decode drift attributable
+    # in-record — if the floor moved, the box moved, not the engine.
+    pruned = blocks.select("part_id", "block_seq", "writer_uid", "col",
+                           "header", "payload")
+    t_chan = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        pruned.mapInArrow(lambda bs: bs, pruned.schema).count()
+        t_chan = min(t_chan, time.monotonic() - t0)
     blocks.unpersist()
     df.unpersist()
     return {
         "rows": n,
         "encode_sec": round(t_enc, 3),
         "decode_sec": round(t_dec, 3),
+        "decode_channel_sec": round(t_chan, 3),
         "encode_mrows_per_sec": round(n / t_enc / 1e6, 3),
         "decode_mrows_per_sec": round(n / t_dec / 1e6, 3),
         "ratio": round(agg["sum(raw_bytes)"] / agg["sum(enc_bytes)"], 3),

@@ -23,6 +23,7 @@ writer-per-partition hotspot, eel-hive/.../HiveSinkWriter.scala:138-148);
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterator
 
@@ -41,7 +42,11 @@ PART_COL = "__eel_part"
 # each decoded group into <=32k-row batches (zero-copy pa slices, the
 # decode kernels still run once per 64k block) recovers the measured ~15%
 # decode gap without touching the encoded layout.
-DECODE_BATCH_ROWS = 32 * 1024
+# env-overridable so decode-throughput bisection can toggle the
+# re-slicing without editing source (workers re-import this module, so
+# driver-side monkeypatching never reaches them; the env var does)
+DECODE_BATCH_ROWS = int(os.environ.get("EEL_DECODE_BATCH_ROWS",
+                                       32 * 1024))
 
 
 def _sliced(rb: pa.RecordBatch) -> Iterator[pa.RecordBatch]:

@@ -23,6 +23,70 @@ from .encode import BLOCK_SCHEMA_DDL, encode_df
 from .table import ManifestTable
 
 
+def lookup_files(spark: SparkSession, snap, key_value, key: str,
+                 parts: set[int]) -> list[str]:
+    """The three file-pruning tiers of a point lookup, in increasing
+    cost order; returns the files whose payloads must be decoded.
+
+    1. Part coverage (manifest, zero I/O): exact per-file part sets.
+       Vacuous on banded tables — hash part ids make every file span
+       all parts.
+    2. Per-file KEY ranges (manifest, zero I/O): effective whenever the
+       INPUT arrived clustered by the key (time-ordered appends,
+       monotonic ids, range-partitioned upstreams — the no-exchange
+       layout preserves input clustering, so each file covers a narrow
+       disjoint slice). On hash-scattered input the ranges overlap and
+       prune nothing. Files without a recorded range are kept.
+    3. Per-block KEY BLOOMS (r6 — the scattered-layout fix): when the
+       manifest tiers left more than a couple of files, ONE narrow
+       columnar scan of the key blocks' bloom words (footers + ~1% of
+       payload bytes — parquet column projection never touches the
+       payloads) answers "may this file hold the exact key" at ~1%
+       false positives, so the payload decode opens ~1 file with NO
+       layout migration (realign_table demoted to optional). Blooms
+       live IN the data files, not the manifest: a per-file bloom
+       scales with VALUE count (1M-row file @10 bits/key = ~1.25 MB —
+       untenable in a JSON manifest at 100k files), and the narrow
+       scan is exactly how parquet/ORC consult their own column
+       blooms. Pre-bloom files read NULL under mergeSchema and are
+       conservatively kept. Reference analogue:
+       eel-orc/.../OrcSink.scala:15-33 (bloomFilterColumns).
+    """
+    coverage: dict[str, list[int]] = {}
+    key_ranges: dict[str, dict] = {}
+    for r in snap.properties.get("runs", []):
+        coverage.update(r.get("file_parts", {}))
+        if r.get("key", key) == key:
+            key_ranges.update(r.get("file_key_ranges", {}))
+    # compaction rewrites files and re-records their coverage here
+    coverage.update(snap.properties.get("file_parts_extra", {}))
+    kr_extra = snap.properties.get("file_key_ranges_extra", {})
+    if kr_extra.get("key") == key:
+        key_ranges.update(kr_extra.get("files", {}))
+    files = prune_files_by_part(snap.files, parts, coverage=coverage)
+    fam = "s" if isinstance(key_value, str) else "i"
+    in_range = []
+    for f in files:
+        rng = key_ranges.get(os.path.basename(f), {}).get(fam)
+        if rng is None or rng[0] <= key_value <= rng[1]:
+            in_range.append(f)
+    # empty parquet read is invalid; keep one file (filter drops all)
+    files = in_range or files[:1]
+    if len(files) > 2:
+        from .encode import bloom_may_contain
+
+        nar = spark.read.option("mergeSchema", "true").parquet(*files)
+        if "key_bloom" in nar.columns:
+            cand = (nar.filter(F.col("col") == key)
+                    .filter(bloom_may_contain(key_value))
+                    .select(F.input_file_name().alias("f"))
+                    .distinct().collect())
+            keep = {os.path.basename(r["f"]) for r in cand}
+            files = [f for f in files
+                     if os.path.basename(f) in keep] or files[:1]
+    return files
+
+
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
                  schema_ddl: str, key: str = "url",
                  salt_by_value: str | None = None,
@@ -65,37 +129,7 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
         parts_expr = F.array(F.pmod(F.xxhash64(kv), F.lit(n_parts))
                              .cast("int"))
     parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
-    coverage: dict[str, list[int]] = {}
-    key_ranges: dict[str, dict] = {}
-    for r in snap.properties.get("runs", []):
-        coverage.update(r.get("file_parts", {}))
-        if r.get("key", key) == key:
-            key_ranges.update(r.get("file_key_ranges", {}))
-    # compaction rewrites files and re-records their coverage here
-    coverage.update(snap.properties.get("file_parts_extra", {}))
-    kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") == key:
-        key_ranges.update(kr_extra.get("files", {}))
-    files = prune_files_by_part(snap.files, parts, coverage=coverage)
-    # second manifest-side tier: per-file KEY ranges (recorded from the
-    # same commit-time stats scan). Part coverage is vacuous on banded
-    # tables (hash part ids -> every file spans all parts); key ranges
-    # fill that gap whenever the INPUT arrived clustered by the key —
-    # time-ordered appends, monotonic ids, range-partitioned upstreams —
-    # because the no-exchange layout preserves input clustering, so each
-    # file covers a narrow disjoint key slice and a lookup opens ~1 file
-    # with ZERO I/O. On hash-scattered input the ranges overlap and
-    # prune nothing (no harm; block-stats pruning still narrows the
-    # in-file work). Files without a recorded range (old tables,
-    # compacted files, truncated-stats blocks) are conservatively kept.
-    fam = "s" if isinstance(key_value, str) else "i"
-    in_range = []
-    for f in files:
-        rng = key_ranges.get(os.path.basename(f), {}).get(fam)
-        if rng is None or rng[0] <= key_value <= rng[1]:
-            in_range.append(f)
-    # empty parquet read is invalid; keep one file (filter drops all)
-    files = in_range or files[:1]
+    files = lookup_files(spark, snap, key_value, key, parts)
     # mergeSchema: a table appended onto across layout generations mixes
     # files WITH and WITHOUT the banded parts/part_hi columns — without
     # merging, whichever file Spark samples first dictates the schema and
@@ -116,7 +150,7 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     # range excludes the value (block stats ride the blocks table; this
     # is the same machinery as predicate pushdown, aimed at the key) —
     # with 64k-row blocks a 10M-row part decodes ~1 block instead of ~160
-    from .encode import prune_block_groups
+    from .encode import prune_block_groups, prune_block_groups_bloom
 
     if isinstance(key_value, str):
         blocks = prune_block_groups(blocks, key, lower_s=key_value,
@@ -124,6 +158,11 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     elif isinstance(key_value, int):
         blocks = prune_block_groups(blocks, key, lower=key_value,
                                     upper=key_value)
+    # block tier of the same bloom machinery: within surviving files,
+    # drop whole block groups whose key bloom excludes the value (the
+    # finer skip min/max can't provide on scattered layouts)
+    if "key_bloom" in blocks.columns:
+        blocks = prune_block_groups_bloom(blocks, key, key_value)
     return decode_blocks_df(blocks, schema_ddl).filter(
         F.col(key) == key_value)
 

@@ -70,15 +70,136 @@ BLOCK_SCHEMA_DDL = (
     "block_seq int, writer_uid bigint, col string, codec string, "
     "n_values bigint, n_nulls bigint, header binary, payload binary, "
     "raw_bytes bigint, enc_bytes bigint, encode_ms double, "
-    "min_i bigint, max_i bigint, min_s string, max_s string"
+    "min_i bigint, max_i bigint, min_s string, max_s string, "
+    "key_bloom array<bigint>"
 )
 
 BLOCK_FIELDS = ["part_id", "part_hi", "parts", "block_seq", "writer_uid",
                 "col", "codec", "n_values", "n_nulls",
                 "header", "payload", "raw_bytes", "enc_bytes", "encode_ms",
-                "min_i", "max_i", "min_s", "max_s"]
+                "min_i", "max_i", "min_s", "max_s", "key_bloom"]
 
 STATS_STR_LEN = 64  # string min/max truncated like parquet column stats
+
+# -- per-block key bloom filters -------------------------------------------
+# The membership tier BELOW min/max stats: on hash-scattered input every
+# file/block covers the full key range and min/max prunes nothing, but a
+# bloom answers "is this exact key possibly here" regardless of layout.
+# Blooms live IN the data files as a block column on the KEY column's
+# rows (null elsewhere) — the same placement parquet column-index bloom
+# filters and the reference's ORC sink blooms use
+# (eel-orc/src/main/scala/io/eels/component/orc/OrcSink.scala:15-33,
+# OrcWriter.scala:36-50): a manifest-side bloom would grow with VALUE
+# count (1M-row file @10 bits/key = 1.25 MB — untenable in a JSON
+# manifest at 100k files), while in-file blooms cost one narrow
+# columnar scan (footer + ~1%-of-payload bloom chunks) and nothing on
+# the write path's shuffle. ~10 bits/value, k=5 probes -> ~1% false
+# positives; storage overhead ~1.25 bytes/key (~3-8% of encoded size on
+# webtext).
+BLOOM_BITS_PER_VALUE = int(os.environ.get("EEL_BLOOM_BITS_PER_VALUE", "10"))
+BLOOM_K = 5
+_BLOOM_SEED1 = 0x9E3779B97F4A7C15
+_BLOOM_SEED2 = 0xC2B2AE3D27D4EB4F
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (public domain constant set) —
+    uint64 in, uint64 out, wrapping arithmetic."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_hash_pair_int(iv: "np.ndarray") -> tuple:
+    """(h1, h2) for int-kind values (vectorized, ~free). Reduced to 32
+    bits so probe arithmetic h1 + i*h2 stays < 2^35: the probe must be
+    re-computable as a plain BIGINT literal in a Column expression
+    (ANSI mode: 64-bit wrap-around would THROW JVM-side, and a wrapped
+    uint64 has no BIGINT literal). 32-bit double hashing is ample for
+    per-block m <= 2^31 bits."""
+    u = np.ascontiguousarray(iv, dtype=np.int64).view(np.uint64)
+    h1 = _splitmix64(u ^ np.uint64(_BLOOM_SEED1)) >> np.uint64(32)
+    h2 = (_splitmix64(u ^ np.uint64(_BLOOM_SEED2)) >> np.uint64(32)) \
+        | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_hash_pair_str(vals: list) -> tuple:
+    """(h1, h2) for string values: first two big-endian 32-bit words of
+    md5(utf-8) — one C-speed digest per value, stable across sessions
+    (unlike hash()), same family the engine's oracles replay."""
+    import hashlib
+
+    dig = np.frombuffer(
+        b"".join(hashlib.md5(v.encode("utf-8")).digest() for v in vals),
+        dtype=">u4").reshape(-1, 4)
+    return (dig[:, 0].astype(np.uint64),
+            dig[:, 1].astype(np.uint64) | np.uint64(1))
+
+
+def _bloom_build(arr: pa.Array, kind: str) -> list[int] | None:
+    """Per-block bloom words (int64 bit patterns) over the non-null
+    values, or None for kinds without a stable hash (floats). m scales
+    with the block's value count (positions are taken mod m at probe
+    time, so a variable m needs no registry)."""
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return None
+    values = arr.drop_null() if arr.null_count else arr
+    if kind == "int":
+        from .codecs.base import int_view
+
+        h1, h2 = _bloom_hash_pair_int(np.asarray(int_view(values)))
+    elif pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+        h1, h2 = _bloom_hash_pair_str(values.to_pylist())
+    else:
+        return None
+    n = len(values)
+    m = max(64, ((BLOOM_BITS_PER_VALUE * n + 63) // 64) * 64)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for i in range(BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words.view(np.int64).tolist()
+
+
+def bloom_probe_seeds(key_value) -> tuple[int, int]:
+    """Driver-side (h1, h2) for a lookup literal — same hash chain as
+    ``_bloom_build`` (splitmix64 for ints, md5 words for strings).
+    Probe positions are (h1 + i*h2) mod m with m = 64 * size(bloom),
+    expressible as a pure Column over the stored words."""
+    if isinstance(key_value, str):
+        import hashlib
+
+        d = hashlib.md5(key_value.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[0:4], "big")
+        h2 = int.from_bytes(d[4:8], "big") | 1
+        return h1, h2
+    u = np.array([np.int64(key_value)], dtype=np.int64).view(np.uint64)
+    h1 = int(_splitmix64(u ^ np.uint64(_BLOOM_SEED1))[0] >> np.uint64(32))
+    h2 = int((_splitmix64(u ^ np.uint64(_BLOOM_SEED2))[0]
+              >> np.uint64(32)) | np.uint64(1))
+    return h1, h2
+
+
+def bloom_may_contain(key_value) -> "F.Column":
+    """Column predicate over a ``key_bloom`` cell: True when the bloom
+    may contain ``key_value`` (or carries no bloom — conservative).
+    Pure JVM expression: k probe words indexed by driver-computed
+    (h1 + i*h2) mod (64*size), unsigned-shifted, bit-tested — no UDF,
+    codegen throughout."""
+    h1, h2 = bloom_probe_seeds(key_value)
+    tests = []
+    for i in range(BLOOM_K):
+        # h1 + i*h2 < 2^35 (32-bit seeds) — safe BIGINT literal, no wrap
+        probe = h1 + i * h2
+        tests.append(
+            "((shiftrightunsigned(element_at(key_bloom, "
+            f"cast(pmod({probe}, size(key_bloom) * 64) / 64 AS INT) + 1), "
+            f"cast(pmod({probe}, size(key_bloom) * 64) % 64 AS INT)) & 1) "
+            "= 1)")
+    return F.col("key_bloom").isNull() | F.expr(" AND ".join(tests))
 
 
 def _block_stats(arr: pa.Array, kind: str):
@@ -261,7 +382,8 @@ def _split_by_part(batch: pa.RecordBatch) -> Iterator[tuple[int, pa.RecordBatch]
 def _encode_batches(batches: Iterator[pa.RecordBatch],
                     codec_overrides: dict[str, str | None],
                     profile: str = "speed",
-                    split_parts: bool = True) -> Iterator[pa.RecordBatch]:
+                    split_parts: bool = True,
+                    bloom_col: str | None = None) -> Iterator[pa.RecordBatch]:
     import os as _os
 
     seq: dict[int, int] = {}
@@ -307,6 +429,9 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 rows["max_i"].append(mx_i)
                 rows["min_s"].append(mn_s)
                 rows["max_s"].append(mx_s)
+                rows["key_bloom"].append(
+                    _bloom_build(arr, info["kind"])
+                    if name == bloom_col else None)
                 rows["part_id"].append(part_id)
                 rows["part_hi"].append(part_hi)
                 rows["parts"].append(parts_list)
@@ -340,6 +465,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                     pa.array(rows["max_i"], type=pa.int64()),
                     pa.array(rows["min_s"], type=pa.string()),
                     pa.array(rows["max_s"], type=pa.string()),
+                    pa.array(rows["key_bloom"], type=pa.list_(pa.int64())),
                 ],
                 names=BLOCK_FIELDS,
             )
@@ -350,7 +476,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               codec_overrides: dict[str, str] | None = None,
               profile: str = "speed",
               shuffle: bool | str = "auto",
-              sort_by: list[str] | None = None) -> DataFrame:
+              sort_by: list[str] | None = None,
+              key_bloom: bool = True) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
     ``shuffle`` picks the layout/lineage trade (all modes keep decode and
@@ -405,13 +532,19 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or sc.defaultParallelism * 2
     overrides = codec_overrides or {}
+    # per-block key blooms (key_bloom=True default): the membership tier
+    # for exact-key lookups on layouts where min/max stats can't prune
+    # (hash-scattered banded tables). ~1.25 bytes/key write-side cost;
+    # point_lookup consults them via a narrow columnar scan.
+    bloom_col = key if key_bloom else None
     extra_sort = [F.col(c) if isinstance(c, str) else c
                   for c in (sort_by or [])]
     if shuffle is False:
         if extra_sort:
             df = df.sortWithinPartitions(*extra_sort)
         out = df.mapInArrow(
-            lambda it: _encode_batches_by_task(it, overrides, profile),
+            lambda it: _encode_batches_by_task(it, overrides, profile,
+                                               bloom_col=bloom_col),
             BLOCK_SCHEMA_DDL)
     else:
         prepared = with_part_id(df, key, n_parts, salt, salt_by)
@@ -435,7 +568,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
         # 64 parts x 64 tasks. Lineage stays exact via the parts column.
         out = prepared.mapInArrow(
             lambda it: _encode_batches(it, overrides, profile,
-                                       split_parts=(shuffle != "local")),
+                                       split_parts=(shuffle != "local"),
+                                       bloom_col=bloom_col),
             BLOCK_SCHEMA_DDL)
     # every block group is emitted by ONE task, so no group straddles a
     # partition boundary: decode_blocks_df auto-detects this tag and skips
@@ -447,7 +581,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
 
 def _encode_batches_by_task(batches: Iterator[pa.RecordBatch],
                             codec_overrides: dict[str, str | None],
-                            profile: str) -> Iterator[pa.RecordBatch]:
+                            profile: str,
+                            bloom_col: str | None = None) -> Iterator[pa.RecordBatch]:
     """No-shuffle variant: one part per physical Spark partition."""
     from pyspark import TaskContext
 
@@ -458,7 +593,8 @@ def _encode_batches_by_task(batches: Iterator[pa.RecordBatch],
             ids = pa.array(np.full(b.num_rows, part_id, dtype=np.int32))
             yield b.append_column(PART_COL, ids)
 
-    yield from _encode_batches(tag(batches), codec_overrides, profile)
+    yield from _encode_batches(tag(batches), codec_overrides, profile,
+                               bloom_col=bloom_col)
 
 
 def prune_block_groups(blocks: DataFrame, col: str,
@@ -490,6 +626,27 @@ def prune_block_groups(blocks: DataFrame, col: str,
                       "left_semi")
     # a broadcast semi-join is narrow: it drops whole groups but never
     # moves rows across partitions, so the grouping guarantee survives
+    if getattr(blocks, "_eel_grouped", False):
+        out._eel_grouped = True
+    return out
+
+
+def prune_block_groups_bloom(blocks: DataFrame, col: str,
+                             key_value) -> DataFrame:
+    """Block-group skipping on per-block KEY BLOOMS — the membership
+    tier below min/max stats (``prune_block_groups``): on
+    hash-scattered layouts every block's min/max spans the full key
+    range and stats prune nothing, but the bloom answers exact-key
+    membership at ~1% false positives. Groups whose key block carries
+    no bloom are conservatively kept; the decode-side residual filter
+    stays required (blooms over-approximate, never under). Reference
+    analogue: ORC bloom-filter row-group skipping
+    (eel-orc/.../OrcSink.scala:15-33, OrcWriter.scala:36-50)."""
+    this_col = blocks.filter(F.col("col") == col) \
+        .filter(bloom_may_contain(key_value))
+    keep = this_col.select("part_id", "block_seq")
+    out = blocks.join(F.broadcast(keep), ["part_id", "block_seq"],
+                      "left_semi")
     if getattr(blocks, "_eel_grouped", False):
         out._eel_grouped = True
     return out

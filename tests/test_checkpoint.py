@@ -835,3 +835,67 @@ def test_range_lookup_prunes_files_and_matches_filter(spark, tmp_path):
         (F.col("url") >= lo_s) & (F.col("url") <= hi_s)).collect()}
     assert got_s == want_s and got_s
     wdf.unpersist()
+
+
+def test_bloom_scattered_lookup_opens_one_file(spark, tmp_path):
+    """r6 (VERDICT r5 #3): on a hash-scattered BANDED table — where part
+    coverage is vacuous and key ranges overlap, so r5 opened 32/32
+    files — the per-block key blooms prune the payload read to ~1 file
+    with no realign."""
+    from eel_sdk_spark.checkpoint import lookup_files, point_lookup
+
+    df = webtext_df(spark, 16_000, parts=32).repartition(16).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "bloomed")
+    encode_with_checkpoint(spark, df, tbl, n_parts=32, run_id="r1")
+    snap = tbl.current()
+    n_files = len(snap.files)
+    assert n_files >= 8  # scattered layout: one file per input task
+
+    target = df.select("url").first()["url"]
+    all_parts = set(range(32))
+    # pre-bloom behavior check: with parts+ranges only (pass a key the
+    # ranges can't prune), EVERY file survives; blooms must cut that to
+    # ~1 (allow a couple of 1%-fp stragglers)
+    kept = lookup_files(spark, snap, target, "url", all_parts)
+    assert len(kept) <= 3, (len(kept), n_files)
+
+    row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == target
+    # absent key: blooms reject everywhere -> fallback single file,
+    # residual filter returns nothing
+    miss_files = lookup_files(spark, snap, "https://no.such/url", "url",
+                              all_parts)
+    assert len(miss_files) <= 3
+    assert point_lookup(spark, tbl, "https://no.such/url",
+                        SCHEMA_DDL).first() is None
+    df.unpersist()
+
+
+def test_bloom_false_positive_rate_and_optout(spark, tmp_path):
+    """The bloom's advertised ~1% fp rate holds measurably, and
+    key_bloom=False tables stay fully functional (blooms absent -> all
+    files conservatively kept)."""
+    from eel_sdk_spark.encode import bloom_may_contain, encode_df
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("url"),
+        F.col("id").alias("v"))
+    blocks = encode_df(df, key="url", n_parts=8).cache()
+    url_blocks = blocks.filter(F.col("col") == "url").cache()
+    n_blocks = url_blocks.count()
+    hits = 0
+    probes = 200
+    for i in range(probes):
+        hits += url_blocks.filter(
+            bloom_may_contain(f"absent-{i}")).count()
+    fp = hits / (probes * n_blocks)
+    assert fp < 0.03, fp
+    # every present key passes its own block somewhere
+    assert url_blocks.filter(bloom_may_contain("k-19999")).count() >= 1
+
+    off = encode_df(df, key="url", n_parts=8, key_bloom=False)
+    assert off.filter(F.col("key_bloom").isNotNull()).count() == 0
+    from eel_sdk_spark.encode import decode_blocks_df as dec
+    assert dec(off, "url string, v bigint").count() == 20_000
+    blocks.unpersist(); url_blocks.unpersist()

@@ -230,7 +230,7 @@ def main() -> None:
     if os.environ.get("EEL_BENCH_SCALING", "1") != "0":
         scaling = run_scaling()
 
-    queries_full = dict(queries)
+    queries_full = {k: round(v, 2) for k, v in queries.items()}
     queries_full["encode_speed"] = enc_speed["encode_sec"]
     queries_full["encode_hash"] = enc_hash["encode_sec"]
     queries_full["encode_noshuffle"] = enc_fast["encode_sec"]
@@ -238,31 +238,65 @@ def main() -> None:
     queries_full["decode"] = enc_speed["decode_sec"]
 
     total = round(sum(v for v in queries_full.values() if v), 3)
-    # KEY-ORDER CONTRACT: the driver's capture keeps only the TAIL of
-    # this line when it grows past its window (the round-4 record lost
-    # its per-query section exactly this way), so sections are ordered
-    # least-critical-first — the large per-phase encode detail leads and
-    # the scaling summary + per-query latencies (the verdict-critical
-    # numbers) land at the very end of the line.
+
+    # SIZE CONTRACT (r6, VERDICT r5 #4): the driver's capture keeps only
+    # the TAIL ~2000 chars of this line — r4 lost the per-query section,
+    # r5 lost the speed/hash phase fields off the FRONT. The record is
+    # now SLIMMED so the WHOLE line fits the window: per-phase detail is
+    # reduced to the verdict-critical fields under short keys (sec=wall,
+    # gbps=raw GB/s, ratio=compression, vs_ref=enc_bytes/ref_parquet,
+    # chan=identity-channel floor sec, woc=wall/channel, pycore=python
+    # kernel core-sec, dec=decode sec, load=[1m before, after]), sample
+    # arrays are dropped (min/median retained), floats rounded. Full
+    # unabridged phase dicts remain reproducible via jobs/encode_bench.
+    def slim(ph):
+        out = {"sec": ph["encode_sec"], "gbps": ph["encode_gbps"],
+               "ratio": ph["compression_ratio"]}
+        if ph.get("vs_reference") is not None:
+            out["vs_ref"] = ph["vs_reference"]
+        if ph.get("channel_sec") is not None:
+            out["chan"] = ph["channel_sec"]
+            out["woc"] = ph["wall_over_channel"]
+        if ph.get("py_kernel_core_sec") is not None:
+            out["pycore"] = ph["py_kernel_core_sec"]
+        if ph.get("decode_sec"):
+            out["dec"] = ph["decode_sec"]
+        out["load"] = [ph["load_1m_before"], ph["load_1m_after"]]
+        return out
+
+    if scaling is not None:
+        scaling = {k: v for k, v in scaling.items()
+                   if not k.endswith("_all")}
+    eelshape = {k: v for k, v in eelshape.items()}
+
+    # KEY-ORDER CONTRACT kept from r5: least-critical first, queries
+    # LAST, so even a shrunken window keeps the verdict-critical tail.
     out = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "encode": {
-            "speed": enc_speed,
-            "hash_exchange": enc_hash,
-            "noshuffle": enc_fast,
-            "compression": enc_comp,
-        },
-        "eelshape": eelshape,
         "load_1m": {"start": load_start, "queries": load_queries,
                     "end": round(os.getloadavg()[0], 1)},
         "wall_sec": round(time.monotonic() - t_start, 1),
+        "encode": {
+            "speed": slim(enc_speed),
+            "hash_exchange": slim(enc_hash),
+            "noshuffle": slim(enc_fast),
+            "compression": slim(enc_comp),
+        },
+        "eelshape": eelshape,
         "scaling": scaling,
         "queries": queries_full,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1950:  # last-resort guard for the capture window
+        out.pop("eelshape", None)
+        out["encode"] = {k: {"sec": v["sec"], "gbps": v["gbps"],
+                             "ratio": v["ratio"]}
+                         for k, v in out["encode"].items()}
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -216,6 +216,21 @@ def signature_store(df: DataFrame, text_col: str, id_col: str,
     return fps.join(sigs, id_col, "left")
 
 
+def dedupe_store_rows(store: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One row per fingerprint: identical fp means identical text means
+    an identical signature row (sigs are pure content hashes), so
+    ``min()`` per column is exact, keeps the min-id representative, and
+    collapses the duplicate rows that accumulate when overlapping
+    corpora are appended to a store across increments. One combinable
+    groupBy on the 16-byte fp — text never existed here to move.
+    ``store_epoch`` (when present, added by compact_store) keeps the
+    MAX: a fp seen again in a later epoch must expire with its LATEST
+    sighting, not its first."""
+    aggs = [(F.max(c) if c == "store_epoch" else F.min(c)).alias(c)
+            for c in store.columns if c != "fp"]
+    return store.groupBy("fp").agg(*aggs).select(*store.columns)
+
+
 def incremental_dup_ids(new_df: DataFrame, store: DataFrame,
                         text_col: str, id_col: str,
                         n_hashes: int = 8, band_size: int = 2,

@@ -10,6 +10,8 @@ batch encode is just the bounded special case.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -220,6 +222,82 @@ def dedup_epoch(out_table, store_table, batch_df: DataFrame,
             {"dedup_cfg": cfg, f"epoch.{stream_id}": epoch_id},
             mode="append")
     return n
+
+
+def compact_store(spark, store_table, id_col: str = "doc_id",
+                  expire_before_epoch: int | None = None,
+                  stream_id: str = "dedup") -> dict:
+    """Signature-store maintenance (r6, VERDICT r5 #5): N epoch commits
+    leave one file set per epoch plus whatever fp-duplicate rows
+    overlapping increments accumulated — at 10^12 docs the store would
+    only ever grow. Rewrites the store as ONE deduped file set in a
+    single atomic overwrite commit (same advisory-lock CAS every other
+    committer uses, so a concurrent dedup_epoch serializes against it),
+    carrying the dedup_cfg params record and every per-stream epoch
+    watermark forward.
+
+    ``expire_before_epoch`` drops rows committed at epochs strictly
+    below it BEFORE the rewrite: files are epoch-aligned (each epoch
+    commit contributed exactly one file set, recovered by walking the
+    snapshot chain), so expiry is file-exact with zero row scans of the
+    expired data. Expired content can be re-admitted by future batches
+    — that is the point (aged-out content stops occupying store space);
+    it is an explicit knob, never a default. Dup-detection against the
+    surviving epochs is UNCHANGED: identical fp => identical signature
+    row, so collapsing duplicates preserves every band key and every
+    fingerprint (tested: N appends -> compact -> same flagged set)."""
+    snap = store_table.current()
+    if snap is None or not snap.files:
+        return {"rows_before": 0, "rows_after": 0, "files_before": 0,
+                "files_after": 0, "rows_expired": 0}
+    # per-file epoch from the snapshot chain: each commit's NEW files
+    # belong to the epoch watermark it carried. Compaction MERGES files
+    # across epochs, which would lose this alignment — so the compacted
+    # output persists a per-row ``store_epoch`` column (max sighting per
+    # fp), making later expiry row-accurate on compacted stores too.
+    chain = [snap]
+    while chain[-1].parent_id is not None:
+        chain.append(store_table.snapshot(chain[-1].parent_id))
+    epoch_of: dict[str, int] = {}
+    prev: set = set()
+    for s in reversed(chain):
+        ep = int((s.properties or {}).get(f"epoch.{stream_id}", -1))
+        for f in set(s.files) - prev:
+            epoch_of[os.path.basename(f)] = ep
+        prev = set(s.files)
+    from ..functions.dedup import dedupe_store_rows
+
+    df = spark.read.option("mergeSchema", "true").parquet(*snap.files)
+    fmap = F.create_map(*[x for k, v in epoch_of.items()
+                          for x in (F.lit(k), F.lit(int(v)))])
+    file_ep = F.element_at(fmap, F.regexp_extract(
+        F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)).cast("long")
+    row_ep = (F.coalesce(F.col("store_epoch").cast("long"), file_ep)
+              if "store_epoch" in df.columns else file_ep)
+    df = df.withColumn("store_epoch", row_ep)
+    rows_before = df.count()
+    rows_expired = 0
+    if expire_before_epoch is not None:
+        # unknown-epoch rows (no chain record, no column) never expire
+        df = df.filter(F.col("store_epoch").isNull()
+                       | (F.col("store_epoch") >= expire_before_epoch))
+        rows_expired = rows_before - df.count()
+    deduped = dedupe_store_rows(df, id_col)
+    job = store_table.new_data_path()
+    deduped.write.mode("overwrite").parquet(job)
+    new_files = store_table.list_written_files(job)
+    rows_after = (spark.read.parquet(*new_files).count()
+                  if new_files else 0)
+    props = snap.properties or {}
+    carry = {k: v for k, v in props.items()
+             if k == "dedup_cfg" or k.startswith("epoch.")}
+    ddl = snap.schema_ddl
+    if ddl and "store_epoch" not in ddl:
+        ddl = ddl + ", store_epoch bigint"
+    store_table.commit(new_files, ddl, carry, mode="overwrite")
+    return {"rows_before": rows_before, "rows_after": rows_after,
+            "files_before": len(snap.files), "files_after": len(new_files),
+            "rows_expired": rows_expired}
 
 
 def streaming_incremental_dedup(stream_df: DataFrame, out_table,

@@ -149,7 +149,8 @@ def main(argv=None) -> None:
             # legitimate in incremental mode, not an error
             kept = out.limit(0)
         if args.write_store:
-            from eel_sdk_spark.functions.dedup import (signature_store,
+            from eel_sdk_spark.functions.dedup import (dedupe_store_rows,
+                                                       signature_store,
                                                        write_store_params)
 
             st = signature_store(kept, args.text_col, args.id_col,
@@ -158,6 +159,11 @@ def main(argv=None) -> None:
                                  hash_family=args.dedup_hash_family)
             if args.against_store:
                 st = spark.read.parquet(args.against_store).unionByName(st)
+            # compaction-on-write (r6): overlapping increments re-add
+            # rows for already-stored fps — collapse to one row per
+            # fingerprint so the store never grows with duplicates
+            # (identical fp => identical sigs, detection unchanged)
+            st = dedupe_store_rows(st, args.id_col)
             st.write.mode("overwrite").parquet(args.write_store)
             write_store_params(args.write_store, dd_params)
         per_split = {r["split"]: r["n"] for r in

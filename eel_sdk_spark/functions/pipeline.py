@@ -35,6 +35,87 @@ from . import dedup
 from . import text as T
 
 
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = 10,
+                      min_len: int = 10) -> DataFrame:
+    """CROSS-document boilerplate census: lines repeated verbatim in
+    >= ``min_docs`` DISTINCT documents (nav bars, cookie banners,
+    footers, share buttons — the RefinedWeb/CCNet global line pass;
+    ``text.dedup_lines`` removes only WITHIN-doc repeats and cannot
+    see a banner that appears once per page across a whole host).
+    Returns (line_hash, n_docs, line).
+
+    Scale shape: per-doc DISTINCT lines (array_distinct — one page
+    repeating its banner 50x still counts once), length-gated
+    (short connectives like a bare '.' would dominate), then ONE
+    combinable groupBy on the 16-byte md5 of the line —
+    count(*) == distinct docs because the doc side is already
+    deduped, so no count_distinct shuffle of ids is needed. Document
+    text never shuffles; only (hash, line-once) pairs move, and the
+    representative line rides as min() for reporting."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), "\n")))
+        .alias("line"))
+    lines = lines.filter(F.length(F.trim(F.col("line"))) >= min_len)
+    return (lines
+            .select(F.md5(F.encode(F.col("line"), "utf-8")).alias("line_hash"),
+                    F.col("line"))
+            .groupBy("line_hash")
+            .agg(F.count("*").alias("n_docs"), F.min("line").alias("line"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 10,
+                             min_len: int = 10,
+                             boilerplate: DataFrame | None = None) -> DataFrame:
+    """Strip globally-repeated lines from every document, preserving
+    the order of the surviving lines (other columns pass through).
+    ``boilerplate`` lets a caller reuse a precomputed
+    :func:`boilerplate_lines` census (e.g. computed once per crawl
+    snapshot, applied to many slices).
+
+    Scale shape: the census side is (hash) only and broadcast into a
+    LEFT ANTI against the exploded (id, pos, line) frame; the rebuild
+    groupBy(id) is the ONE unavoidable text shuffle (same honest note
+    as materialize_packs), with order restored via array_sort over
+    (pos, line) structs — deterministic, no window. Documents whose
+    every line was boilerplate come back as '' (kept, not dropped —
+    dropping is a policy decision for the quality filter downstream)."""
+    if boilerplate is None:
+        boilerplate = boilerplate_lines(df, text_col, id_col,
+                                        min_docs, min_len)
+    bp = boilerplate.select("line_hash")
+    other_cols = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos", "__line"))
+    kept = exploded.join(
+        F.broadcast(bp),
+        F.md5(F.encode(F.col("__line"), "utf-8")) == F.col("line_hash"),
+        "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(*[F.first(c).alias(c) for c in other_cols
+                      if c != id_col],
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("__pos", "__line"))),
+                            lambda s: s["__line"])).alias(text_col)))
+    # docs that lost EVERY line vanish from the groupBy — restore them
+    # with empty text so row count (and id lineage) is preserved
+    empties = (df.join(rebuilt.select(id_col), id_col, "left_anti")
+               .select(*other_cols)
+               .withColumn(text_col, F.lit("")))
+    return rebuilt.select(*df.columns).unionByName(
+        empties.select(*df.columns))
+
+
 def mix_sources(df: DataFrame, source_col: str, weights: dict[str, float],
                 id_col: str = "doc_id", epsilon: float = 1e-9,
                 missing: str = "raise",
@@ -165,6 +246,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  splits: list[int] | None = None,
                  split_labels: list[str] | None = None,
                  dedup_lines: bool = False,
+                 boilerplate_min_docs: int | None = None,
                  benchmark: DataFrame | None = None,
                  bench_text_col: str = "text",
                  decontam_ngram: int = 13,
@@ -178,7 +260,10 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     ``near_dup_threshold=None`` / ``min_quality=None`` / ``splits=None``
     skip the respective stage; ``dedup_lines=True`` rewrites each doc's
     repeated lines away BEFORE dedup/quality (so boilerplate doesn't mask
-    near-dups); ``benchmark`` enables 13-gram decontamination;
+    near-dups); ``boilerplate_min_docs`` additionally strips lines
+    repeated across >= that many DISTINCT docs (the cross-document
+    RefinedWeb-style global line pass, remove_boilerplate_lines);
+    ``benchmark`` enables 13-gram decontamination;
     ``embeddings`` (a (id_col, emb_vec_col) table) enables SemDeDup-style
     semantic dedup AFTER the lexical near-dup stage — drops docs whose
     embedding is dominated by a smaller-id cell-mate at cosine >=
@@ -190,6 +275,12 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     out = df
     if dedup_lines:
         out = out.withColumn(text_col, T.dedup_lines(F.col(text_col)))
+    if boilerplate_min_docs is not None:
+        # cross-doc pass: a banner appearing ONCE per page on a whole
+        # host is invisible to within-doc dedup_lines but poisons
+        # near-dup signatures and token budgets corpus-wide
+        out = remove_boilerplate_lines(out, text_col, id_col,
+                                       min_docs=boilerplate_min_docs)
     if exact:
         out = dedup.exact_dedup(out, text_col, id_col)
     if near_dup_threshold is not None:

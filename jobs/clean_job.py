@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     p.add_argument("--min-quality", type=float, default=0.3,
                    help="quality_score threshold; negative disables")
     p.add_argument("--dedup-lines", action="store_true")
+    p.add_argument("--boilerplate-min-docs", type=int, default=None,
+                   help="strip lines repeated verbatim across >= N "
+                        "distinct docs (cross-document boilerplate: "
+                        "nav bars, cookie banners)")
     p.add_argument("--benchmark", default=None,
                    help="parquet of benchmark texts for 13-gram "
                         "decontamination")
@@ -125,6 +129,7 @@ def main(argv=None) -> None:
             min_quality=(args.min_quality if args.min_quality >= 0
                          else None),
             dedup_lines=args.dedup_lines,
+            boilerplate_min_docs=args.boilerplate_min_docs,
             benchmark=benchmark,
             bench_text_col=args.bench_text_col,
             embeddings=(spark.read.parquet(args.embeddings)

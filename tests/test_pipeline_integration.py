@@ -436,3 +436,87 @@ def test_mix_sources_by_token_budget(spark):
                         {"A": 1.0, "B": 1.0}, budget_col="n_tokens")
     assert out.select("doc_id").exceptAll(
         again.select("doc_id")).count() == 0
+
+
+def test_boilerplate_lines_census_and_removal(spark):
+    """Cross-document boilerplate pass (r6): lines repeated across
+    >= min_docs DISTINCT docs are stripped, order preserved, per-doc
+    repeats count once, short lines are exempt, and a DuckDB replica
+    confirms the census exactly."""
+    import duckdb
+
+    from eel_sdk_spark.functions.pipeline import (boilerplate_lines,
+                                                  remove_boilerplate_lines)
+
+    banner = "Accept our cookies to continue browsing this site"
+    nav = "Home | About | Products | Contact | Careers"
+    rows = []
+    for i in range(20):
+        body = f"unique article body number {i} with real words"
+        # banner on every page (twice on page 0 — must count ONCE),
+        # nav on half, a short common line everywhere (exempt: < 10)
+        lines = [banner, body, "-----", nav if i % 2 == 0 else
+                 f"only here {i} extra"]
+        if i == 0:
+            lines.append(banner)
+        rows.append((i, "\n".join(lines), f"src{i%3}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "source string")
+
+    census = boilerplate_lines(df, min_docs=10).collect()
+    got = {r["line"]: r["n_docs"] for r in census}
+    assert got == {banner: 20, nav: 10}  # per-doc distinct: 20 not 21
+
+    # DuckDB replica of the census
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    duck = {r[0]: r[1] for r in con.sql("""
+        SELECT line, count(*) AS n FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(text,
+                chr(10)))) AS line FROM docs)
+        WHERE length(trim(line)) >= 10
+        GROUP BY line HAVING count(*) >= 10""").fetchall()}
+    assert duck == got
+
+    out = remove_boilerplate_lines(df, min_docs=10)
+    assert out.count() == 20  # row count preserved
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    for i in range(20):
+        assert banner not in texts[i] and nav not in texts[i]
+        assert f"unique article body number {i}" in texts[i]
+        assert "-----" in texts[i]  # short line exempt
+    # order preserved: body before separator
+    t5 = texts[5].split("\n")
+    assert t5.index(f"unique article body number 5 with real words") \
+        < t5.index("-----")
+    # other columns pass through
+    assert out.filter(F.col("source").isNull()).count() == 0
+
+    # a doc that is ENTIRELY boilerplate survives as empty text
+    allbp = spark.createDataFrame(
+        [(100, banner, "x")] , "doc_id bigint, text string, source string")
+    merged = df.unionByName(allbp)
+    out2 = remove_boilerplate_lines(merged, min_docs=10)
+    assert out2.count() == 21
+    assert out2.filter("doc_id = 100").first()["text"] == ""
+
+    # determinism across physical layout
+    again = remove_boilerplate_lines(df.repartition(13), min_docs=10)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_clean_corpus_boilerplate_stage(spark):
+    """boilerplate_min_docs wired into clean_corpus: the banner is gone
+    from every surviving doc and the rest of the pipeline still runs."""
+    from eel_sdk_spark.functions.pipeline import clean_corpus
+
+    banner = "Subscribe to our newsletter for the latest updates here"
+    rows = [(i, f"genuine content piece {i} " + " ".join(
+        f"w{i}x{j}" for j in range(8)) + "\n" + banner)
+        for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = clean_corpus(df, near_dup_threshold=None, min_quality=None,
+                       splits=None, boilerplate_min_docs=10)
+    assert out.count() == 30
+    assert out.filter(F.col("text").contains(banner)).count() == 0
+    assert out.filter(F.col("text").contains("genuine content")).count() == 30

@@ -97,6 +97,9 @@ def cmd_analyze_table(args) -> None:
         # clustered -> a lookup opens ~1 file; ~0 = hash-scattered ->
         # ranges prune nothing and realign/shuffle=True is the lever)
         "key_ranges": _key_range_stats(runs, snap.properties),
+        # r6: per-block key blooms present? (zero-read: schema-level) —
+        # scattered-layout point lookups prune to ~1 file when true
+        "key_blooms": "key_bloom" in (snap.schema_ddl or ""),
     }) + "\n")
 
 
@@ -215,6 +218,25 @@ def cmd_gc(args) -> None:
     sys.stdout.write(json.dumps(out) + "\n")
 
 
+def cmd_compact_store(args) -> None:
+    """Signature-store maintenance: fp-dedup rewrite + epoch expiry
+    (streaming.pipeline.compact_store) — the operator's lever against
+    unbounded store growth at 10^12 docs."""
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.streaming.pipeline import compact_store
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="compact-store")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        res = compact_store(spark, tbl, id_col=args.id_col,
+                            expire_before_epoch=args.expire_before_epoch,
+                            stream_id=args.stream_id)
+        sys.stdout.write(json.dumps(res) + "\n")
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +275,16 @@ def main(argv=None) -> None:
     hi.add_argument("--table", default="blocks")
     hi.add_argument("--max-entries", type=int, default=50)
 
+    cs = sub.add_parser("compact-store",
+                        help="rewrite a dedup signature store as one "
+                             "fp-deduped file set; optionally expire "
+                             "epochs below a watermark")
+    cs.add_argument("--warehouse", required=True)
+    cs.add_argument("--table", default="sigstore")
+    cs.add_argument("--id-col", default="doc_id")
+    cs.add_argument("--stream-id", default="dedup")
+    cs.add_argument("--expire-before-epoch", type=int, default=None)
+
     ra = sub.add_parser("realign")
     ra.add_argument("--warehouse", required=True)
     ra.add_argument("--table", default="blocks")
@@ -271,7 +303,8 @@ def main(argv=None) -> None:
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
-     "history": cmd_history, "realign": cmd_realign}[args.cmd](args)
+     "history": cmd_history, "realign": cmd_realign,
+     "compact-store": cmd_compact_store}[args.cmd](args)
 
 
 if __name__ == "__main__":

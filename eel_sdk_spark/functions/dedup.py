@@ -666,6 +666,151 @@ def decontaminate(corpus: DataFrame, text_col: str, id_col: str,
     return corpus.join(bad, id_col, "left_anti")
 
 
+# -- exact substring (span-level) dedup -------------------------------------
+
+def _window_pos_hashes(col: Column, n: int, hash_family: str = "xxhash") -> Column:
+    """Array of per-window hashes (index i = window starting at token i).
+    'xxhash': the chain-fold of :func:`_window_hashes` (fast, JVM-only).
+    'md5': md5 of the space-joined gram string — ~20x slower but exactly
+    replayable in DuckDB (the oracle/test family, same trade as
+    minhash's hash_family)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+    idx = F.when(cnt >= F.lit(n),
+                 F.sequence(F.lit(0), cnt - n)).otherwise(empty)
+    if hash_family == "md5":
+        return F.transform(
+            idx, lambda i: F.md5(F.encode(
+                F.concat_ws(" ", F.slice(toks, i + 1, n)), "utf-8")))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(
+        idx, lambda i: F.aggregate(
+            F.slice(th, i + 1, n), F.lit(0).cast("long"),
+            lambda acc, h: F.xxhash64(acc, h)).cast("string"))
+
+
+def _merge_positions(ps: Column, window: int) -> Column:
+    """Sorted window-start positions -> disjoint merged token spans
+    array<struct<start,end>> (end exclusive). Single F.aggregate fold —
+    O(positions) per doc, no UDF."""
+    empty_spans = F.slice(F.array(F.struct(F.lit(0).alias("start"),
+                                           F.lit(0).alias("end"))), 1, 0)
+    init = F.struct(empty_spans.alias("arr"),
+                    F.lit(-1).alias("cs"), F.lit(-1).alias("ce"))
+    closed = lambda acc: F.concat(  # noqa: E731
+        acc["arr"],
+        F.array(F.struct(acc["cs"].alias("start"), acc["ce"].alias("end"))))
+
+    def step(acc, p):
+        return (F.when(acc["ce"] < 0,
+                       F.struct(acc["arr"].alias("arr"), p.alias("cs"),
+                                (p + window).alias("ce")))
+                .when(p <= acc["ce"],
+                      F.struct(acc["arr"].alias("arr"),
+                               acc["cs"].alias("cs"),
+                               F.greatest(acc["ce"], p + window).alias("ce")))
+                .otherwise(F.struct(closed(acc).alias("arr"),
+                                    p.alias("cs"), (p + window).alias("ce"))))
+
+    return F.aggregate(
+        ps, init, step,
+        lambda acc: F.when(acc["ce"] < 0, acc["arr"])
+        .otherwise(closed(acc)))
+
+
+def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                    window: int = 50, min_count: int = 2,
+                    hash_family: str = "xxhash",
+                    keep: str = "first") -> DataFrame:
+    """Exact-substring duplication at SPAN level (the Lee et al. 2021
+    "Deduplicating Training Data" ExactSubstr pass, public technique):
+    find every ``window``-token span whose content occurs >= ``min_count``
+    times across the corpus (including self-repeats within one doc), and
+    return the merged token spans each doc should CUT — every occurrence
+    except the canonical one (``keep='first'``: the (min id, min pos)
+    occurrence of each window keeps it; ``keep='none'``: every occurrence
+    is cut). Doc-level near-dup (MinHash) misses a boilerplate paragraph
+    pasted into thousands of otherwise-unique pages; this catches exactly
+    that, at token resolution. Returns (id, start, end) disjoint merged
+    spans, end exclusive, token units.
+
+    Scale shape: tokens are hashed once and each window is a chain-fold
+    over the token-hash array (no gram strings, see _window_hashes);
+    only (id, pos, 8-byte hash) triples shuffle — document text never
+    moves. The occurrence count rides ONE combinable groupBy on the
+    hash; canonical-occurrence selection is a row_number window over the
+    same hash partitioning (reuses the exchange). Span merging is a
+    per-doc O(positions) fold. A window shared by k docs yields k rows
+    (linear, not k²) — there is no pair join anywhere, so the
+    boilerplate-megacluster blowup LSH needs bucket caps for cannot
+    happen here."""
+    from pyspark.sql import Window
+
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    wh = df.select(
+        F.col(id_col),
+        F.posexplode(_window_pos_hashes(F.col(text_col), window,
+                                        hash_family))
+        .alias("pos", "h"))
+    counts = wh.groupBy("h").agg(F.count("*").alias("__n"))
+    flagged = wh.join(counts.filter(F.col("__n") >= min_count)
+                      .select("h"), "h", "left_semi")
+    if keep == "first":
+        w = Window.partitionBy("h").orderBy(id_col, "pos")
+        flagged = (flagged.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") > 1).drop("__rn"))
+    spans = (flagged.groupBy(id_col)
+             .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+             .select(F.col(id_col),
+                     F.explode(_merge_positions(F.col("__ps"), window))
+                     .alias("__s"))
+             .select(id_col, F.col("__s.start").alias("start"),
+                     F.col("__s.end").alias("end")))
+    return spans
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                           window: int = 50, min_count: int = 2,
+                           hash_family: str = "xxhash",
+                           keep: str = "first",
+                           spans: DataFrame | None = None) -> DataFrame:
+    """Rewrite each document with its :func:`duplicate_spans` cut out
+    (other columns pass through; docs with no spans are byte-identical
+    ...almost: the rewrite is TOKEN-level, so documents that lose a span
+    are re-joined with single spaces — the same token semantics every
+    other dedup op here uses. Untouched docs keep their original text
+    verbatim). ``spans`` accepts a precomputed span table (e.g. computed
+    once per snapshot, applied to shards).
+
+    The rebuild joins the (small) span table back and filters token
+    indexes against each doc's few merged spans — O(tokens x
+    merged_spans) per doc, merged_spans is tiny after merging."""
+    if spans is None:
+        spans = duplicate_spans(df, text_col, id_col, window, min_count,
+                                hash_family, keep)
+    sp = (spans.groupBy(id_col)
+          .agg(F.array_sort(F.collect_list(
+              F.struct(F.col("start"), F.col("end")))).alias("__spans")))
+    joined = df.join(sp, id_col, "left")
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks)
+    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+    idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(empty)
+    kept = F.filter(
+        idx, lambda t: ~F.exists(
+            F.col("__spans"),
+            lambda s: (s["start"] <= t) & (t < s["end"])))
+    rebuilt = F.concat_ws(
+        " ", F.transform(kept, lambda t: F.element_at(toks, t + 1)))
+    out = joined.withColumn(
+        text_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(rebuilt)).drop("__spans")
+    return out.select(*df.columns)
+
+
 # -- duplicate clusters (connected components) ------------------------------
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -247,6 +247,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  split_labels: list[str] | None = None,
                  dedup_lines: bool = False,
                  boilerplate_min_docs: int | None = None,
+                 substr_window: int | None = None,
                  benchmark: DataFrame | None = None,
                  bench_text_col: str = "text",
                  decontam_ngram: int = 13,
@@ -263,6 +264,8 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     near-dups); ``boilerplate_min_docs`` additionally strips lines
     repeated across >= that many DISTINCT docs (the cross-document
     RefinedWeb-style global line pass, remove_boilerplate_lines);
+    ``substr_window`` enables exact-substring span dedup (cut repeated
+    >= window-token passages, dedup.remove_duplicate_spans);
     ``benchmark`` enables 13-gram decontamination;
     ``embeddings`` (a (id_col, emb_vec_col) table) enables SemDeDup-style
     semantic dedup AFTER the lexical near-dup stage — drops docs whose
@@ -281,6 +284,13 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         # near-dup signatures and token budgets corpus-wide
         out = remove_boilerplate_lines(out, text_col, id_col,
                                        min_docs=boilerplate_min_docs)
+    if substr_window is not None:
+        # exact-substring span dedup (Lee et al. 2021): cut repeated
+        # >= window-token passages at token resolution — catches the
+        # pasted paragraph inside otherwise-unique pages that doc-level
+        # MinHash can never flag
+        out = dedup.remove_duplicate_spans(out, text_col, id_col,
+                                           window=substr_window)
     if exact:
         out = dedup.exact_dedup(out, text_col, id_col)
     if near_dup_threshold is not None:

@@ -40,6 +40,10 @@ def main(argv=None) -> None:
                    help="strip lines repeated verbatim across >= N "
                         "distinct docs (cross-document boilerplate: "
                         "nav bars, cookie banners)")
+    p.add_argument("--substr-window", type=int, default=None,
+                   help="exact-substring span dedup: cut passages of "
+                        ">= N tokens that repeat anywhere in the corpus "
+                        "(keeps the canonical min-id occurrence)")
     p.add_argument("--benchmark", default=None,
                    help="parquet of benchmark texts for 13-gram "
                         "decontamination")
@@ -130,6 +134,7 @@ def main(argv=None) -> None:
                          else None),
             dedup_lines=args.dedup_lines,
             boilerplate_min_docs=args.boilerplate_min_docs,
+            substr_window=args.substr_window,
             benchmark=benchmark,
             bench_text_col=args.bench_text_col,
             embeddings=(spark.read.parquet(args.embeddings)

@@ -143,6 +143,16 @@ def main(argv=None) -> None:
         batch, store, "text", "doc_id", n_hashes=4, band_size=2))
     run("semantic_dedup", lambda: dedup.semantic_dedup(
         vecs, "vec_id", "embedding", threshold=0.9, n_list=512))
+    # r6 ops: exact-substring span dedup (every copy family shares its
+    # base's full token stream -> long repeated windows by construction)
+    # and the cross-document boilerplate census
+    run("duplicate_spans_w20", lambda: dedup.duplicate_spans(
+        docs, "text", "doc_id", window=20))
+    from eel_sdk_spark.functions.pipeline import boilerplate_lines
+
+    run("boilerplate_census", lambda: boilerplate_lines(
+        docs.withColumn("text", F.regexp_replace("text", " tag", "\ntag")),
+        min_docs=100, min_len=3))
     spark.stop()
 
 

@@ -1039,3 +1039,84 @@ def test_key_range_stats_groups_per_key_and_family():
     assert out2["ranged_files"] == 2
     # empty table
     assert _key_range_stats([], {})["ranged_files"] == 0
+
+
+def test_duplicate_spans_and_removal(spark):
+    """Exact-substring span dedup (r6, Lee et al. 2021 pass): a pasted
+    passage is cut from every occurrence except the canonical (min id,
+    min pos) one; within-doc self-repeats are cut; unique text is
+    byte-untouched; DuckDB replays the md5-family cut positions."""
+    import duckdb
+
+    from eel_sdk_spark.functions.dedup import (duplicate_spans,
+                                               remove_duplicate_spans)
+
+    passage = "the boilerplate passage that keeps getting pasted " \
+              "around every site verbatim again"          # 12 tokens
+    rows = [
+        (1, f"doc one intro words {passage} doc one outro words"),
+        (2, f"completely different doc two {passage} trailing bits"),
+        (3, f"third doc starts {passage} middle {passage} ends here"),
+        (4, "totally unique text with no duplication at all present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    spans = duplicate_spans(df, "text", "doc_id", window=8,
+                            hash_family="md5")
+    got = {(r["doc_id"], r["start"], r["end"])
+           for r in spans.collect()}
+    # doc 1 owns the passage (min id): no spans for doc 1 or 4
+    assert not any(i == 1 for i, *_ in got)
+    assert not any(i == 4 for i, *_ in got)
+    assert any(i == 2 for i, *_ in got)
+    assert any(i == 3 for i, *_ in got)
+
+    out = remove_duplicate_spans(df, "text", "doc_id", window=8,
+                                 hash_family="md5")
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert passage in texts[1]            # canonical occurrence kept
+    assert passage not in texts[2]
+    assert passage not in texts[3]        # both occurrences cut (owner
+    assert texts[4] == rows[3][1]         # is doc 1); untouched verbatim
+    assert "completely different doc two" in texts[2]
+    assert "third doc starts" in texts[3] and "ends here" in texts[3]
+
+    # DuckDB replica of the CUT (id, pos) set, md5 family, keep='first'
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    duck_cut = set(con.sql("""
+        WITH wh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(w[i:i+7], ' ')) AS h
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS w FROM docs),
+                 UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+        dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+        flagged AS (SELECT wh.* FROM wh JOIN dup USING (h)),
+        ranked AS (SELECT doc_id, pos,
+                          row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, pos) AS rn FROM flagged)
+        SELECT doc_id, pos FROM ranked WHERE rn > 1""").fetchall())
+    # spark's merged spans must cover exactly the duck cut windows
+    spark_cut_tokens = set()
+    for i, s, e in got:
+        spark_cut_tokens |= {(i, t) for t in range(s, e)}
+    duck_cut_tokens = set()
+    for i, p in duck_cut:
+        duck_cut_tokens |= {(i, t) for t in range(p, p + 8)}
+    assert spark_cut_tokens == duck_cut_tokens
+
+    # keep='none' cuts the canonical occurrence too
+    none_out = remove_duplicate_spans(df, "text", "doc_id", window=8,
+                                      hash_family="md5", keep="none")
+    ntexts = {r["doc_id"]: r["text"] for r in none_out.collect()}
+    assert passage not in ntexts[1]
+
+    # determinism across layout + xxhash family agreement on doc sets
+    again = duplicate_spans(df.repartition(7), "text", "doc_id",
+                            window=8, hash_family="md5")
+    assert spans.exceptAll(again).count() == 0
+    xx = duplicate_spans(df, "text", "doc_id", window=8)
+    assert ({r["doc_id"] for r in xx.collect()}
+            == {i for i, *_ in got})

@@ -247,3 +247,38 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_sequence_source_sink_roundtrip(spark, tmp_path):
+    """SequenceSource/Sink (r6 — flips the last file-format oos item,
+    SequenceSource.scala:14-52): header + CSV-payload records in a
+    Hadoop sequence container. Round-trips tricky values (embedded
+    commas, quotes, NEWLINES — records are container-framed, not
+    line-split), nulls, and a typed re-read."""
+    from eel_sdk_spark.sources.sequence import read_sequence, write_sequence
+
+    rows = [(1, "plain", 1.5),
+            (2, "comma, inside", -2.25),
+            (3, 'quote " inside', 0.0),
+            (4, "line\nbreak", 3.5),
+            (5, None, None)]
+    df = spark.createDataFrame(rows, "id bigint, name string, score double")
+    path = str(tmp_path / "seq")
+    write_sequence(df, path)
+
+    # untyped read: all strings, header names preserved
+    back = read_sequence(spark, path)
+    assert back.columns == ["id", "name", "score"]
+    assert [f.dataType.simpleString() for f in back.schema.fields] == \
+        ["string"] * 3
+    assert back.count() == 5
+
+    # typed read round-trips exactly (incl. newline value and nulls)
+    typed = read_sequence(spark, path,
+                          "id bigint, name string, score double")
+    got = {r["id"]: (r["name"], r["score"]) for r in typed.collect()}
+    assert got[4][0] == "line\nbreak"
+    assert got[2][0] == "comma, inside" and got[2][1] == -2.25
+    assert got[5] == (None, None)
+    assert df.exceptAll(typed).count() == 0 and \
+        typed.exceptAll(df).count() == 0

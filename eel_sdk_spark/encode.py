@@ -383,7 +383,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                     codec_overrides: dict[str, str | None],
                     profile: str = "speed",
                     split_parts: bool = True,
-                    bloom_col: str | None = None) -> Iterator[pa.RecordBatch]:
+                    bloom_col: str | frozenset | None = None) -> Iterator[pa.RecordBatch]:
     import os as _os
 
     seq: dict[int, int] = {}
@@ -429,9 +429,12 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 rows["max_i"].append(mx_i)
                 rows["min_s"].append(mn_s)
                 rows["max_s"].append(mx_s)
+                bloom_this = (name in bloom_col
+                              if isinstance(bloom_col, (set, frozenset))
+                              else name == bloom_col)
                 rows["key_bloom"].append(
                     _bloom_build(arr, info["kind"])
-                    if name == bloom_col else None)
+                    if bloom_this else None)
                 rows["part_id"].append(part_id)
                 rows["part_hi"].append(part_hi)
                 rows["parts"].append(parts_list)
@@ -477,7 +480,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               profile: str = "speed",
               shuffle: bool | str = "auto",
               sort_by: list[str] | None = None,
-              key_bloom: bool = True) -> DataFrame:
+              key_bloom: bool = True,
+              bloom_cols: list[str] | None = None) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
     ``shuffle`` picks the layout/lineage trade (all modes keep decode and
@@ -536,7 +540,14 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     # for exact-key lookups on layouts where min/max stats can't prune
     # (hash-scattered banded tables). ~1.25 bytes/key write-side cost;
     # point_lookup consults them via a narrow columnar scan.
-    bloom_col = key if key_bloom else None
+    # ``bloom_cols`` extends the same machinery to NON-key columns
+    # (ORC's bloomFilterColumns, OrcSink.scala:15-33): equality
+    # predicates on those columns get block-level skipping via
+    # prune_block_groups_bloom even where min/max stats are vacuous.
+    bloom_set = set(bloom_cols or [])
+    if key_bloom:
+        bloom_set.add(key)
+    bloom_col = frozenset(bloom_set) if bloom_set else None
     extra_sort = [F.col(c) if isinstance(c, str) else c
                   for c in (sort_by or [])]
     if shuffle is False:
@@ -621,14 +632,26 @@ def prune_block_groups(blocks: DataFrame, col: str,
         cond = cond & (F.col("max_s").isNull() | (F.col("max_s") >= lower_s))
     if upper_s is not None:
         cond = cond & (F.col("min_s").isNull() | (F.col("min_s") <= upper_s))
-    keep = this_col.filter(cond).select("part_id", "block_seq")
-    out = blocks.join(F.broadcast(keep), ["part_id", "block_seq"],
-                      "left_semi")
+    keep = this_col.filter(cond).select(*_group_keys(blocks))
+    out = blocks.join(F.broadcast(keep), _group_keys(blocks), "left_semi")
     # a broadcast semi-join is narrow: it drops whole groups but never
     # moves rows across partitions, so the grouping guarantee survives
     if getattr(blocks, "_eel_grouped", False):
         out._eel_grouped = True
     return out
+
+
+def _group_keys(blocks: DataFrame) -> list[str]:
+    """The FULL block-group identity for pruning semi-joins. writer_uid
+    must be included whenever present (r6 fix): banded tasks all anchor
+    at the same (part_id=0, block_seq=0..k) — distinguished only by
+    writer — so a 2-key join kept a group whenever ANY task's same-seq
+    group passed, silently making stats/bloom block pruning vacuous on
+    the default banded layout. Pre-writer_uid tables fall back to the
+    2-key identity they were written under."""
+    return (["part_id", "block_seq", "writer_uid"]
+            if "writer_uid" in blocks.columns
+            else ["part_id", "block_seq"])
 
 
 def prune_block_groups_bloom(blocks: DataFrame, col: str,
@@ -644,9 +667,8 @@ def prune_block_groups_bloom(blocks: DataFrame, col: str,
     (eel-orc/.../OrcSink.scala:15-33, OrcWriter.scala:36-50)."""
     this_col = blocks.filter(F.col("col") == col) \
         .filter(bloom_may_contain(key_value))
-    keep = this_col.select("part_id", "block_seq")
-    out = blocks.join(F.broadcast(keep), ["part_id", "block_seq"],
-                      "left_semi")
+    keep = this_col.select(*_group_keys(blocks))
+    out = blocks.join(F.broadcast(keep), _group_keys(blocks), "left_semi")
     if getattr(blocks, "_eel_grouped", False):
         out._eel_grouped = True
     return out

@@ -164,4 +164,13 @@ def decode_with_predicate(blocks, schema_ddl: str, pred: Predicate,
             if isinstance(lo, (int, type(None))) and isinstance(hi, (int, type(None))):
                 if lo is not None or hi is not None:
                     pruned = prune_block_groups(pruned, col, lower=lo, upper=hi)
+        # EQUALITY predicates additionally consult per-block blooms when
+        # the table recorded them for this column (encode_df
+        # bloom_cols=/key_bloom) — the membership skip that works even
+        # where min/max stats are vacuous (hash-scattered layouts)
+        if (lo is not None and lo == hi and "key_bloom" in pruned.columns
+                and isinstance(lo, (int, str))):
+            from .encode import prune_block_groups_bloom
+
+            pruned = prune_block_groups_bloom(pruned, col, lo)
     return decode_blocks_df(pruned, schema_ddl).filter(pred.to_column())

@@ -153,3 +153,38 @@ def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        old_batch)
+
+
+def test_banded_groups_prune_independently_per_writer(spark):
+    """r6 regression: banded tasks all anchor at (part_id=0, block_seq=0)
+    and are distinguished ONLY by writer_uid — the pruning semi-join
+    must include it, else any task's passing group keeps every task's
+    same-seq group and block skipping is silently vacuous on the
+    DEFAULT layout."""
+    from pyspark.sql import functions as F
+
+    from eel_sdk_spark.encode import encode_df, prune_block_groups
+
+    # key-clustered input (repartitionByRange) -> disjoint per-task id
+    # ranges -> stats CAN prune; banded default layout
+    df = (spark.range(64_000)
+          .repartitionByRange(16, "id")
+          .select(F.col("id").alias("k"),
+                  F.concat(F.lit("u"), F.col("id")).alias("url")))
+    blocks = encode_df(df, key="url", sort_by=["k"]).cache()
+    keys = ["part_id", "block_seq", "writer_uid"]
+    n_all = blocks.select(*keys).distinct().count()
+    assert n_all >= 8
+    # groups share (part_id, block_seq) across writers — the bug shape
+    assert blocks.select("part_id", "block_seq").distinct().count() < n_all
+
+    kept = (prune_block_groups(blocks, "k", lower=7, upper=7)
+            .select(*keys).distinct().count())
+    assert kept <= 2, (kept, n_all)  # ~1 task's range covers id=7
+    # and the surviving groups still decode the right row
+    from eel_sdk_spark.encode import decode_blocks_df
+    row = decode_blocks_df(
+        prune_block_groups(blocks, "k", lower=7, upper=7),
+        "k bigint, url string").filter("k = 7").collect()
+    assert len(row) == 1 and row[0]["url"] == "u7"
+    blocks.unpersist()

@@ -62,3 +62,43 @@ def test_decode_with_predicate_matches_plain_filter(spark):
     assert out.select("url").exceptAll(expected.select("url")).count() == 0
     blocks.unpersist()
     df.unpersist()
+
+
+def test_equality_predicate_consults_column_blooms(spark):
+    """r6: encode_df(bloom_cols=[...]) records blooms for NON-key
+    columns, and decode_with_predicate's equality path uses them —
+    block groups whose bloom excludes the value are dropped even though
+    min/max stats (hash-scattered values) cannot prune, and results
+    stay exact."""
+    from pyspark.sql import functions as F
+
+    from eel_sdk_spark.encode import encode_df
+    from eel_sdk_spark.predicate import Equals, decode_with_predicate
+
+    # 'tag' is hash-scattered (min/max vacuous per block) but unique
+    # per row — bloom skipping is the only lever
+    df = spark.range(40_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.concat(F.lit("tag-"), F.md5(F.col("id").cast("string")))
+        .alias("tag"),
+        F.col("id").alias("v"))
+    blocks = encode_df(df, key="url", n_parts=16,
+                       bloom_cols=["tag"]).cache()
+    assert blocks.filter((F.col("col") == "tag")
+                         & F.col("key_bloom").isNotNull()).count() > 0
+
+    target = df.filter("v = 12345").first()["tag"]
+    n_groups = blocks.select("part_id", "block_seq", "writer_uid").distinct().count()
+    pred = Equals("tag", target)
+    out = decode_with_predicate(blocks, "url string, tag string, v bigint",
+                                pred, int_cols=set())
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 12345
+
+    # the bloom actually pruned: decode a probe of the pruned frame
+    from eel_sdk_spark.encode import prune_block_groups_bloom
+    kept_groups = (prune_block_groups_bloom(blocks, "tag", target)
+                   .select("part_id", "block_seq", "writer_uid")
+                   .distinct().count())
+    assert kept_groups < n_groups / 4, (kept_groups, n_groups)
+    blocks.unpersist()

@@ -334,6 +334,8 @@ def encode_with_checkpoint(
     verify_fingerprint: bool = True,
     shuffle: bool | str = "auto",
     sort_by: list[str] | None = None,
+    key_bloom: bool = True,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
 
@@ -399,7 +401,8 @@ def encode_with_checkpoint(
                          "part ids: use shuffle=True or shuffle='local'")
     blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt, salt_by,
                        profile=profile, codec_overrides=codec_overrides,
-                       shuffle=shuffle, sort_by=sort_by)
+                       shuffle=shuffle, sort_by=sort_by,
+                       key_bloom=key_bloom, bloom_cols=bloom_cols)
 
     job_dir = tbl.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)

@@ -64,6 +64,21 @@ class ParquetSink(_FileSink):
     def with_row_group_size(self, nbytes: int):
         return self.with_option("parquet.block.size", nbytes)
 
+    def with_bloom_filters(self, cols: list[str],
+                           ndv: int | None = None):
+        """Parquet-native column bloom filters (the parquet twin of the
+        reference ORC sink's bloomFilterColumns, OrcSink.scala:15-33;
+        the ENGINE's own per-block key blooms in encode.py are the
+        analogous skip for the encoded-block format). ``ndv`` sizes the
+        filter to the expected distinct count."""
+        s = self
+        for c in cols:
+            s = s.with_option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if ndv is not None:
+                s = s.with_option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        return s
+
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 32, path: str | None = None,

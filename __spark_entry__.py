@@ -204,25 +204,73 @@ def q_topk_per_group(spark, sf):
     return per_group.unionByName(global_top)
 
 
-def q_sample_every_k(spark, sf):
+def q_row_slices(spark, sf):
+    """take_while + drop(n) + sample(k) folded into ONE ordered-slice
+    row (r6 second fold wave, same tagged-leg contract as set_ops/
+    price_histogram): all three of the reference's order-dependent row
+    selectors (DataStream.scala takeWhile/drop/sample) run and every
+    selected row rides the hash compare."""
+    o = DataStream(_t(spark, sf, "orders"))
+    null_k2 = F.lit(None).cast("long").alias("k2")
+    tw = (o.projection("o_orderkey", "o_totalprice")
+          .take_while(F.col("o_totalprice") > 1000, order_by="o_orderkey")
+          .projection("o_orderkey").df
+          .select(F.lit("take_while").alias("leg"),
+                  F.col("o_orderkey").alias("k1"), null_k2))
+    dr = (o.projection("o_orderkey").drop_rows(100, order_by="o_orderkey")
+          .df.select(F.lit("drop").alias("leg"),
+                     F.col("o_orderkey").alias("k1"), null_k2))
     li = DataStream(_t(spark, sf, "lineitem"))
-    return (li.projection("l_orderkey", "l_linenumber")
-            .sample_every_k(500, order_by=[F.col("l_orderkey"),
-                                           F.col("l_linenumber")]).df)
+    se = (li.projection("l_orderkey", "l_linenumber")
+          .sample_every_k(500, order_by=[F.col("l_orderkey"),
+                                         F.col("l_linenumber")]).df
+          .select(F.lit("sample").alias("leg"),
+                  F.col("l_orderkey").alias("k1"),
+                  F.col("l_linenumber").cast("long").alias("k2")))
+    return tw.unionByName(dr).unionByName(se)
 
 
-def q_take_while(spark, sf):
-    o = DataStream(_t(spark, sf, "orders"))
-    return (o.projection("o_orderkey", "o_totalprice")
-            .take_while(F.col("o_totalprice") > 1000,
-                        order_by="o_orderkey")
-            .projection("o_orderkey").df)
+def q_dup_spans(spark, sf):
+    """Exact-substring span dedup (dedup.duplicate_spans — NEW r6,
+    driver row r6): a fixed 10-token phrase is planted onto every 7th
+    document; the op returns the merged token spans every non-canonical
+    occurrence must cut (keep = (min id, min pos)). DuckDB replays
+    window-hash counting, canonical ranking, and gaps-and-islands span
+    merging op-for-op (md5 gram family)."""
+    d = _t(spark, sf, "documents")
+    phrase = " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
+    planted = d.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(phrase)))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup.duplicate_spans(planted, "text", "doc_id", window=8,
+                                 hash_family="md5")
 
 
-def q_drop_rows(spark, sf):
-    o = DataStream(_t(spark, sf, "orders"))
-    return (o.projection("o_orderkey")
-            .drop_rows(100, order_by="o_orderkey").df)
+def q_boilerplate(spark, sf):
+    """Cross-document boilerplate census (pipeline.boilerplate_lines —
+    NEW r6, driver row r6): two banner lines synthesized onto thirds/
+    quarters of the corpus (documents text is verified single-line at
+    every sf); the census must count DISTINCT docs per repeated line
+    (per-doc array_distinct), gate short lines, and threshold at
+    min_docs. DuckDB replays it exactly."""
+    from eel_sdk_spark.functions.pipeline import boilerplate_lines
+
+    d = _t(spark, sf, "documents")
+    a = "Accept all cookies to continue reading this excellent site"
+    b = "Subscribe to the newsletter | Home | About | Contact"
+    lined = d.select(
+        F.col("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("\n"), F.lit(a))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("\n"), F.lit(b), F.lit("\n"),
+                            F.lit(b))).otherwise(F.lit("")))
+        .alias("text"))
+    return boilerplate_lines(lined, min_docs=50)
 
 
 def q_explode_tokens(spark, sf):
@@ -856,7 +904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     price_histogram as a tagged leg; distinct rides inside set_ops — the
     three freed rows register html_extract, incremental_dedup, and
     logreg_score (the round-5 ops the r5 VERDICT flagged as
-    pytest-only).
+    pytest-only). Second r6 wave: take_while + drop_rows +
+    sample_every_k become ONE row_slices row (all three ordered-slice
+    operators run as tagged legs) — the two freed rows register the
+    round-6 ops dup_spans (exact-substring span dedup) and boilerplate
+    (cross-document line census), closing the new-op evidence gap
+    within the same round it opened.
     Highest-stakes queries (codec roundtrips, sessionization) lead."""
     return {
         "roundtrip_verify": q_roundtrip_verify,
@@ -880,9 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_agg": q_global_agg,
         "topk_per_group": q_topk_per_group,
         "semantic_dedup": q_semantic_dedup,
-        "sample_every_k": q_sample_every_k,
-        "take_while": q_take_while,
-        "drop_rows": q_drop_rows,
+        "row_slices": q_row_slices,
         "explode_tokens": q_explode_tokens,
         "pivot_case": q_pivot_case,
         "grouping_sets": q_grouping_sets,
@@ -898,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "dup_spans": q_dup_spans,
+        "boilerplate": q_boilerplate,
         "incremental_dedup": q_incremental_dedup,
         "clean_corpus": q_clean_corpus,
         "text_metrics": q_text_metrics,
@@ -1020,25 +1073,86 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY o_totalprice DESC,
                                           o_orderkey) AS rn
                 FROM orders) WHERE rn <= 10""",
-        "sample_every_k": """
-            SELECT l_orderkey, l_linenumber FROM (
+        "row_slices": """
+            WITH t AS (SELECT o_orderkey, o_totalprice,
+                              row_number() OVER (ORDER BY o_orderkey) AS rn
+                       FROM orders)
+            SELECT 'take_while' AS leg, o_orderkey AS k1,
+                   NULL::BIGINT AS k2 FROM t
+            WHERE rn < coalesce((SELECT min(rn) FROM t
+                                 WHERE NOT (o_totalprice > 1000)),
+                                (SELECT max(rn) + 1 FROM t))
+            UNION ALL
+            SELECT 'drop' AS leg, o_orderkey AS k1, NULL::BIGINT AS k2
+            FROM (SELECT o_orderkey,
+                         row_number() OVER (ORDER BY o_orderkey) AS rn
+                  FROM orders) WHERE rn > 100
+            UNION ALL
+            SELECT 'sample' AS leg, l_orderkey AS k1,
+                   l_linenumber::BIGINT AS k2 FROM (
                 SELECT l_orderkey, l_linenumber,
                        row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                            AS rn
                 FROM lineitem) WHERE rn % 500 = 0""",
-        "take_while": """
-            WITH t AS (SELECT o_orderkey, o_totalprice,
-                              row_number() OVER (ORDER BY o_orderkey) AS rn
-                       FROM orders)
-            SELECT o_orderkey FROM t
-            WHERE rn < coalesce((SELECT min(rn) FROM t
-                                 WHERE NOT (o_totalprice > 1000)),
-                                (SELECT max(rn) + 1 FROM t))""",
-        "drop_rows": """
-            SELECT o_orderkey FROM (
-                SELECT o_orderkey,
-                       row_number() OVER (ORDER BY o_orderkey) AS rn
-                FROM orders) WHERE rn > 100""",
+        # exact-substring span dedup: plant a 10-token phrase on every
+        # 7th doc, replay window-hash counting (md5 of the space-joined
+        # 8-gram), canonical (min id, min pos) ranking, and
+        # gaps-and-islands merging of the fixed-length windows
+        "dup_spans": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text ||
+                            ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10'
+                            ELSE text END AS text
+                FROM documents),
+            wh AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(w[i:i+7], ' ')) AS h
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w FROM planted),
+                     UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+            dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+            cut AS (
+                SELECT doc_id, pos FROM (
+                    SELECT wh.doc_id, wh.pos,
+                           row_number() OVER (PARTITION BY h
+                               ORDER BY doc_id, pos) AS rn
+                    FROM wh JOIN dup USING (h)) WHERE rn > 1),
+            dcut AS (SELECT DISTINCT doc_id, pos FROM cut),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev IS NULL OR pos > prev + 8
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM (SELECT doc_id, pos,
+                             lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev
+                      FROM dcut))
+            SELECT doc_id, min(pos) AS start, max(pos) + 8 AS "end"
+            FROM isl GROUP BY doc_id, g""",
+        # cross-document boilerplate census over synthesized banner
+        # lines: per-doc DISTINCT lines, length gate, min_docs threshold
+        "boilerplate": """
+            WITH lined AS (
+                SELECT doc_id, text
+                    || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                       'Accept all cookies to continue reading this excellent site'
+                       ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                       'Subscribe to the newsletter | Home | About | Contact'
+                       || chr(10) ||
+                       'Subscribe to the newsletter | Home | About | Contact'
+                       ELSE '' END AS text
+                FROM documents),
+            lines AS (
+                SELECT doc_id, unnest(list_distinct(
+                    string_split(text, chr(10)))) AS line
+                FROM lined)
+            SELECT md5(line) AS line_hash, count(*) AS n_docs,
+                   min(line) AS line
+            FROM lines WHERE length(trim(line)) >= 10
+            GROUP BY md5(line) HAVING count(*) >= 50""",
         "explode_tokens": f"""
             SELECT tok, count(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS tok FROM documents)

@@ -163,6 +163,7 @@ def test_shipped_oracles_emit_integer_sums(ddb):
 # values happen to be integral.
 ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     "asof_join": {"purchase_us"},
+    "row_slices": {"k2"},  # NULLable bigint -> float64 on BOTH sides
     "broadcast_join_agg": {"revenue"},
     "grouping_sets": {"qty"},
     "filter_projection": {"l_quantity"},

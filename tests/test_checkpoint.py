@@ -899,3 +899,28 @@ def test_bloom_false_positive_rate_and_optout(spark, tmp_path):
     from eel_sdk_spark.encode import decode_blocks_df as dec
     assert dec(off, "url string, v bigint").count() == 20_000
     blocks.unpersist(); url_blocks.unpersist()
+
+
+def test_blooms_survive_compaction(spark, tmp_path):
+    """compact() rewrites block rows wholesale — the key_bloom column
+    must ride through so post-compaction lookups keep the bloom file
+    tier (and the block tier under the r6 3-key group identity)."""
+    from eel_sdk_spark.checkpoint import (encode_with_checkpoint,
+                                          lookup_files, point_lookup)
+
+    df = webtext_df(spark, 8_000, parts=16).repartition(8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "cb")
+    encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="r1")
+    tbl.compact(spark, n_files=3)
+    snap = tbl.current()
+    blocks = tbl.read(spark)
+    assert "key_bloom" in blocks.columns
+    assert blocks.filter((F.col("col") == "url")
+                         & F.col("key_bloom").isNotNull()).count() > 0
+    url = df.select("url").first()["url"]
+    kept = lookup_files(spark, snap, url, "url", set(range(16)))
+    assert len(kept) <= 2 <= len(snap.files)
+    row = point_lookup(spark, tbl, url, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == url
+    df.unpersist()

@@ -23,6 +23,33 @@ from .encode import BLOCK_SCHEMA_DDL, encode_df
 from .table import ManifestTable
 
 
+def _check_key_type(schema_ddl: str, key: str, value,
+                    what: str = "lookup") -> None:
+    """Fail fast when a probe value's Python type disagrees with the
+    key column's declared type (r6 guard): blooms hash strings via md5
+    and ints via splitmix64, so a mismatched probe (int against a
+    string-keyed table or vice versa) tests the WRONG hash family and
+    the bloom tier would silently drop files/blocks that contain the
+    value — a silent-empty-result bug, not a slow path. The residual
+    filter's implicit cast would mask or ANSI-throw it; neither is
+    acceptable for a lookup API."""
+    from pyspark.sql.types import StringType, StructType
+
+    try:
+        f = next(f for f in StructType.fromDDL(schema_ddl).fields
+                 if f.name == key)
+    except StopIteration:
+        return  # key not in the decode schema; nothing to check
+    is_str_col = isinstance(f.dataType, StringType)
+    if is_str_col != isinstance(value, str):
+        raise TypeError(
+            f"{what}: key column {key!r} is "
+            f"{f.dataType.simpleString()} but the probe value "
+            f"{value!r} is {type(value).__name__} — pass the value in "
+            "the key's own type (bloom/range pruning hashes each type "
+            "differently and would silently miss)")
+
+
 def lookup_files(spark: SparkSession, snap, key_value, key: str,
                  parts: set[int]) -> list[str]:
     """The three file-pruning tiers of a point lookup, in increasing
@@ -109,6 +136,7 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     the whole part."""
     from .encode import decode_blocks_df
 
+    _check_key_type(schema_ddl, key, key_value, "point_lookup")
     snap = tbl.current()
     run = snap.properties.get("runs", [])[run_index]
     n_parts, salt = run["n_parts"], run.get("salt", 1)
@@ -180,6 +208,8 @@ def range_lookup(spark: SparkSession, tbl: ManifestTable,
     Files without recorded ranges are conservatively read."""
     from .encode import decode_blocks_df, prune_block_groups
 
+    _check_key_type(schema_ddl, key, lower, "range_lookup")
+    _check_key_type(schema_ddl, key, upper, "range_lookup")
     snap = tbl.current()
     if snap is None or not snap.files:
         raise FileNotFoundError(f"table {tbl.dir} has no committed snapshot")

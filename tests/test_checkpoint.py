@@ -924,3 +924,25 @@ def test_blooms_survive_compaction(spark, tmp_path):
     row = point_lookup(spark, tbl, url, SCHEMA_DDL).first()
     assert row is not None and row["url"] == url
     df.unpersist()
+
+
+def test_lookup_rejects_mismatched_probe_type(spark, tmp_path):
+    """r6 guard: probing a string-keyed table with an int (or vice
+    versa) would test the WRONG bloom hash family and silently return
+    empty — the lookup APIs must fail fast instead."""
+    import pytest
+
+    from eel_sdk_spark.checkpoint import (encode_with_checkpoint,
+                                          point_lookup, range_lookup)
+
+    df = webtext_df(spark, 1_000, parts=4).cache()
+    tbl = ManifestTable(str(tmp_path), "typed")
+    encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="r1")
+    with pytest.raises(TypeError, match="key's own type"):
+        point_lookup(spark, tbl, 7, SCHEMA_DDL)
+    with pytest.raises(TypeError, match="key's own type"):
+        range_lookup(spark, tbl, 0, 10, SCHEMA_DDL)
+    # the correctly-typed probe still works
+    url = df.select("url").first()["url"]
+    assert point_lookup(spark, tbl, url, SCHEMA_DDL).first()["url"] == url
+    df.unpersist()

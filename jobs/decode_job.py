@@ -76,10 +76,24 @@ def main(argv=None) -> None:
             if not _:
                 raise SystemExit(f"--key-range {args.key_range!r}: "
                                  f"expected 'lo..hi'")
-            try:
-                lo, hi = int(lo), int(hi)
-            except ValueError:
-                pass
+            # type the bounds from the DECODE SCHEMA, not by guessing
+            # (r6: a numeric-looking range on a string-keyed table would
+            # otherwise probe the wrong bloom/range hash family — the
+            # library now fails fast on that, so parse authoritatively)
+            from pyspark.sql.types import StringType, StructType
+
+            key_field = next(
+                (f for f in StructType.fromDDL(args.schema).fields
+                 if f.name == args.key), None)
+            if key_field is None or not isinstance(key_field.dataType,
+                                                   StringType):
+                try:
+                    lo, hi = int(lo), int(hi)
+                except ValueError:
+                    raise SystemExit(
+                        f"--key-range {args.key_range!r}: key "
+                        f"{args.key!r} is non-string in --schema but "
+                        f"the bounds are not integers")
             decoded = range_lookup(spark, tbl, lo, hi, args.schema,
                                    key=args.key)
             if cols:

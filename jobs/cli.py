@@ -218,6 +218,45 @@ def cmd_gc(args) -> None:
     sys.stdout.write(json.dumps(out) + "\n")
 
 
+def cmd_bpe(args) -> None:
+    """Train a BPE tokenizer on a corpus (one word-count pass +
+    driver-side merge learning) and/or count tokens under a model —
+    the token-budget producer for mixing/packing."""
+    import json as _json
+
+    from eel_sdk_spark.functions import bpe
+    from eel_sdk_spark.session import get_spark
+
+    spark = get_spark(app="bpe")
+    try:
+        df = spark.read.parquet(args.source)
+        if args.model_in:
+            with open(args.model_in) as f:
+                model = _json.load(f)
+        else:
+            model = bpe.train_bpe(df, text_col=args.text_col,
+                                  n_merges=args.merges,
+                                  top_words=args.top_words,
+                                  lowercase=args.lowercase)
+        if args.model_out:
+            with open(args.model_out, "w") as f:
+                _json.dump(model, f)
+        out = {"merges": len(model["merges"]),
+               "model_out": args.model_out}
+        if args.counts_out:
+            counts = bpe.token_counts(df, model, text_col=args.text_col,
+                                      id_col=args.id_col)
+            counts.write.mode("overwrite").parquet(args.counts_out)
+            row = spark.read.parquet(args.counts_out).agg(
+                {"n_bpe_tokens": "sum", "*": "count"}).first()
+            out["docs"] = row["count(1)"]
+            out["total_tokens"] = row["sum(n_bpe_tokens)"]
+            out["counts_out"] = args.counts_out
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
 def cmd_compact_store(args) -> None:
     """Signature-store maintenance: fp-dedup rewrite + epoch expiry
     (streaming.pipeline.compact_store) — the operator's lever against
@@ -275,6 +314,20 @@ def main(argv=None) -> None:
     hi.add_argument("--table", default="blocks")
     hi.add_argument("--max-entries", type=int, default=50)
 
+    bp = sub.add_parser("bpe", help="train a BPE tokenizer and/or "
+                                    "write per-doc token counts")
+    bp.add_argument("--source", required=True)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.add_argument("--merges", type=int, default=200)
+    bp.add_argument("--top-words", type=int, default=100_000)
+    bp.add_argument("--lowercase", action="store_true")
+    bp.add_argument("--model-in", default=None,
+                    help="reuse a trained model JSON instead of training")
+    bp.add_argument("--model-out", default=None)
+    bp.add_argument("--counts-out", default=None,
+                    help="write (id, n_bpe_tokens) parquet")
+
     cs = sub.add_parser("compact-store",
                         help="rewrite a dedup signature store as one "
                              "fp-deduped file set; optionally expire "
@@ -304,7 +357,7 @@ def main(argv=None) -> None:
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
      "history": cmd_history, "realign": cmd_realign,
-     "compact-store": cmd_compact_store}[args.cmd](args)
+     "compact-store": cmd_compact_store, "bpe": cmd_bpe}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -248,6 +248,8 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  dedup_lines: bool = False,
                  boilerplate_min_docs: int | None = None,
                  substr_window: int | None = None,
+                 lm_reference: DataFrame | None = None,
+                 max_ppl: float | None = None,
                  benchmark: DataFrame | None = None,
                  bench_text_col: str = "text",
                  decontam_ngram: int = 13,
@@ -321,6 +323,19 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
         # quality_score is 4dp-rounded; the text_metrics oracle proves both
         # engines agree on it bit-for-bit, so the threshold is deterministic
         out = out.filter(T.quality_score(F.col(text_col)) >= min_quality)
+    if lm_reference is not None and max_ppl is not None:
+        # CCNet-style model-based quality: drop docs whose stupid-backoff
+        # bigram perplexity under a reference-corpus LM exceeds max_ppl
+        # (functions/lm.py). Short docs (<2 tokens, null ppl) are KEPT —
+        # length policy belongs to the rule-based quality stage above
+        from . import lm as L
+
+        model = L.train_ngram_lm(lm_reference, text_col)
+        ok = (L.lm_score(out.select(id_col, text_col), model,
+                         text_col, id_col)
+              .filter(F.col("ppl").isNull() | (F.col("ppl") <= max_ppl))
+              .select(id_col))
+        out = out.join(ok, id_col, "left_semi")
     if benchmark is not None:
         bad = dedup.contaminated_ids(out, text_col, id_col,
                                      benchmark, bench_text_col,

@@ -40,6 +40,11 @@ def main(argv=None) -> None:
                    help="strip lines repeated verbatim across >= N "
                         "distinct docs (cross-document boilerplate: "
                         "nav bars, cookie banners)")
+    p.add_argument("--lm-reference", default=None,
+                   help="parquet of reference-quality docs: trains a "
+                        "bigram LM and drops docs above --max-ppl "
+                        "(CCNet-style model-based quality)")
+    p.add_argument("--max-ppl", type=float, default=None)
     p.add_argument("--substr-window", type=int, default=None,
                    help="exact-substring span dedup: cut passages of "
                         ">= N tokens that repeat anywhere in the corpus "
@@ -135,6 +140,9 @@ def main(argv=None) -> None:
             dedup_lines=args.dedup_lines,
             boilerplate_min_docs=args.boilerplate_min_docs,
             substr_window=args.substr_window,
+            lm_reference=(spark.read.parquet(args.lm_reference)
+                          if args.lm_reference else None),
+            max_ppl=args.max_ppl,
             benchmark=benchmark,
             bench_text_col=args.bench_text_col,
             embeddings=(spark.read.parquet(args.embeddings)

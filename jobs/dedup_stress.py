@@ -153,6 +153,14 @@ def main(argv=None) -> None:
     run("boilerplate_census", lambda: boilerplate_lines(
         docs.withColumn("text", F.regexp_replace("text", " tag", "\ntag")),
         min_docs=100, min_len=3))
+    # model-based quality + tokenizer paths at the same scale
+    from eel_sdk_spark.functions import bpe as B
+    from eel_sdk_spark.functions import lm as L
+
+    lm_model = L.train_ngram_lm(base)
+    run("lm_score", lambda: L.lm_score(docs, lm_model))
+    bpe_model = B.train_bpe(base, n_merges=200)
+    run("bpe_token_counts", lambda: B.token_counts(docs, bpe_model))
     spark.stop()
 
 

@@ -321,11 +321,40 @@ def q_window_running(spark, sf):
                     F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
 
 
-def q_concat_zip(spark, sf):
+def q_join_shapes(spark, sf):
+    """concat (positional zip, DataStream.scala concat) + cartesian
+    folded into ONE row (r6 third fold, same tagged-leg contract):
+    both non-equi join shapes run and every produced pair rides the
+    hash compare."""
     n = DataStream(_t(spark, sf, "nation").select("n_nationkey", "n_name"))
     r = DataStream(_t(spark, sf, "region").select("r_regionkey", "r_name"))
-    return (n.concat_zip(r, order_left="n_nationkey", order_right="r_regionkey")
-            .projection("n_name", "r_name").df)
+    zipped = (n.concat_zip(r, order_left="n_nationkey",
+                           order_right="r_regionkey")
+              .projection("n_name", "r_name").df
+              .select(F.lit("zip").alias("leg"),
+                      F.col("n_name").alias("a"),
+                      F.col("r_name").alias("b")))
+    r2 = DataStream(_t(spark, sf, "region").select("r_name"))
+    n2 = DataStream(_t(spark, sf, "nation").select("n_name"))
+    cart = (r2.cartesian(n2).df
+            .select(F.lit("cartesian").alias("leg"),
+                    F.col("r_name").alias("a"),
+                    F.col("n_name").alias("b")))
+    return zipped.unionByName(cart)
+
+
+def q_lm_score(spark, sf):
+    """N-gram LM perplexity scoring (functions/lm.py — NEW r6, driver
+    row r6): bigram stupid-backoff model trained on the even-id half of
+    documents, scoring the odd half. DuckDB replays count tables, log
+    probabilities, backoff coalescing, and the per-doc average
+    op-for-op (the model IS two SQL-replayable tables — the design
+    point)."""
+    from eel_sdk_spark.functions import lm as L
+
+    d = _t(spark, sf, "documents")
+    model = L.train_ngram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    return L.lm_score(d.filter(F.col("doc_id") % 2 == 1), model)
 
 
 def q_asof_join(spark, sf):
@@ -367,12 +396,6 @@ def q_range_join(spark, sf):
                    start_col="w_start", end_col="w_end",
                    bucket="20 minutes")
     return j.select("click_id", "signup_id")
-
-
-def q_cartesian(spark, sf):
-    r = DataStream(_t(spark, sf, "region").select("r_name"))
-    n = DataStream(_t(spark, sf, "nation").select("n_name"))
-    return r.cartesian(n).df
 
 
 def q_string_funcs(spark, sf):
@@ -909,7 +932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operators run as tagged legs) — the two freed rows register the
     round-6 ops dup_spans (exact-substring span dedup) and boilerplate
     (cross-document line census), closing the new-op evidence gap
-    within the same round it opened.
+    within the same round it opened. Third wave: concat_zip + cartesian
+    become ONE join_shapes row; the freed row registers lm_score (the
+    round-6 bigram-LM perplexity scorer, whose DataFrame-native model
+    was designed to be SQL-replayable).
     Highest-stakes queries (codec roundtrips, sessionization) lead."""
     return {
         "roundtrip_verify": q_roundtrip_verify,
@@ -938,10 +964,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_case": q_pivot_case,
         "grouping_sets": q_grouping_sets,
         "window_running": q_window_running,
-        "concat_zip": q_concat_zip,
+        "join_shapes": q_join_shapes,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "cartesian": q_cartesian,
+        "lm_score": q_lm_score,
         "string_funcs": q_string_funcs,
         "price_histogram": q_price_histogram,
         "map_rows": q_map_rows,
@@ -1180,16 +1206,63 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW), 2) AS running
             FROM orders""",
-        "concat_zip": """
+        "join_shapes": """
             WITH a AS (SELECT n_name,
                               row_number() OVER (ORDER BY n_nationkey) AS rn
                        FROM nation),
                  b AS (SELECT r_name,
                               row_number() OVER (ORDER BY r_regionkey) AS rn
                        FROM region)
-            SELECT n_name, r_name FROM a JOIN b USING (rn)""",
-        "cartesian": """
-            SELECT r_name, n_name FROM region CROSS JOIN nation""",
+            SELECT 'zip' AS leg, n_name AS a, r_name AS b
+            FROM a JOIN b USING (rn)
+            UNION ALL
+            SELECT 'cartesian' AS leg, r_name AS a, n_name AS b
+            FROM region CROSS JOIN nation""",
+        # bigram stupid-backoff LM: replay count tables, 6dp-rounded
+        # log-probs, backoff coalescing, and the 4dp per-doc average —
+        # the model is two SQL tables by design. Caps (100k/200k) far
+        # exceed the synthetic vocabulary, so LIMIT never binds.
+        "lm_score": f"""
+            WITH ref AS (SELECT doc_id, lower(text) AS text
+                         FROM documents WHERE doc_id % 2 = 0),
+            probe AS (SELECT doc_id, lower(text) AS text
+                      FROM documents WHERE doc_id % 2 = 1),
+            uni AS (SELECT w, count(*) AS c FROM (
+                SELECT unnest({_TOKS}) AS w FROM ref) GROUP BY w),
+            tot AS (SELECT sum(c) AS t FROM uni),
+            unilp AS (SELECT w, round(ln(c / (SELECT t FROM tot)), 6)
+                          AS lp
+                      FROM uni ORDER BY c DESC, w LIMIT 100000),
+            rp AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM
+                   (SELECT {_TOKS} AS w FROM ref),
+                   UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+            big AS (SELECT w1, w2, count(*) AS c12 FROM rp
+                    GROUP BY w1, w2),
+            w1t AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
+            biglp AS (SELECT w1, w2, round(ln(c12 / c1), 6) AS lp
+                      FROM big JOIN w1t USING (w1)
+                      ORDER BY c12 DESC, w1, w2 LIMIT 200000),
+            trans AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM
+                      (SELECT doc_id, {_TOKS} AS w FROM probe),
+                      UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+            sc AS (SELECT t.doc_id,
+                          coalesce(b.lp,
+                                   round(ln(0.4), 6) + u.lp,
+                                   round(ln(0.4), 6) +
+                                   round(ln(0.5 / (SELECT t FROM tot)),
+                                         6)) AS lp
+                   FROM trans t
+                   LEFT JOIN biglp b ON t.w1 = b.w1 AND t.w2 = b.w2
+                   LEFT JOIN unilp u ON u.w = t.w2),
+            agg AS (SELECT doc_id, count(*) AS n_transitions,
+                           round(avg(lp), 4) AS avg_logp
+                    FROM sc GROUP BY doc_id)
+            SELECT doc_id, n_transitions, avg_logp,
+                   round(exp(-avg_logp), 2) AS ppl FROM agg
+            UNION ALL
+            SELECT doc_id, 0 AS n_transitions, NULL::DOUBLE AS avg_logp,
+                   NULL::DOUBLE AS ppl
+            FROM probe WHERE len({_TOKS}) < 2""",
         "asof_join": """
             SELECT l.event_id,
                    epoch_us(l.ts) AS click_us,

@@ -127,8 +127,13 @@ def ppl_bucket(scored: DataFrame, fracs: tuple = (1 / 3, 1 / 3),
     ``fracs[1]`` -> 'middle', rest -> 'tail'. Thresholds via
     approxQuantile on the score column only (two scalars to the
     driver); null-ppl docs land in 'tail'."""
-    lo, hi = scored.approxQuantile(
+    quantiles = scored.approxQuantile(
         ppl_col, [fracs[0], fracs[0] + fracs[1]], 0.001)
+    if not quantiles:
+        # every ppl is null (all docs < 2 tokens): approxQuantile returns
+        # an empty list — everything buckets to 'tail' (ADVICE r6 fix)
+        return scored.withColumn("ppl_bucket", F.lit("tail"))
+    lo, hi = quantiles
     return scored.withColumn(
         "ppl_bucket",
         F.when(F.col(ppl_col).isNull(), "tail")

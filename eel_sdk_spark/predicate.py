@@ -150,6 +150,21 @@ class Not(Predicate):
         return ~self.inner.to_column()
 
 
+def _probe_type_matches(schema_ddl: str, col: str, value) -> bool:
+    """True when an equality literal's Python type matches the column's
+    declared decode type (string vs numeric) — the precondition for
+    probing that column's bloom. Unknown columns conservatively fail
+    (no pruning)."""
+    from pyspark.sql.types import StringType, StructType
+
+    try:
+        f = next(f for f in StructType.fromDDL(schema_ddl).fields
+                 if f.name == col)
+    except StopIteration:
+        return False
+    return isinstance(f.dataType, StringType) == isinstance(value, str)
+
+
 def decode_with_predicate(blocks, schema_ddl: str, pred: Predicate,
                           int_cols: set[str] | None = None):
     """Decode an encoded table under a predicate: block-skip on stats for
@@ -167,9 +182,17 @@ def decode_with_predicate(blocks, schema_ddl: str, pred: Predicate,
         # EQUALITY predicates additionally consult per-block blooms when
         # the table recorded them for this column (encode_df
         # bloom_cols=/key_bloom) — the membership skip that works even
-        # where min/max stats are vacuous (hash-scattered layouts)
+        # where min/max stats are vacuous (hash-scattered layouts).
+        # Blooms hash strings (md5) and ints (splitmix64) differently, so
+        # a probe whose Python type disagrees with the column's declared
+        # type would test the WRONG hash family and silently drop every
+        # group; unlike the lookup APIs (which fail fast) a predicate
+        # decode has a residual filter whose cast gives the user-intended
+        # semantics — so the mismatch just SKIPS the bloom tier (ADVICE
+        # r6 fix, same class as checkpoint._check_key_type).
         if (lo is not None and lo == hi and "key_bloom" in pruned.columns
-                and isinstance(lo, (int, str))):
+                and isinstance(lo, (int, str))
+                and _probe_type_matches(schema_ddl, col, lo)):
             from .encode import prune_block_groups_bloom
 
             pruned = prune_block_groups_bloom(pruned, col, lo)

@@ -258,28 +258,40 @@ def compact_store(spark, store_table, id_col: str = "doc_id",
     chain = [snap]
     while chain[-1].parent_id is not None:
         chain.append(store_table.snapshot(chain[-1].parent_id))
+    # Files from commits that carried NO epoch.<stream_id> watermark are
+    # simply absent from the map, so their rows get a NULL store_epoch and
+    # the never-expire guard below actually protects them (r6 wrote -1
+    # here, which made the isNull branch dead code and let a mistyped
+    # stream_id silently wipe the whole store — ADVICE r6 fix).
     epoch_of: dict[str, int] = {}
     prev: set = set()
     for s in reversed(chain):
-        ep = int((s.properties or {}).get(f"epoch.{stream_id}", -1))
+        ep_raw = (s.properties or {}).get(f"epoch.{stream_id}")
         for f in set(s.files) - prev:
-            epoch_of[os.path.basename(f)] = ep
+            if ep_raw is not None:
+                epoch_of[os.path.basename(f)] = int(ep_raw)
         prev = set(s.files)
     from ..functions.dedup import dedupe_store_rows
 
     df = spark.read.option("mergeSchema", "true").parquet(*snap.files)
-    fmap = F.create_map(*[x for k, v in epoch_of.items()
-                          for x in (F.lit(k), F.lit(int(v)))])
-    file_ep = F.element_at(fmap, F.regexp_extract(
-        F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)).cast("long")
+    if epoch_of:
+        fmap = F.create_map(*[x for k, v in epoch_of.items()
+                              for x in (F.lit(k), F.lit(int(v)))])
+        file_ep = F.element_at(fmap, F.regexp_extract(
+            F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)).cast("long")
+    else:
+        file_ep = F.lit(None).cast("long")
     row_ep = (F.coalesce(F.col("store_epoch").cast("long"), file_ep)
               if "store_epoch" in df.columns else file_ep)
     df = df.withColumn("store_epoch", row_ep)
     rows_before = df.count()
     rows_expired = 0
     if expire_before_epoch is not None:
-        # unknown-epoch rows (no chain record, no column) never expire
+        # unknown-epoch rows (no chain record, no column) never expire;
+        # -1 is grandfathered as "unknown" for stores compacted by the
+        # r6 code, which persisted it in the store_epoch column
         df = df.filter(F.col("store_epoch").isNull()
+                       | (F.col("store_epoch") == -1)
                        | (F.col("store_epoch") >= expire_before_epoch))
         rows_expired = rows_before - df.count()
     deduped = dedupe_store_rows(df, id_col)

@@ -73,7 +73,6 @@ def main(argv=None) -> None:
     os.environ.setdefault("EEL_SPARK_UI", "1")
     from pyspark.sql import SparkSession
 
-    SparkSession.builder.config("spark.ui.enabled", "true")
     spark = (SparkSession.builder.master(f"local[{args.cpus}]")
              .appName("dedup-stress")
              .config("spark.sql.shuffle.partitions", str(args.cpus))

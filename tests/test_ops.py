@@ -1120,3 +1120,12 @@ def test_duplicate_spans_and_removal(spark):
     xx = duplicate_spans(df, "text", "doc_id", window=8)
     assert ({r["doc_id"] for r in xx.collect()}
             == {i for i, *_ in got})
+
+    # r7 (VERDICT r6 #1): canonical-occurrence selection must be a
+    # combinable groupBy, never a per-hash sorted window — a universal
+    # banner shared by k docs would otherwise pile k rows into ONE
+    # window partition. Pin it in the physical plan.
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # and the min(struct) partial-aggregates map-side (two-phase agg)
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan

@@ -373,3 +373,45 @@ def test_compact_store_preserves_detection_and_shrinks(spark, tmp_path):
                                      "arrives after compaction")],
                                "doc_id bigint, text string")
     assert dedup_epoch(out, store, e4, 4) == 1
+
+
+def test_compact_store_unknown_epoch_rows_never_expire(spark, tmp_path):
+    """ADVICE r6 (medium): files from commits that carried NO
+    epoch.<stream_id> watermark must get a NULL store_epoch — never -1 —
+    so expire_before_epoch can NEVER silently delete them. The sharp
+    edge this pins: compacting with a WRONG stream_id used to map every
+    file to -1 and expire the entire store."""
+    from eel_sdk_spark.functions.dedup import incremental_dup_ids
+    from eel_sdk_spark.streaming.pipeline import compact_store, dedup_epoch
+    from eel_sdk_spark.table import ManifestTable
+
+    out = ManifestTable(str(tmp_path), "acc")
+    store = ManifestTable(str(tmp_path), "sigs")
+    batch = spark.createDataFrame(
+        [(1, "solo unique doc one words here"),
+         (2, "another unique doc two words here")],
+        "doc_id bigint, text string")
+    dedup_epoch(out, store, batch, 7)  # watermark epoch.dedup = 7
+
+    probe = spark.createDataFrame(
+        [(100, "solo unique doc one words here")],
+        "doc_id bigint, text string")
+
+    def detected():
+        return {r["doc_id"] for r in incremental_dup_ids(
+            probe, store.read(spark), "text", "doc_id",
+            within_batch=False).collect()}
+
+    assert detected() == {100}
+    # compact under a DIFFERENT stream id: no epoch.other watermark
+    # exists, so every file's epoch is unknown -> rows must survive an
+    # aggressive expire_before_epoch instead of being wiped
+    res = compact_store(spark, store, expire_before_epoch=10_000,
+                        stream_id="other")
+    assert res["rows_expired"] == 0
+    assert res["rows_after"] == res["rows_before"]
+    assert detected() == {100}
+    # and the persisted store_epoch column is NULL (not -1) for them
+    eps = {r["store_epoch"]
+           for r in store.read(spark).select("store_epoch").collect()}
+    assert eps == {None}

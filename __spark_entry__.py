@@ -236,7 +236,15 @@ def q_dup_spans(spark, sf):
     document; the op returns the merged token spans every non-canonical
     occurrence must cut (keep = (min id, min pos)). DuckDB replays
     window-hash counting, canonical ranking, and gaps-and-islands span
-    merging op-for-op (md5 gram family)."""
+    merging op-for-op (md5 gram family).
+
+    r7 fold (VERDICT r6 #2): the REWRITE half —
+    ``remove_duplicate_spans`` — rides the same row as a second tagged
+    leg: every document that owns a span is emitted with its span-cut,
+    space-rejoined text, so the hash compare pins the user-visible
+    corpus rebuild, not just span detection (untouched docs are the
+    trivial identity branch). DuckDB rebuilds via list_filter over the
+    token index range against the doc's merged spans."""
     d = _t(spark, sf, "documents")
     phrase = " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"
     planted = d.select(
@@ -244,8 +252,22 @@ def q_dup_spans(spark, sf):
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.col("text"), F.lit(phrase)))
         .otherwise(F.col("text")).alias("text"))
-    return dedup.duplicate_spans(planted, "text", "doc_id", window=8,
-                                 hash_family="md5")
+    spans = dedup.duplicate_spans(planted, "text", "doc_id", window=8,
+                                  hash_family="md5")
+    spans_leg = spans.select(
+        F.lit("spans").alias("leg"), "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        F.lit(None).cast("string").alias("s"))
+    rewritten = dedup.remove_duplicate_spans(
+        planted, "text", "doc_id", spans=spans)
+    rew_leg = (rewritten
+               .join(spans.select("doc_id").distinct(), "doc_id", "left_semi")
+               .select(F.lit("rewrite").alias("leg"), "doc_id",
+                       F.lit(None).cast("long").alias("start"),
+                       F.lit(None).cast("long").alias("end"),
+                       F.col("text").alias("s")))
+    return spans_leg.unionByName(rew_leg)
 
 
 def q_boilerplate(spark, sf):
@@ -254,8 +276,17 @@ def q_boilerplate(spark, sf):
     quarters of the corpus (documents text is verified single-line at
     every sf); the census must count DISTINCT docs per repeated line
     (per-doc array_distinct), gate short lines, and threshold at
-    min_docs. DuckDB replays it exactly."""
-    from eel_sdk_spark.functions.pipeline import boilerplate_lines
+    min_docs. DuckDB replays it exactly.
+
+    r7 fold (VERDICT r6 #2): the REWRITE half —
+    ``remove_boilerplate_lines`` — rides as a second tagged leg: every
+    document whose text CHANGED under the strip is emitted with its
+    stripped, newline-rejoined text (docs losing every line come back
+    as ''), so the hash compare pins the user-visible corpus rebuild,
+    not just the census. DuckDB replays the census anti-filter and the
+    order-preserving line re-join."""
+    from eel_sdk_spark.functions.pipeline import (boilerplate_lines,
+                                                  remove_boilerplate_lines)
 
     d = _t(spark, sf, "documents")
     a = "Accept all cookies to continue reading this excellent site"
@@ -270,7 +301,25 @@ def q_boilerplate(spark, sf):
                    F.concat(F.lit("\n"), F.lit(b), F.lit("\n"),
                             F.lit(b))).otherwise(F.lit("")))
         .alias("text"))
-    return boilerplate_lines(lined, min_docs=50)
+    census = boilerplate_lines(lined, min_docs=50)
+    census_leg = census.select(
+        F.lit("census").alias("leg"), "line_hash",
+        F.col("n_docs").cast("long").alias("n_docs"), "line",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("s"))
+    stripped = remove_boilerplate_lines(lined, min_docs=50,
+                                        boilerplate=census)
+    strip_leg = (stripped.alias("r")
+                 .join(lined.select("doc_id",
+                                    F.col("text").alias("__orig")),
+                       "doc_id")
+                 .filter(F.col("r.text") != F.col("__orig"))
+                 .select(F.lit("strip").alias("leg"),
+                         F.lit(None).cast("string").alias("line_hash"),
+                         F.lit(None).cast("long").alias("n_docs"),
+                         F.lit(None).cast("string").alias("line"),
+                         "doc_id", F.col("r.text").alias("s")))
+    return census_leg.unionByName(strip_leg)
 
 
 def q_explode_tokens(spark, sf):
@@ -1154,9 +1203,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, pos,
                              lag(pos) OVER (PARTITION BY doc_id
                                             ORDER BY pos) AS prev
-                      FROM dcut))
-            SELECT doc_id, min(pos) AS start, max(pos) + 8 AS "end"
-            FROM isl GROUP BY doc_id, g""",
+                      FROM dcut)),
+            spans AS (
+                SELECT doc_id, min(pos) AS start, max(pos) + 8 AS "end"
+                FROM isl GROUP BY doc_id, g),
+            -- rewrite leg: token-index anti-filter against the doc's
+            -- merged spans, space-rejoined (identical to the Spark
+            -- F.filter(idx, ...)+concat_ws rebuild)
+            toks AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       generate_subscripts(w, 1) - 1 AS idx
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS w
+                      FROM planted
+                      WHERE doc_id IN (SELECT doc_id FROM spans))),
+            rew AS (
+                SELECT t.doc_id,
+                       string_agg(t.tok, ' ' ORDER BY t.idx) AS s
+                FROM toks t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = t.doc_id
+                      AND sp.start <= t.idx AND t.idx < sp."end")
+                GROUP BY t.doc_id),
+            rew_all AS (
+                SELECT d.doc_id, coalesce(r.s, '') AS s
+                FROM (SELECT DISTINCT doc_id FROM spans) d
+                LEFT JOIN rew r USING (doc_id))
+            SELECT 'spans' AS leg, doc_id, start::BIGINT AS start,
+                   "end"::BIGINT AS "end", NULL::VARCHAR AS s
+            FROM spans
+            UNION ALL
+            SELECT 'rewrite' AS leg, doc_id, NULL::BIGINT AS start,
+                   NULL::BIGINT AS "end", s
+            FROM rew_all""",
         # cross-document boilerplate census over synthesized banner
         # lines: per-doc DISTINCT lines, length gate, min_docs threshold
         "boilerplate": """
@@ -1174,11 +1255,39 @@ def oracle_sql() -> dict[str, str]:
             lines AS (
                 SELECT doc_id, unnest(list_distinct(
                     string_split(text, chr(10)))) AS line
-                FROM lined)
-            SELECT md5(line) AS line_hash, count(*) AS n_docs,
-                   min(line) AS line
-            FROM lines WHERE length(trim(line)) >= 10
-            GROUP BY md5(line) HAVING count(*) >= 50""",
+                FROM lined),
+            census AS (
+                SELECT md5(line) AS line_hash, count(*) AS n_docs,
+                       min(line) AS line
+                FROM lines WHERE length(trim(line)) >= 10
+                GROUP BY md5(line) HAVING count(*) >= 50),
+            -- strip leg: anti-filter each doc's positional lines against
+            -- the census hashes, newline-rejoin in order, keep docs whose
+            -- text changed (identity branch is trivial); docs losing
+            -- every line come back as ''
+            parts AS (
+                SELECT doc_id, idx, line
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS line,
+                             generate_subscripts(
+                                 string_split(text, chr(10)), 1) AS idx
+                      FROM lined)
+                WHERE md5(line) NOT IN (SELECT line_hash FROM census)),
+            stripped AS (
+                SELECT l.doc_id, l.text AS orig,
+                       coalesce(p.s, '') AS s
+                FROM lined l LEFT JOIN (
+                    SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY idx) AS s
+                    FROM parts GROUP BY doc_id) p USING (doc_id))
+            SELECT 'census' AS leg, line_hash, n_docs, line,
+                   NULL::BIGINT AS doc_id, NULL::VARCHAR AS s
+            FROM census
+            UNION ALL
+            SELECT 'strip' AS leg, NULL::VARCHAR AS line_hash,
+                   NULL::BIGINT AS n_docs, NULL::VARCHAR AS line,
+                   doc_id, s
+            FROM stripped WHERE s <> orig""",
         "explode_tokens": f"""
             SELECT tok, count(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS tok FROM documents)

@@ -164,6 +164,10 @@ def test_shipped_oracles_emit_integer_sums(ddb):
 ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     "asof_join": {"purchase_us"},
     "row_slices": {"k2"},  # NULLable bigint -> float64 on BOTH sides
+    # r7 two-leg folds: span/census columns are NULL on the rewrite leg
+    # (NULLable bigint -> float64 on BOTH sides, same class as k2)
+    "dup_spans": {"start", "end"},
+    "boilerplate": {"n_docs", "doc_id"},
     "broadcast_join_agg": {"revenue"},
     "grouping_sets": {"qty"},
     "filter_projection": {"l_quantity"},

@@ -94,17 +94,27 @@ def q_project_transform(spark, sf):
             .projection("event_id", "etype", "v2").df)
 
 
-def q_update_field(spark, sf):
-    ds = DataStream(_t(spark, sf, "orders"))
-    return (ds.update_field("o_orderpriority", "1-URGENT", "URGENT")
-            .projection("o_orderkey", "o_orderpriority").df)
-
-
-def q_replace_nulls(spark, sf):
-    ds = DataStream(_t(spark, sf, "lineitem"))
-    return (ds.add_field("rf", F.expr("nullif(l_returnflag, 'N')"))
-            .projection("l_orderkey", "l_linenumber", "rf")
-            .replace_null_values("X").df)
+def q_field_ops(spark, sf):
+    """r7 fold (update_field + replace_nulls merged to free registry
+    slots for pagerank/range_lookup/pack_sequences): both DataStream
+    field transforms run in full and ride as tagged legs — the hash
+    compare still validates each operator's exact per-row output."""
+    upd = (DataStream(_t(spark, sf, "orders"))
+           .update_field("o_orderpriority", "1-URGENT", "URGENT")
+           .projection("o_orderkey", "o_orderpriority").df
+           .select(F.lit("update").alias("leg"),
+                   F.col("o_orderkey").alias("k1"),
+                   F.lit(None).cast("long").alias("k2"),
+                   F.col("o_orderpriority").alias("v")))
+    rn = (DataStream(_t(spark, sf, "lineitem"))
+          .add_field("rf", F.expr("nullif(l_returnflag, 'N')"))
+          .projection("l_orderkey", "l_linenumber", "rf")
+          .replace_null_values("X").df
+          .select(F.lit("nulls").alias("leg"),
+                  F.col("l_orderkey").alias("k1"),
+                  F.col("l_linenumber").cast("long").alias("k2"),
+                  F.col("rf").alias("v")))
+    return upd.unionByName(rn)
 
 
 def q_broadcast_join_agg(spark, sf):
@@ -504,11 +514,27 @@ def q_map_rows(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
+    """r7 fold: the simhash_md5 row rides here as a second leg (both
+    are per-document fingerprint passes over the same corpus scan).
+    simhash signatures are compared as STRINGS — a nullable int64
+    column would materialize float64 in pandas and lose exactness
+    above 2^53."""
     d = _t(spark, sf, "documents")
-    return (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
-                     F.col("doc_id"))
-            .groupBy("fp")
-            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id")))
+    exact = (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
+                      F.col("doc_id"))
+             .groupBy("fp")
+             .agg(F.count("*").alias("n_dups"),
+                  F.min("doc_id").alias("keep_id"))
+             .select(F.lit("exact").alias("leg"), "fp", "n_dups", "keep_id",
+                     F.lit(None).cast("long").alias("doc_id"),
+                     F.lit(None).cast("string").alias("simhash")))
+    sh = dedup.simhash_md5(d, "text", "doc_id").select(
+        F.lit("simhash").alias("leg"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("n_dups"),
+        F.lit(None).cast("long").alias("keep_id"),
+        "doc_id", F.col("simhash").cast("string").alias("simhash"))
+    return exact.unionByName(sh)
 
 
 def q_minhash_pairs(spark, sf):
@@ -612,7 +638,21 @@ def q_incremental_dedup(spark, sf):
     text — an exact dup against the store; every 5th+1 appends tokens —
     a near-dup band-collision candidate; the rest get per-doc unique
     text). Returns the flagged batch ids; DuckDB replays fp match +
-    band collision + within-batch checks op-for-op."""
+    band collision + within-batch checks op-for-op.
+
+    r7 adds the PERSISTED leg (compact_store driver evidence, VERDICT
+    r6 #5): the same signature rows land in a throwaway ManifestTable
+    via two OVERLAPPING epoch commits (doc_id%3 != 0 then != 1 — the
+    residue-2 third is committed twice, exactly the fp-duplicate
+    accumulation compaction exists for), compact_store rewrites the
+    store, and the flags are recomputed from the compacted table. The
+    oracle emits the SAME replayed flag set under both tags, so the
+    hash compare proves append->compact->read-back changes nothing."""
+    import tempfile
+
+    from eel_sdk_spark.streaming.pipeline import compact_store
+    from eel_sdk_spark.table import ManifestTable
+
     d = _t(spark, sf, "documents")
     store = dedup.signature_store(d, "text", "doc_id", n_hashes=4)
     did = F.col("doc_id").cast("string")
@@ -624,9 +664,27 @@ def q_incremental_dedup(spark, sf):
         .otherwise(F.concat(F.lit("u"), did, F.lit(" v"), did,
                             F.lit(" w"), did, F.lit(" x"), did,
                             F.lit(" y"), did)).alias("text"))
-    return dedup.incremental_dup_ids(batch, store, "text", "doc_id",
-                                     n_hashes=4, band_size=2,
-                                     max_bucket=None)
+
+    def flags(st):
+        return dedup.incremental_dup_ids(batch, st, "text", "doc_id",
+                                         n_hashes=4, band_size=2,
+                                         max_bucket=None)
+
+    tbl = ManifestTable(tempfile.mkdtemp(prefix="eel_gate_store_"), "sigs")
+    for i, part in enumerate((d.filter(F.col("doc_id") % 3 != 0),
+                              d.filter(F.col("doc_id") % 3 != 1))):
+        sigs = dedup.signature_store(part, "text", "doc_id", n_hashes=4)
+        job = tbl.new_data_path()
+        sigs.write.mode("overwrite").parquet(job)
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in sigs.schema.fields)
+        tbl.commit(ManifestTable.list_written_files(job), ddl,
+                   {"epoch.dedup": i}, mode="append")
+    compact_store(spark, tbl, id_col="doc_id")
+    mem = flags(store).select(F.lit("mem").alias("leg"), "doc_id")
+    post = (flags(tbl.read(spark))
+            .select(F.lit("store").alias("leg"), "doc_id"))
+    return mem.unionByName(post)
 
 
 def q_logreg_score(spark, sf):
@@ -780,45 +838,44 @@ def q_ann_ivf(spark, sf):
                                n_list=8, n_probe=8)
 
 
-def q_simhash_md5(spark, sf):
-    """SimHash with the md5 hash family so DuckDB can replay the exact
-    signature values. (The xxhash64 production variant is the same
-    construction — asserted signature-identical per text group in
-    tests/test_ops.py.)"""
-    d = _t(spark, sf, "documents")
-    return dedup.simhash_md5(d, "text", "doc_id")
-
-
 def q_multimodal_frames(spark, sf):
     """Multimodal plumbing in one gate row: typed metadata extraction
     (media_metadata) joined onto the 1->N frame-sampling fan-out
     (sample_frames) — vectorized row expansion inside the Arrow batch,
     fully oracle-replayable since the fake frame geometry is a pure
-    function of byte length."""
+    function of byte length.
+
+    r7 fold: the media_features row (binary -> fixed-dim feature
+    vectors; the histogram fake is not SQL-expressible, so the oracle
+    states the PURITY property -- identical blobs yield identical
+    feature vectors) rides as a second tagged leg."""
     d = _t(spark, sf, "documents")
     blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     meta = multimodal.media_metadata(blob, "doc_id", "blob")
     frames = multimodal.sample_frames(blob, "doc_id", "blob", every=2)
-    return frames.join(meta, "doc_id").select(
+    frames_leg = frames.join(meta, "doc_id").select(
+        F.lit("frames").alias("leg"),
         "doc_id", "frame_idx", "frame_off",
         "n_bytes", "fake_width", "fake_height", "fake_frames")
-
-
-def q_media_features(spark, sf):
-    """Feature-extraction plumbing: binary -> fixed-dim vector. The
-    histogram fake is not SQL-expressible, so the oracle states the
-    purity property: identical blobs yield identical feature vectors."""
-    d = _t(spark, sf, "documents")
-    blob = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     feats = multimodal.extract_features(blob, "doc_id", "blob", dim=16)
     j = (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
                   "doc_id")
          .join(feats, "doc_id"))
     per = j.groupBy("fp").agg(
         F.count_distinct(F.col("features").cast("string")).alias("nd"))
-    return per.agg(F.count("*").alias("n_groups"),
-                   F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
-                   .alias("n_consistent"))
+    feat_leg = (per.agg(F.count("*").alias("n_groups"),
+                        F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+                        .alias("n_consistent"))
+                .select(F.lit("features").alias("leg"),
+                        F.col("n_groups").cast("long").alias("doc_id"),
+                        F.lit(None).cast("int").alias("frame_idx"),
+                        F.col("n_consistent").cast("long")
+                        .alias("frame_off"),
+                        F.lit(None).cast("long").alias("n_bytes"),
+                        F.lit(None).cast("int").alias("fake_width"),
+                        F.lit(None).cast("int").alias("fake_height"),
+                        F.lit(None).cast("int").alias("fake_frames")))
+    return frames_leg.unionByName(feat_leg)
 
 
 def q_events_window(spark, sf):
@@ -955,6 +1012,77 @@ def q_gorilla_roundtrip(spark, sf):
                  F.sum(F.when(ok, 1).otherwise(0)).alias("vals_ok"))
 
 
+def q_pagerank(spark, sf):
+    """Host-graph PageRank (functions/graph.py — pytest-only until r7,
+    VERDICT r6 #3): a fixed 5-iteration unweighted power loop with
+    tol=0 (no early stop) over a deterministic 53-node host graph
+    derived from doc_ids — src h(doc_id % 53) -> dst h(doc_id^2 % 53).
+    Quadratic residues mod 53 cover only ~half the hosts, so many nodes
+    have inlinks but no outlinks: the dangling-mass redistribution path
+    is exercised, not just the join+sum. The DuckDB twin unrolls the
+    same 5 rounds as chained CTEs (dangling scalar + contribution
+    groupBy per round, op-for-op); ranks rounded to 9 dp — the per-host
+    inflow sums are tiny (<= 53 terms), far inside double headroom."""
+    from eel_sdk_spark.functions.graph import pagerank
+
+    d = _t(spark, sf, "documents")
+    edges = (d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 53)).alias("src_host"),
+        F.concat(F.lit("h"), (F.col("doc_id") * F.col("doc_id") % 53))
+        .alias("dst_host"))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .distinct())
+    ranks = pagerank(edges, damping=0.85, max_iter=5, tol=0.0)
+    return ranks.select("host", F.round("rank", 9).alias("rank"))
+
+
+def q_range_lookup(spark, sf):
+    """The encoded-table key-RANGE scan API (checkpoint.py range_lookup
+    — measured-evidence-only until r7, VERDICT r6 #4): encode the
+    documents table into a throwaway ManifestTable key-clustered on
+    doc_id, then answer lower <= doc_id <= upper through the full
+    three-tier prune (manifest file key-ranges -> block min/max ->
+    residual filter). The oracle is a plain BETWEEN on the source table
+    — the gate hash-compares the DECODED bytes that came back through
+    the manifest + codec path against the raw parquet truth. File
+    pruning itself is plan-asserted in tests/test_checkpoint.py."""
+    import tempfile
+
+    from eel_sdk_spark.checkpoint import encode_with_checkpoint, range_lookup
+    from eel_sdk_spark.table import ManifestTable
+
+    d = _t(spark, sf, "documents")
+    ddl = ("doc_id bigint, text string, lang string, source string, "
+           "n_chars bigint")
+    tbl = ManifestTable(tempfile.mkdtemp(prefix="eel_gate_rl_"), "docs")
+    encode_with_checkpoint(spark, d, tbl, key="doc_id", n_parts=8,
+                           run_id="gate", sort_by=["doc_id"])
+    return range_lookup(spark, tbl, 100, 260, ddl, key="doc_id")
+
+
+def q_pack_sequences(spark, sf):
+    """Training-sequence packing (functions/packing.py — pytest-only
+    until r7): greedy next-fit over (doc_id, n_chars) on ONE sorted
+    partition, so the per-partition numpy kernel's exact pack
+    assignment is deterministic and the DuckDB twin can replay it with
+    a sequential recursive CTE (same recurrence: close the open pack
+    when the next doc overflows, oversized docs ride alone, flush at
+    exactly-full). Multi-partition behavior (pack ids namespaced by
+    partition, searchsorted batching) is pinned in tests/test_ops.py.
+    Packs are EXPLODED to scalar rows for the hash compare; fill_ratio
+    is derived (total/max_len) and pinned in pytest instead."""
+    from eel_sdk_spark.functions.packing import pack_sequences
+
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "n_chars")
+         .repartition(1).sortWithinPartitions("doc_id"))
+    packs = pack_sequences(d, "doc_id", "n_chars", max_len=4096)
+    return packs.select(
+        "pack_id", F.posexplode("doc_ids").alias("pos", "doc_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's gate records the first 50 dict
     entries, so the registry is SIZED to the gate: every registered query
@@ -985,6 +1113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     become ONE join_shapes row; the freed row registers lm_score (the
     round-6 bigram-LM perplexity scorer, whose DataFrame-native model
     was designed to be SQL-replayable).
+    Round-7 folds (same contract): update_field + replace_nulls become
+    ONE field_ops row (both DataStream transforms run as tagged legs);
+    simhash_md5 rides inside dedup_exact (both are per-document
+    fingerprint passes over the same corpus scan); media_features rides
+    inside multimodal_frames — the three freed rows register the three
+    remaining pytest-only ops the r6 VERDICT named: pagerank (host
+    quality ranking), range_lookup (the encoded-table key-range scan
+    API), and pack_sequences (training-sequence packing).
     Highest-stakes queries (codec roundtrips, sessionization) lead."""
     return {
         "roundtrip_verify": q_roundtrip_verify,
@@ -994,13 +1130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "events_window": q_events_window,
         "json_extract": q_json_extract,
-        "simhash_md5": q_simhash_md5,
         "multimodal_frames": q_multimodal_frames,
-        "media_features": q_media_features,
         "filter_projection": q_filter_projection,
         "project_transform": q_project_transform,
-        "update_field": q_update_field,
-        "replace_nulls": q_replace_nulls,
+        "field_ops": q_field_ops,
         "broadcast_join_agg": q_broadcast_join_agg,
         "join_multi": q_join_multi,
         "set_ops": q_set_ops,
@@ -1037,6 +1170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch": q_ann_batch,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "ann_ivf": q_ann_ivf,
+        "pagerank": q_pagerank,
+        "range_lookup": q_range_lookup,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1054,6 +1190,65 @@ _BPE_RE = r"'''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+'"
 def oracle_sql() -> dict[str, str]:
     sigs = ", ".join(
         f"min(md5('{i}:' || tok)) AS sig_{i}" for i in range(4))
+    # md5-family SimHash replay (rides the dedup_exact row since r7)
+    simhash_sql = f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+                FROM toks
+            ), sums AS (
+                SELECT doc_id,
+                       {", ".join(
+                           f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 "
+                           f"ELSE -1 END) AS s{b}" for b in range(60))}
+                FROM h GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   ({" + ".join(
+                       f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT "
+                       f"ELSE 0 END" for b in range(60))}) AS simhash
+            FROM sums"""
+    # PageRank: 5 power-iteration rounds unrolled as chained CTEs —
+    # each round replays graph.pagerank op-for-op (dangling-mass scalar,
+    # per-edge contribution rank/out_degree, base + damped inflow)
+    pr_rounds = []
+    for k in range(5):
+        pr_rounds.append(f"""
+            , d{k} AS (
+                SELECT coalesce(sum(r.rank), 0) AS m
+                FROM r{k} r LEFT JOIN outd o ON r.host = o.src
+                WHERE o.src IS NULL)
+            , c{k} AS (
+                SELECT e.dst AS host, sum(r.rank / o.od) AS inflow
+                FROM r{k} r JOIN outd o ON r.host = o.src
+                JOIN edges e ON e.src = r.host
+                GROUP BY e.dst)
+            , r{k + 1} AS (
+                SELECT n.host,
+                       0.15 / (SELECT c FROM nn)
+                       + 0.85 * (coalesce(c.inflow, 0)
+                                 + (SELECT m FROM d{k})
+                                   / (SELECT c FROM nn)) AS rank
+                FROM nodes n LEFT JOIN c{k} c ON n.host = c.host)""")
+    pagerank_sql = f"""
+            WITH edges AS (
+                SELECT DISTINCT
+                       'h' || (doc_id % 53)::VARCHAR AS src,
+                       'h' || ((doc_id * doc_id) % 53)::VARCHAR AS dst
+                FROM documents
+                WHERE (doc_id % 53) <> ((doc_id * doc_id) % 53))
+            , nodes AS (
+                SELECT src AS host FROM edges
+                UNION SELECT dst AS host FROM edges)
+            , nn AS (SELECT count(*) AS c FROM nodes)
+            , outd AS (
+                SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src)
+            , r0 AS (
+                SELECT host, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)
+            {"".join(pr_rounds)}
+            SELECT host, round(rank, 9) AS rank FROM r5"""
     # 3-gram word shingles, distinct per doc (matches dedup.ngram_set /
     # minhash_signatures(shingle=3))
     minhash_cte = f"""
@@ -1073,14 +1268,15 @@ def oracle_sql() -> dict[str, str]:
         "project_transform": """
             SELECT event_id, event_type AS etype, round(value * 2, 4) AS v2
             FROM events""",
-        "update_field": """
-            SELECT o_orderkey,
+        "field_ops": """
+            SELECT 'update' AS leg, o_orderkey AS k1, NULL::BIGINT AS k2,
                    CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
-                        ELSE o_orderpriority END AS o_orderpriority
-            FROM orders""",
-        "replace_nulls": """
-            SELECT l_orderkey, l_linenumber,
-                   coalesce(nullif(l_returnflag, 'N'), 'X') AS rf
+                        ELSE o_orderpriority END AS v
+            FROM orders
+            UNION ALL
+            SELECT 'nulls' AS leg, l_orderkey AS k1,
+                   l_linenumber::BIGINT AS k2,
+                   coalesce(nullif(l_returnflag, 'N'), 'X') AS v
             FROM lineitem""",
         "broadcast_join_agg": """
             SELECT o_orderpriority,
@@ -1412,10 +1608,16 @@ def oracle_sql() -> dict[str, str]:
         "map_rows": """
             SELECT doc_id, length(text) AS n_chars, upper(lang) AS shout
             FROM documents""",
-        "dedup_exact": """
-            SELECT md5(text) AS fp, count(*) AS n_dups,
-                   min(doc_id) AS keep_id
-            FROM documents GROUP BY md5(text)""",
+        "dedup_exact": f"""
+            SELECT 'exact' AS leg, md5(text) AS fp, count(*) AS n_dups,
+                   min(doc_id) AS keep_id, NULL::BIGINT AS doc_id,
+                   NULL::VARCHAR AS simhash
+            FROM documents GROUP BY md5(text)
+            UNION ALL
+            SELECT 'simhash' AS leg, NULL::VARCHAR AS fp,
+                   NULL::BIGINT AS n_dups, NULL::BIGINT AS keep_id,
+                   doc_id, simhash::VARCHAR AS simhash
+            FROM ({simhash_sql})""",
         "jaccard_pairs": minhash_cte + """
             , bands AS (
                 SELECT doc_id, 0 AS band,
@@ -1559,8 +1761,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT y.doc_id FROM new_bands x JOIN new_bands y
                   ON x.band = y.band AND x.band_key = y.band_key
-                 AND x.doc_id < y.doc_id)
-            SELECT DISTINCT doc_id FROM flagged""",
+                 AND x.doc_id < y.doc_id),
+            flags AS (SELECT DISTINCT doc_id FROM flagged)
+            SELECT 'mem' AS leg, doc_id FROM flags
+            UNION ALL
+            SELECT 'store' AS leg, doc_id FROM flags""",
         # html extraction panel over synthesized markup: the oracle
         # states the EXPECTED extraction result directly (document text
         # is verified single-spaced with no <>& at every sf), pinning
@@ -1894,30 +2099,81 @@ def oracle_sql() -> dict[str, str]:
                                                 qe::DOUBLE[]), 4) AS cos
             FROM embeddings, q
             ORDER BY cos DESC, vec_id LIMIT 10""",
-        "simhash_md5": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
-            ), h AS (
-                SELECT doc_id,
-                       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-                FROM toks
-            ), sums AS (
-                SELECT doc_id,
-                       {", ".join(
-                           f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 "
-                           f"ELSE -1 END) AS s{b}" for b in range(60))}
-                FROM h GROUP BY doc_id
-            )
-            SELECT doc_id,
-                   ({" + ".join(
-                       f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT "
-                       f"ELSE 0 END" for b in range(60))}) AS simhash
-            FROM sums""",
+        "pagerank": pagerank_sql,
+        # the oracle is the RAW table: a codec/manifest/prune bug on the
+        # Spark side (which answers through encode -> manifest key-range
+        # prune -> block skip -> decode) breaks the hash compare
+        "range_lookup": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id BETWEEN 100 AND 260""",
+        # sequential next-fit replay: one recursive-CTE step per doc in
+        # doc_id order carries (open pack seq, open pack tokens) exactly
+        # like the numpy kernel (close-on-overflow, oversized-alone,
+        # flush-at-exactly-full)
+        "pack_sequences": """
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, n_chars AS len,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM documents
+            ), walk AS (
+                SELECT d.rn, d.doc_id, d.len, 0 AS pack,
+                       CASE WHEN d.len >= 4096 THEN 1 ELSE 0 END
+                           AS seq_after,
+                       CASE WHEN d.len >= 4096 THEN 0 ELSE d.len END
+                           AS carry_after
+                FROM docs d WHERE d.rn = 1
+                UNION ALL
+                SELECT d.rn, d.doc_id, d.len,
+                       w.seq_after
+                       + CASE WHEN w.carry_after > 0
+                                   AND w.carry_after + d.len > 4096
+                              THEN 1 ELSE 0 END AS pack,
+                       w.seq_after
+                       + CASE WHEN w.carry_after > 0
+                                   AND w.carry_after + d.len > 4096
+                              THEN 1 ELSE 0 END
+                       + CASE WHEN (CASE WHEN w.carry_after > 0
+                                              AND w.carry_after + d.len
+                                                  > 4096
+                                         THEN d.len
+                                         ELSE w.carry_after + d.len END)
+                                   >= 4096
+                              THEN 1 ELSE 0 END AS seq_after,
+                       CASE WHEN (CASE WHEN w.carry_after > 0
+                                            AND w.carry_after + d.len
+                                                > 4096
+                                       THEN d.len
+                                       ELSE w.carry_after + d.len END)
+                                 >= 4096
+                            THEN 0
+                            ELSE (CASE WHEN w.carry_after > 0
+                                            AND w.carry_after + d.len
+                                                > 4096
+                                       THEN d.len
+                                       ELSE w.carry_after + d.len END)
+                            END AS carry_after
+                FROM walk w JOIN docs d ON d.rn = w.rn + 1
+            ), packed AS (
+                SELECT pack, doc_id, len,
+                       (row_number() OVER (PARTITION BY pack
+                                           ORDER BY doc_id) - 1)::INTEGER
+                           AS pos
+                FROM walk
+            ), stats AS (
+                SELECT pack, count(*) AS n_docs,
+                       sum(len)::BIGINT AS total_tokens
+                FROM packed GROUP BY pack)
+            SELECT '0-' || pack::VARCHAR AS pack_id, pos, doc_id,
+                   n_docs, total_tokens
+            FROM packed JOIN stats USING (pack)""",
+        # features leg (r7 fold): the purity property — one feature
+        # vector per distinct blob — rides the frames row, mapped onto
+        # its columns (doc_id <- n_groups, frame_off <- n_consistent)
         "multimodal_frames": """
             WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb,
                               octet_length(encode(text)) % 7 AS f
                        FROM documents)
-            SELECT doc_id, u::INTEGER AS frame_idx,
+            SELECT 'frames' AS leg, doc_id, u::INTEGER AS frame_idx,
                    u * (nb // CASE WHEN f = 0 THEN 1 ELSE f END) AS frame_off,
                    nb AS n_bytes,
                    (nb % 640)::INTEGER AS fake_width,
@@ -1927,11 +2183,14 @@ def oracle_sql() -> dict[str, str]:
                          unnest(CASE WHEN f > 0 THEN
                                 generate_series(0, f - 1) ELSE [] END) AS u
                   FROM m)
-            WHERE u % 2 = 0""",
-        # purity property: one feature vector per distinct blob
-        "media_features": """
-            SELECT count(DISTINCT md5(text)) AS n_groups,
-                   count(DISTINCT md5(text)) AS n_consistent
+            WHERE u % 2 = 0
+            UNION ALL
+            SELECT 'features' AS leg,
+                   count(DISTINCT md5(text)) AS doc_id,
+                   NULL::INTEGER AS frame_idx,
+                   count(DISTINCT md5(text)) AS frame_off,
+                   NULL::BIGINT AS n_bytes, NULL::INTEGER AS fake_width,
+                   NULL::INTEGER AS fake_height, NULL::INTEGER AS fake_frames
             FROM documents""",
         "events_window": """
             SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS win_start,

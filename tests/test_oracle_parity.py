@@ -168,6 +168,13 @@ ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     # (NULLable bigint -> float64 on BOTH sides, same class as k2)
     "dup_spans": {"start", "end"},
     "boilerplate": {"n_docs", "doc_id"},
+    # r7 fold wave 2 (same NULLable-int-leg class): exact-leg columns are
+    # NULL on the simhash leg and vice versa; frames-leg ints are NULL on
+    # the features leg; k2 is NULL on the update leg
+    "dedup_exact": {"n_dups", "keep_id", "doc_id"},
+    "field_ops": {"k2"},
+    "multimodal_frames": {"frame_idx", "n_bytes", "fake_width",
+                          "fake_height", "fake_frames"},
     "broadcast_join_agg": {"revenue"},
     "grouping_sets": {"qty"},
     "filter_projection": {"l_quantity"},

@@ -160,7 +160,8 @@ def encode_column(arr: pa.Array, codec: str | None = None,
     # plain (Arrow IPC) carries nulls inline: feed it the full array
     enc = encode_values(arr if codec == "plain" else values, kind, codec,
                         ctx=ctx, ctx_key=ctx_key, profile=profile)
-    enc = cascade_compress(enc, level=3 if profile == "speed" else 9)
+    enc = cascade_compress(
+        enc, level={"speed": 3, "archive": 19}.get(profile, 9))
     _compress_tables(enc)
 
     enc.params.update({"codec": enc.codec, "kind": kind, "nt": n_total, "nn": n_nulls})

@@ -12,7 +12,22 @@ sample (greedy-left overlap resolution, fully vectorized), stopping early
 when the best pair's sample frequency falls below ``min_pair_frac`` (the
 Zipf tail: merges cost a full replay pass each but stop paying for
 themselves once rare — the stop rule is the measured knee of the
-ratio/throughput curve). Encode: replay the learned merges over the
+ratio/throughput curve).
+
+Replay kernel (round 7): codes are int16 (495 max fits comfortably) —
+halving the memory traffic of the pass loop measured 36 -> 62 MB/s/core
+at the compression knee and 5.1 -> 5.9 at archive merges on real corpus
+text; output bit-identical. Multi-merge batch replay was prototyped
+TWICE more and re-rejected with data: an EXACT conflict-free batcher
+(pairs whose {b} never meets another's {a} provably have disjoint
+matches, so one vectorized pass equals sequential replay — verified
+bit-identical) ran 0.5-0.6x the sequential int16 kernel both via
+searchsorted key matching and via a 2^20-entry LUT gather, because the
+pair-key construction (astype + shift + or = 3 full passes) costs more
+than the two compares it replaces and conflict-free batches on English
+text are small (median ~3, max 9 — common letters chain through
+space/e/t). The sequential pass loop IS the numpy ceiling; see
+BENCH.md round-7 FSST table. Encode: replay the learned merges over the
 concatenated column bytes; the final code stream is stored as raw uint16
 (BYTE-ALIGNED, not bit-packed: measured on webtext, the zstd cascade both
 compresses aligned codes better — 26.2x -> 28.5x with full merges — and
@@ -86,7 +101,7 @@ def train(sample: bytes, max_merges: int = MAX_MERGES,
     """Learn merge rules from a byte sample. Returns ordered (a, b) pairs."""
     if len(sample) > SAMPLE_CAP:
         sample = sample[:SAMPLE_CAP]
-    codes = np.frombuffer(sample, dtype=np.uint8).astype(np.int32)
+    codes = np.frombuffer(sample, dtype=np.uint8).astype(np.int16)
     merges: list[tuple[int, int]] = []
     for i in range(max_merges):
         if codes.size < 2:
@@ -120,7 +135,7 @@ def apply_merges(data: bytes, merges: list[tuple[int, int]]) -> np.ndarray:
     slower array shrinkage erases the pass-count win. Frequency-ordered
     sequential passes shrink the array geometrically — most passes touch a
     small fraction of the original bytes."""
-    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    codes = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
     for i, (a, b) in enumerate(merges):
         codes = _apply_merge(codes, a, b, 256 + i)
     return codes

@@ -795,7 +795,11 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
 
     The rebuild joins the (small) span table back and filters token
     indexes against each doc's few merged spans — O(tokens x
-    merged_spans) per doc, merged_spans is tiny after merging."""
+    merged_spans) per doc, merged_spans is tiny after merging. Caveat:
+    a pathological document holding THOUSANDS of disjoint duplicated
+    spans pays that product quadratically (nested interpreted HOFs, no
+    codegen); such a doc is near-wholly duplicated and is better
+    dropped by exact/near dedup upstream than rewritten here."""
     if spans is None:
         spans = duplicate_spans(df, text_col, id_col, window, min_count,
                                 hash_family, keep)

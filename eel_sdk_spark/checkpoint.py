@@ -100,18 +100,110 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
     # empty parquet read is invalid; keep one file (filter drops all)
     files = in_range or files[:1]
     if len(files) > 2:
-        from .encode import bloom_may_contain
+        keep: set[str] | None = None
+        uncovered = files
+        idx = snap.properties.get("bloom_index")
+        if idx and idx.get("key") == key:
+            # tier 3a (r7): manifest-registered BLOOM INDEX sidecar — the
+            # per-block key blooms copied into a handful of narrow index
+            # files at build_bloom_index time, so the scan opens O(1)
+            # index files instead of one footer per candidate (at 512
+            # files the per-file footer opens were 1.9 s of a 3.0 s
+            # lookup, BENCH.md round-7; at 100k files they are the whole
+            # lookup). Files committed AFTER the index build are absent
+            # from it and fall through to the per-file scan below —
+            # append-safe without invalidation; compaction survivors
+            # likewise rebuild lazily.
+            from .encode import bloom_may_contain
 
-        nar = spark.read.option("mergeSchema", "true").parquet(*files)
-        if "key_bloom" in nar.columns:
-            cand = (nar.filter(F.col("col") == key)
-                    .filter(bloom_may_contain(key_value))
-                    .select(F.input_file_name().alias("f"))
-                    .distinct().collect())
-            keep = {os.path.basename(r["f"]) for r in cand}
+            # no candidate-set filter pushed into the scan: an IN over
+            # 100k file literals is a bigger plan than the index itself —
+            # the per-file verdicts are tiny (one row per indexed file)
+            # and the intersection happens driver-side
+            want = {os.path.basename(f) for f in files}
+            verdicts = (spark.read.parquet(*idx["files"])
+                        .groupBy("file")
+                        .agg(F.max(bloom_may_contain(key_value)
+                                   .cast("int")).alias("hit"))
+                        .collect())
+            covered = {r["file"] for r in verdicts} & want
+            keep = {r["file"] for r in verdicts if r["hit"]} & want
+            uncovered = [f for f in files
+                         if os.path.basename(f) not in covered]
+        if uncovered:
+            scanned = _bloom_scan_files(spark, uncovered, key, key_value)
+            if scanned is None:  # pre-bloom table: keep them all
+                keep = ((keep or set())
+                        | {os.path.basename(f) for f in uncovered})
+            else:
+                keep = (keep or set()) | scanned
+        if keep is not None:
             files = [f for f in files
                      if os.path.basename(f) in keep] or files[:1]
     return files
+
+
+def _bloom_scan_files(spark: SparkSession, files: list[str], key: str,
+                      key_value) -> set[str] | None:
+    """Tier 3b: the per-file narrow columnar bloom scan (footers + the
+    key blocks' bloom words). Returns surviving basenames, or None when
+    the table predates blooms entirely (caller keeps everything)."""
+    from .encode import bloom_may_contain
+
+    nar = spark.read.option("mergeSchema", "true").parquet(*files)
+    if "key_bloom" not in nar.columns:
+        return None
+    cand = (nar.filter(F.col("col") == key)
+            .filter(bloom_may_contain(key_value))
+            .select(F.input_file_name().alias("f"))
+            .distinct().collect())
+    return {os.path.basename(r["f"]) for r in cand}
+
+
+def build_bloom_index(spark: SparkSession, tbl: ManifestTable,
+                      key: str = "url") -> dict:
+    """Copy the current snapshot's per-block key blooms into a few
+    narrow INDEX files and register them in the table properties — the
+    manifest-level bloom summary tier (ORC's separate bloom streams /
+    Iceberg's puffin sidecars, expressed as a parquet sidecar so the
+    probe stays the same pure-Column expression).
+
+    Why not blooms in the manifest JSON itself: a bloom scales with
+    VALUE count (~1.25 MB per 1M-row file at 10 bits/key) — at 100k
+    files that is a 100+ GB manifest nobody can load. The sidecar keeps
+    the manifest O(bytes-per-file) while the lookup reads ~1% of the
+    table's bytes from O(1) files instead of opening every candidate's
+    footer. NULL-bloom block rows are indexed too (bloom_may_contain is
+    conservatively true on NULL), so mixed-generation files stay
+    correct; files with NO key rows at all (empty writes) simply stay
+    uncovered and fall to the per-file scan, which drops them.
+
+    Maintenance contract: the index describes the files that existed at
+    build time. Appends and compaction survivors are absent -> lookups
+    fall back to the per-file scan for exactly those files; re-run
+    build_bloom_index to fold them in (the old index files are
+    superseded in-place by the property swap and can be deleted)."""
+    import uuid as _uuid
+
+    snap = tbl.current()
+    if snap is None or not snap.files:
+        raise ValueError("build_bloom_index: table has no snapshot/files")
+    nar = spark.read.option("mergeSchema", "true").parquet(*snap.files)
+    if "key_bloom" not in nar.columns:
+        raise ValueError("build_bloom_index: table has no key_bloom "
+                         "column (encoded with key_bloom=False?)")
+    out_dir = os.path.join(tbl.dir, "bloom_index", _uuid.uuid4().hex)
+    n_out = max(1, len(snap.files) // 1024)
+    (nar.filter(F.col("col") == key)
+        .select(F.substring_index(F.input_file_name(), "/", -1)
+                .alias("file"), "key_bloom")
+        .coalesce(n_out)
+        .write.mode("overwrite").parquet(out_dir))
+    idx_files = ManifestTable.list_written_files(out_dir)
+    prop = {"key": key, "files": idx_files,
+            "as_of_snapshot": snap.snapshot_id}
+    tbl.commit([], "", {"bloom_index": prop}, mode="append")
+    return prop
 
 
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,

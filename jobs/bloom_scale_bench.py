@@ -28,10 +28,14 @@ def main() -> None:
     p.add_argument("--files", type=int, default=512)
     p.add_argument("--rows-per-file", type=int, default=800)
     p.add_argument("--probes", type=int, default=9)
+    p.add_argument("--index", action="store_true",
+                   help="build the bloom index sidecar first and measure "
+                        "the index-backed lookup path")
     args = p.parse_args()
 
     from eel_sdk_spark import checkpoint
-    from eel_sdk_spark.checkpoint import (encode_with_checkpoint,
+    from eel_sdk_spark.checkpoint import (build_bloom_index,
+                                          encode_with_checkpoint,
                                           lookup_files, point_lookup,
                                           prune_files_by_part)
     from eel_sdk_spark.corpus import webtext_df
@@ -48,6 +52,11 @@ def main() -> None:
     t0 = time.time()
     encode_with_checkpoint(spark, df, tbl, n_parts=64, run_id="r1")
     enc_sec = round(time.time() - t0, 2)
+    idx_sec = None
+    if args.index:
+        t0 = time.time()
+        build_bloom_index(spark, tbl, key="url")
+        idx_sec = round(time.time() - t0, 2)
     snap = tbl.current()
     n_files = len(snap.files)
 
@@ -98,6 +107,7 @@ def main() -> None:
 
     print(json.dumps({
         "n_files": n_files, "n_rows": n_rows, "encode_sec": enc_sec,
+        "index": bool(args.index), "index_build_sec": idx_sec,
         "bloom_files_opened": {
             "min": min(opened), "median": statistics.median(opened),
             "max": max(opened)},

@@ -276,6 +276,26 @@ def cmd_compact_store(args) -> None:
         spark.stop()
 
 
+def cmd_bloom_index(args) -> None:
+    """Build/refresh the bloom INDEX sidecar for an encoded table
+    (checkpoint.build_bloom_index): lookups then consult O(1) narrow
+    index files instead of opening one footer per candidate file — the
+    tier that keeps scattered-layout point lookups flat at 100k+ files."""
+    from eel_sdk_spark.checkpoint import build_bloom_index
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="bloom-index")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        prop = build_bloom_index(spark, tbl, key=args.key)
+        sys.stdout.write(json.dumps(
+            {"key": prop["key"], "index_files": len(prop["files"]),
+             "as_of_snapshot": prop["as_of_snapshot"]}) + "\n")
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -352,12 +372,20 @@ def main(argv=None) -> None:
                          "extra decode pass; the committed fingerprint is "
                          "carried forward unchanged)")
 
+    bi = sub.add_parser("bloom-index",
+                        help="build the bloom index sidecar for fast "
+                             "scattered-layout point lookups")
+    bi.add_argument("--warehouse", required=True)
+    bi.add_argument("--table", default="blocks")
+    bi.add_argument("--key", default="url")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
      "history": cmd_history, "realign": cmd_realign,
-     "compact-store": cmd_compact_store, "bpe": cmd_bpe}[args.cmd](args)
+     "compact-store": cmd_compact_store, "bpe": cmd_bpe,
+     "bloom-index": cmd_bloom_index}[args.cmd](args)
 
 
 if __name__ == "__main__":

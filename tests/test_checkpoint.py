@@ -946,3 +946,91 @@ def test_lookup_rejects_mismatched_probe_type(spark, tmp_path):
     url = df.select("url").first()["url"]
     assert point_lookup(spark, tbl, url, SCHEMA_DDL).first()["url"] == url
     df.unpersist()
+
+
+def test_bloom_index_lookup_skips_per_file_scan(spark, tmp_path,
+                                                monkeypatch):
+    """r7: with a bloom INDEX sidecar registered, a fully-covered lookup
+    must answer from the index alone — the per-file narrow scan (one
+    footer open per candidate, the 512-file bottleneck in BENCH.md r7)
+    must not run at all."""
+    from eel_sdk_spark import checkpoint
+    from eel_sdk_spark.checkpoint import (build_bloom_index, lookup_files,
+                                          point_lookup)
+
+    df = webtext_df(spark, 8_000, parts=16).repartition(8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "idx")
+    encode_with_checkpoint(spark, df, tbl, n_parts=16, run_id="r1")
+    prop = build_bloom_index(spark, tbl, key="url")
+    assert prop["key"] == "url" and prop["files"]
+    snap = tbl.current()
+    assert snap.properties["bloom_index"]["files"] == prop["files"]
+
+    def boom(*a, **k):
+        raise AssertionError("per-file bloom scan ran despite full "
+                             "index coverage")
+
+    monkeypatch.setattr(checkpoint, "_bloom_scan_files", boom)
+    target = df.select("url").first()["url"]
+    kept = lookup_files(spark, snap, target, "url", set(range(16)))
+    assert 1 <= len(kept) <= 3, kept
+    row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == target
+    # absent key: index rejects everywhere -> fallback single file,
+    # residual filter returns nothing
+    assert point_lookup(spark, tbl, "https://no.such/url",
+                        SCHEMA_DDL).first() is None
+    df.unpersist()
+
+
+def test_bloom_index_append_falls_back_only_for_new_files(spark, tmp_path,
+                                                          monkeypatch):
+    """Files committed after the index build are uncovered: the lookup
+    must consult the per-file scan for EXACTLY those files (append
+    safety without index invalidation) and still find keys that only
+    exist in the new files."""
+    from eel_sdk_spark import checkpoint
+    from eel_sdk_spark.checkpoint import (build_bloom_index, lookup_files,
+                                          point_lookup)
+
+    old = webtext_df(spark, 6_000, parts=16).repartition(6).cache()
+    old.count()
+    tbl = ManifestTable(str(tmp_path), "idx2")
+    encode_with_checkpoint(spark, old, tbl, n_parts=16, run_id="r1")
+    build_bloom_index(spark, tbl, key="url")
+    covered = {f.split("/")[-1] for f in tbl.current().files}
+
+    new = (webtext_df(spark, 9_000, parts=16)
+           .filter(F.col("url").contains("/p/8"))
+           .repartition(4).cache())
+    new.count()
+    # append path: encode + manual commit (encode_with_checkpoint is the
+    # same-input resume API; appends ride the lower-level commit, as the
+    # streaming encode and the gate's incremental leg do)
+    from eel_sdk_spark.encode import encode_df
+
+    job = tbl.new_data_path()
+    encode_df(new, key="url", n_parts=16).write.parquet(job)
+    tbl.commit(ManifestTable.list_written_files(job), "", mode="append")
+    snap = tbl.current()
+    new_files = {f.split("/")[-1] for f in snap.files} - covered
+    assert new_files
+
+    seen: list[set] = []
+    real = checkpoint._bloom_scan_files
+
+    def spy(sp, files, key, kv):
+        seen.append({f.split("/")[-1] for f in files})
+        return real(sp, files, key, kv)
+
+    monkeypatch.setattr(checkpoint, "_bloom_scan_files", spy)
+    target = new.subtract(old.select(*new.columns)) \
+                .select("url").first()["url"]
+    kept = lookup_files(spark, snap, target, "url", set(range(16)))
+    assert seen and all(s <= new_files for s in seen), (seen, new_files)
+    assert any(f.split("/")[-1] in new_files for f in kept)
+    row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == target
+    old.unpersist()
+    new.unpersist()

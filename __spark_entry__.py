@@ -735,15 +735,33 @@ def q_mix_sources(spark, sf):
     """Data mixing: resample the two lexicographically-smallest sources
     to a 3:1 target mixture. Membership is a deterministic md5 bucket of
     the doc id (never RNG), so DuckDB replays the EXACT kept set — the
-    hash compare validates per-document membership, not just counts."""
-    from eel_sdk_spark.functions.pipeline import mix_sources
+    hash compare validates per-document membership, not just counts.
+
+    r7 fold: weighted_sample (quality-weighted deterministic
+    downsampling — pytest-only until now) rides as a second tagged leg
+    over a cubed-length weight with planted nulls. At both gate sfs the
+    weight exercises ALL THREE branches (clamp saturation ~20% of rows,
+    null/zero never-kept ~1%, and the under-fill boost rescale: the
+    clamped expectation is ~0.43 < the 0.5 target); the oracle replays
+    the two aggregate passes, the driver-side boost arithmetic, and the
+    md5-bucket membership op-for-op. The weight is an exact integer
+    cube cast to double (not pow()) so both engines compute identical
+    weights bit-for-bit."""
+    from eel_sdk_spark.functions.pipeline import mix_sources, weighted_sample
 
     d = _t(spark, sf, "documents")
     a, b = sorted(r[0] for r in
                   d.select("source").distinct().collect())[:2]
     out = mix_sources(d.filter(F.col("source").isin(a, b)),
                       "source", {a: 3.0, b: 1.0})
-    return out.select("doc_id", "source")
+    mix = out.select(F.lit("mix").alias("leg"), "doc_id", "source")
+    weighted = d.withColumn(
+        "w", F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(
+            (F.col("n_chars") * F.col("n_chars") * F.col("n_chars"))
+            .cast("double")))
+    ws = (weighted_sample(weighted, "w", 0.5)
+          .select(F.lit("wsample").alias("leg"), "doc_id", "source"))
+    return mix.unionByName(ws)
 
 
 def q_ann_batch(spark, sf):
@@ -2073,10 +2091,35 @@ def oracle_sql() -> dict[str, str]:
                           least(1.0, share * (SELECT feas FROM f)
                                 / greatest(n, 1)) AS frac
                    FROM w)
-            SELECT d.doc_id, d.source
+            SELECT 'mix' AS leg, d.doc_id, d.source
             FROM documents d JOIN fr ON d.source = fr.source
             WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
-                   % 1000000) / 1000000.0 < fr.frac + 0.000000001""",
+                   % 1000000) / 1000000.0 < fr.frac + 0.000000001
+            UNION ALL
+            SELECT 'wsample' AS leg, doc_id, source FROM (
+                WITH wt AS (
+                    SELECT doc_id, source,
+                           greatest(coalesce(
+                               CASE WHEN doc_id % 97 = 0 THEN NULL
+                                    ELSE (n_chars * n_chars * n_chars)
+                                         ::DOUBLE END, 0.0), 0.0) AS w
+                    FROM documents),
+                sc AS (SELECT 0.5 / avg(w) AS scale FROM wt),
+                ex AS (SELECT avg(least(wt.w * sc.scale, 1.0)) AS e,
+                              avg(CASE WHEN wt.w * sc.scale < 1.0
+                                       THEN wt.w * sc.scale
+                                       ELSE 0.0 END) AS eu
+                       FROM wt, sc),
+                bo AS (SELECT CASE WHEN 0.5 - e > 0 AND eu > 0
+                                   THEN 1.0 + (0.5 - e) / eu
+                                   ELSE 1.0 END AS boost FROM ex)
+                SELECT wt.doc_id, wt.source
+                FROM wt, sc, bo
+                WHERE least(wt.w * sc.scale * bo.boost, 1.0) > 0.0
+                  AND (('0x' || substr(md5(wt.doc_id::VARCHAR), 1, 8))
+                       ::BIGINT % 1000000) / 1000000.0
+                      < least(wt.w * sc.scale * bo.boost, 1.0)
+                        + 0.000000001)""",
         "ann_batch": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id IN (0, 1, 2))

@@ -458,6 +458,7 @@ def encode_with_checkpoint(
     sort_by: list[str] | None = None,
     key_bloom: bool = True,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
 
@@ -524,7 +525,8 @@ def encode_with_checkpoint(
     blocks = encode_df(tagged.drop(PART_COL), key, n_parts, salt, salt_by,
                        profile=profile, codec_overrides=codec_overrides,
                        shuffle=shuffle, sort_by=sort_by,
-                       key_bloom=key_bloom, bloom_cols=bloom_cols)
+                       key_bloom=key_bloom, bloom_cols=bloom_cols,
+                       bloom_bits=bloom_bits)
 
     job_dir = tbl.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)

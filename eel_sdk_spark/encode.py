@@ -138,7 +138,8 @@ def _bloom_hash_pair_str(vals: list) -> tuple:
             dig[:, 1].astype(np.uint64) | np.uint64(1))
 
 
-def _bloom_build(arr: pa.Array, kind: str) -> list[int] | None:
+def _bloom_build(arr: pa.Array, kind: str,
+                 bits: int | None = None) -> list[int] | None:
     """Per-block bloom words (int64 bit patterns) over the non-null
     values, or None for kinds without a stable hash (floats). m scales
     with the block's value count (positions are taken mod m at probe
@@ -155,7 +156,7 @@ def _bloom_build(arr: pa.Array, kind: str) -> list[int] | None:
     else:
         return None
     n = len(values)
-    m = max(64, ((BLOOM_BITS_PER_VALUE * n + 63) // 64) * 64)
+    m = max(64, (((bits or BLOOM_BITS_PER_VALUE) * n + 63) // 64) * 64)
     words = np.zeros(m // 64, dtype=np.uint64)
     for i in range(BLOOM_K):
         pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
@@ -383,7 +384,8 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                     codec_overrides: dict[str, str | None],
                     profile: str = "speed",
                     split_parts: bool = True,
-                    bloom_col: str | frozenset | None = None) -> Iterator[pa.RecordBatch]:
+                    bloom_col: str | frozenset | None = None,
+                    bloom_bits: int | None = None) -> Iterator[pa.RecordBatch]:
     import os as _os
 
     seq: dict[int, int] = {}
@@ -433,7 +435,7 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                               if isinstance(bloom_col, (set, frozenset))
                               else name == bloom_col)
                 rows["key_bloom"].append(
-                    _bloom_build(arr, info["kind"])
+                    _bloom_build(arr, info["kind"], bits=bloom_bits)
                     if bloom_this else None)
                 rows["part_id"].append(part_id)
                 rows["part_hi"].append(part_hi)
@@ -481,7 +483,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
               shuffle: bool | str = "auto",
               sort_by: list[str] | None = None,
               key_bloom: bool = True,
-              bloom_cols: list[str] | None = None) -> DataFrame:
+              bloom_cols: list[str] | None = None,
+              bloom_bits: int | None = None) -> DataFrame:
     """Encode every column of ``df`` into blocks, partitioned by ``key``.
 
     ``shuffle`` picks the layout/lineage trade (all modes keep decode and
@@ -555,7 +558,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
             df = df.sortWithinPartitions(*extra_sort)
         out = df.mapInArrow(
             lambda it: _encode_batches_by_task(it, overrides, profile,
-                                               bloom_col=bloom_col),
+                                               bloom_col=bloom_col,
+                                               bloom_bits=bloom_bits),
             BLOCK_SCHEMA_DDL)
     else:
         prepared = with_part_id(df, key, n_parts, salt, salt_by)
@@ -580,7 +584,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
         out = prepared.mapInArrow(
             lambda it: _encode_batches(it, overrides, profile,
                                        split_parts=(shuffle != "local"),
-                                       bloom_col=bloom_col),
+                                       bloom_col=bloom_col,
+                                       bloom_bits=bloom_bits),
             BLOCK_SCHEMA_DDL)
     # every block group is emitted by ONE task, so no group straddles a
     # partition boundary: decode_blocks_df auto-detects this tag and skips
@@ -593,7 +598,8 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
 def _encode_batches_by_task(batches: Iterator[pa.RecordBatch],
                             codec_overrides: dict[str, str | None],
                             profile: str,
-                            bloom_col: str | None = None) -> Iterator[pa.RecordBatch]:
+                            bloom_col: str | None = None,
+                            bloom_bits: int | None = None) -> Iterator[pa.RecordBatch]:
     """No-shuffle variant: one part per physical Spark partition."""
     from pyspark import TaskContext
 
@@ -605,7 +611,7 @@ def _encode_batches_by_task(batches: Iterator[pa.RecordBatch],
             yield b.append_column(PART_COL, ids)
 
     yield from _encode_batches(tag(batches), codec_overrides, profile,
-                               bloom_col=bloom_col)
+                               bloom_col=bloom_col, bloom_bits=bloom_bits)
 
 
 def prune_block_groups(blocks: DataFrame, col: str,

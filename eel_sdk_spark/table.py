@@ -248,7 +248,8 @@ class ManifestTable:
                            properties, mode)
 
     def compact(self, spark, n_files: int,
-                by: list[str] | None = None) -> Snapshot:
+                by: list[str] | None = None,
+                refresh_bloom_index: bool | None = None) -> Snapshot:
         """Small-file compaction: rewrite the current snapshot to exactly
         ``n_files`` files in one new snapshot (reference: Compactor.compactTo,
         eel-hive/src/main/scala/io/eels/component/hive/Compactor.scala:16-21;
@@ -353,10 +354,23 @@ class ManifestTable:
                                               int(r["mxi"])]}
                 props["file_key_ranges_extra"] = {"key": key,
                                                   "files": ranges}
-            return self.commit(files, snap.schema_ddl, props,
-                               mode="overwrite")
-        return self.commit(self.list_written_files(job_dir),
-                           snap.schema_ddl, props, mode="overwrite")
+            out = self.commit(files, snap.schema_ddl, props,
+                              mode="overwrite")
+        else:
+            out = self.commit(self.list_written_files(job_dir),
+                              snap.schema_ddl, props, mode="overwrite")
+        # a registered bloom INDEX references the replaced basenames, so
+        # every rewritten file would fall back to the per-file scan —
+        # refresh it by default so compaction keeps the O(1)-file lookup
+        # property (opt out with refresh_bloom_index=False to defer the
+        # ~1/4-encode-pass rebuild to a later maintenance window)
+        if props.get("bloom_index") and refresh_bloom_index is not False:
+            from .checkpoint import build_bloom_index
+
+            build_bloom_index(spark, self,
+                              key=props["bloom_index"]["key"])
+            out = self.current()
+        return out
 
     # -- maintenance (Iceberg expireSnapshots / deleteOrphanFiles parity) --
     def expire_snapshots(self, keep_last: int = 1,

@@ -68,6 +68,8 @@ def main(argv=None) -> None:
                    help="skip per-block key bloom filters (saves ~1.25 "
                         "bytes/key; point lookups on scattered layouts "
                         "fall back to decoding every candidate file)")
+    p.add_argument("--bloom-bits", type=int, default=None,
+                   help="bloom size in bits per key value (default 10 ~1% fp).\nSize to the table's FILE count: fp file-opens per lookup scale\nlinearly with candidates — 16 bits (~0.2% fp) keeps 512-file\ntables at ~2 opens (BENCH.md round-7)")
     p.add_argument("--bloom-cols", default=None,
                    help="comma-separated EXTRA columns to bloom (ORC "
                         "bloomFilterColumns analogue): equality "
@@ -111,7 +113,8 @@ def main(argv=None) -> None:
             sort_by=sort_by or None,
             key_bloom=not args.no_key_bloom,
             bloom_cols=(args.bloom_cols.split(",")
-                        if args.bloom_cols else None))
+                        if args.bloom_cols else None),
+            bloom_bits=args.bloom_bits)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

@@ -1034,3 +1034,46 @@ def test_bloom_index_append_falls_back_only_for_new_files(spark, tmp_path,
     assert row is not None and row["url"] == target
     old.unpersist()
     new.unpersist()
+
+
+def test_bloom_bits_param_and_compact_refreshes_index(spark, tmp_path,
+                                                      monkeypatch):
+    """r7: (a) bloom_bits threads through to the kernel (bigger blooms,
+    lower fp — the per-table sizing knob for large file counts) without
+    the env var, and (b) compact() rebuilds a registered bloom index by
+    default, so rewritten files keep the O(1)-file lookup property
+    instead of all falling back to the per-file scan."""
+    from eel_sdk_spark import checkpoint
+    from eel_sdk_spark.checkpoint import (build_bloom_index,
+                                          encode_with_checkpoint,
+                                          point_lookup)
+    from eel_sdk_spark.encode import encode_df
+
+    df = webtext_df(spark, 4_000, parts=8).repartition(8).cache()
+    df.count()
+    sz = {}
+    for bits in (10, 16):
+        blocks = encode_df(df, key="url", n_parts=8, bloom_bits=bits)
+        sz[bits] = (blocks.filter(F.col("col") == "url")
+                    .agg(F.sum(F.size("key_bloom"))).first()[0])
+    assert sz[16] > sz[10] * 1.4, sz
+
+    tbl = ManifestTable(str(tmp_path), "cidx")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1",
+                           bloom_bits=16)
+    build_bloom_index(spark, tbl, key="url")
+    s_before = tbl.current().properties["bloom_index"]["as_of_snapshot"]
+
+    tbl.compact(spark, 4)
+    prop = tbl.current().properties["bloom_index"]
+    assert prop["as_of_snapshot"] > s_before
+
+    def boom(*a, **k):
+        raise AssertionError("per-file scan ran after compact despite "
+                             "the refreshed index")
+
+    monkeypatch.setattr(checkpoint, "_bloom_scan_files", boom)
+    target = df.select("url").first()["url"]
+    row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == target
+    df.unpersist()

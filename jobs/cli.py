@@ -100,7 +100,36 @@ def cmd_analyze_table(args) -> None:
         # r6: per-block key blooms present? (zero-read: schema-level) —
         # scattered-layout point lookups prune to ~1 file when true
         "key_blooms": "key_bloom" in (snap.schema_ddl or ""),
+        # r7: bloom INDEX sidecar status — covered vs current files
+        # (uncovered files fall back to the per-file scan; rebuild with
+        # `eel bloom-index` when coverage drifts after appends)
+        "bloom_index": _bloom_index_stats(snap),
     }) + "\n")
+
+
+def _bloom_index_stats(snap) -> dict | None:
+    """Index coverage without Spark: the sidecar is tiny, pyarrow reads
+    just its `file` column."""
+    idx = snap.properties.get("bloom_index")
+    if not idx:
+        return None
+    import os
+
+    covered: set[str] = set()
+    try:
+        import pyarrow.parquet as pq
+
+        for f in idx.get("files", []):
+            covered.update(
+                pq.read_table(f, columns=["file"])["file"].to_pylist())
+    except Exception:  # index files missing/unreadable: report as stale
+        pass
+    current = {os.path.basename(f) for f in snap.files}
+    return {"key": idx.get("key"),
+            "as_of_snapshot": idx.get("as_of_snapshot"),
+            "covered_files": len(covered & current),
+            "total_files": len(current),
+            "stale": bool(current - covered)}
 
 
 def _key_range_stats(runs: list, props: dict) -> dict:

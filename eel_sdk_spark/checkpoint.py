@@ -121,11 +121,17 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
             # the per-file verdicts are tiny (one row per indexed file)
             # and the intersection happens driver-side
             want = {os.path.basename(f) for f in files}
-            verdicts = (spark.read.parquet(*idx["files"])
-                        .groupBy("file")
-                        .agg(F.max(bloom_may_contain(key_value)
-                                   .cast("int")).alias("hit"))
-                        .collect())
+            try:
+                verdicts = (spark.read.parquet(*idx["files"])
+                            .groupBy("file")
+                            .agg(F.max(bloom_may_contain(key_value)
+                                       .cast("int")).alias("hit"))
+                            .collect())
+            except Exception:
+                # deleted/unreadable index files must degrade to the
+                # per-file scan, never fail the lookup — the index is an
+                # accelerator, not a correctness dependency
+                verdicts = []
             covered = {r["file"] for r in verdicts} & want
             keep = {r["file"] for r in verdicts if r["hit"]} & want
             uncovered = [f for f in files

@@ -1077,3 +1077,25 @@ def test_bloom_bits_param_and_compact_refreshes_index(spark, tmp_path,
     row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
     assert row is not None and row["url"] == target
     df.unpersist()
+
+
+def test_bloom_index_missing_files_degrade_to_scan(spark, tmp_path):
+    """A registered index whose sidecar files were deleted (manual
+    cleanup, partial restore) must degrade to the per-file scan —
+    the index is an accelerator, never a correctness dependency."""
+    import shutil
+
+    from eel_sdk_spark.checkpoint import (build_bloom_index,
+                                          encode_with_checkpoint,
+                                          point_lookup)
+
+    df = webtext_df(spark, 4_000, parts=8).repartition(8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "gone")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1")
+    build_bloom_index(spark, tbl, key="url")
+    shutil.rmtree(f"{tbl.dir}/bloom_index")
+    target = df.select("url").first()["url"]
+    row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == target
+    df.unpersist()

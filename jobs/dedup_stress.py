@@ -160,6 +160,22 @@ def main(argv=None) -> None:
     run("lm_score", lambda: L.lm_score(docs, lm_model))
     bpe_model = B.train_bpe(base, n_merges=200)
     run("bpe_token_counts", lambda: B.token_counts(docs, bpe_model))
+    # r7: the three newly-gated ops at the same 50k scale
+    from eel_sdk_spark.functions.graph import pagerank
+    from eel_sdk_spark.functions.packing import pack_sequences
+    from eel_sdk_spark.functions.pipeline import weighted_sample
+
+    edges = (docs.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 503).alias("src_host"),
+        F.concat(F.lit("h"), (F.col("doc_id") * F.col("doc_id")) % 503)
+        .alias("dst_host"))
+        .filter(F.col("src_host") != F.col("dst_host")).distinct())
+    run("pagerank_5it", lambda: pagerank(edges, max_iter=5, tol=0.0))
+    run("weighted_sample", lambda: weighted_sample(
+        docs.withColumn("w", F.length("text").cast("double")), "w", 0.3))
+    run("pack_sequences", lambda: pack_sequences(
+        docs.select("doc_id", F.length("text").alias("n_tok")),
+        "doc_id", "n_tok", max_len=4096))
     spark.stop()
 
 

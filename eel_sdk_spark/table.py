@@ -417,7 +417,32 @@ class ManifestTable:
                         live.add(f)  # count once
                 os.unlink(os.path.join(self.manifest_dir, name))
                 expired += 1
-        return {"expired_snapshots": expired, "deleted_files": deleted}
+            # bloom INDEX sidecars follow the same liveness rule: a
+            # build_bloom_index re-run registers a new file set, but the
+            # superseded one stays referenced by older snapshots' props
+            # (time-travel lookups still consult it) — it becomes
+            # deletable only when those snapshots expire, exactly like
+            # data files. Liveness is judged from the SURVIVING
+            # snapshots' bloom_index properties.
+            deleted_idx = 0
+            idx_root = os.path.join(self.dir, "bloom_index")
+            if delete_files and os.path.isdir(idx_root):
+                live_idx: set[str] = set()
+                for sid in keep_ids:
+                    prop = (self.snapshot(sid).properties
+                            .get("bloom_index") or {})
+                    live_idx.update(map(os.path.abspath,
+                                        prop.get("files", [])))
+                for dirpath, _, names in os.walk(idx_root, topdown=False):
+                    for n in names:
+                        path = os.path.abspath(os.path.join(dirpath, n))
+                        if path not in live_idx:
+                            os.unlink(path)
+                            deleted_idx += 1
+                    if not os.listdir(dirpath):
+                        os.rmdir(dirpath)
+        return {"expired_snapshots": expired, "deleted_files": deleted,
+                "deleted_index_files": deleted_idx}
 
     def remove_orphan_files(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO snapshot (crashed writes:

@@ -1099,3 +1099,39 @@ def test_bloom_index_missing_files_degrade_to_scan(spark, tmp_path):
     row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
     assert row is not None and row["url"] == target
     df.unpersist()
+
+
+def test_expire_snapshots_gcs_superseded_bloom_index(spark, tmp_path,
+                                                     monkeypatch):
+    """Re-building the index supersedes the old sidecar files, but older
+    snapshots still reference them (time travel) — expire_snapshots must
+    delete exactly the superseded set and keep the live index working."""
+    import os as _os
+
+    from eel_sdk_spark import checkpoint
+    from eel_sdk_spark.checkpoint import (build_bloom_index,
+                                          encode_with_checkpoint,
+                                          point_lookup)
+
+    df = webtext_df(spark, 4_000, parts=8).repartition(8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "gc")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1")
+    old_prop = build_bloom_index(spark, tbl, key="url")
+    new_prop = build_bloom_index(spark, tbl, key="url")
+    assert set(old_prop["files"]).isdisjoint(new_prop["files"])
+    assert all(_os.path.exists(f) for f in old_prop["files"])
+
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["deleted_index_files"] >= len(old_prop["files"])
+    assert not any(_os.path.exists(f) for f in old_prop["files"])
+    assert all(_os.path.exists(f) for f in new_prop["files"])
+
+    def boom(*a, **k):
+        raise AssertionError("per-file scan ran; live index was lost")
+
+    monkeypatch.setattr(checkpoint, "_bloom_scan_files", boom)
+    target = df.select("url").first()["url"]
+    row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == target
+    df.unpersist()

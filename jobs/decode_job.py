@@ -46,6 +46,8 @@ def main(argv=None) -> None:
     p.add_argument("--verify-against", default=None,
                    help="original parquet; reports per-column match counts")
     p.add_argument("--key", default="url")
+    p.add_argument("--key-point", default=None,
+                   help="single-key point lookup (point_lookup: part\npruning + manifest key ranges + bloom index/scan + block skipping);\ntyped from --schema like --key-range")
     p.add_argument("--key-range", default=None,
                    help="'lo..hi' inclusive range on --key: three-tier "
                         "skipping (manifest per-file key ranges -> block "
@@ -66,7 +68,34 @@ def main(argv=None) -> None:
     try:
         tbl = ManifestTable(args.warehouse, args.table)
         cols = args.columns.split(",") if args.columns else None
-        if args.key_range:
+        if args.key_point is not None:
+            if args.where or args.snapshot_id is not None \
+                    or args.key_range:
+                raise SystemExit("--key-point is mutually exclusive "
+                                 "with --where/--snapshot-id/"
+                                 "--key-range")
+            from pyspark.sql.types import StringType, StructType
+
+            from eel_sdk_spark.checkpoint import point_lookup
+
+            kv = args.key_point
+            key_field = next(
+                (f for f in StructType.fromDDL(args.schema).fields
+                 if f.name == args.key), None)
+            if key_field is not None and not isinstance(
+                    key_field.dataType, StringType):
+                try:
+                    kv = int(kv)
+                except ValueError:
+                    raise SystemExit(
+                        f"--key-point {args.key_point!r}: key "
+                        f"{args.key!r} is non-string in --schema but "
+                        f"the value is not an integer")
+            decoded = point_lookup(spark, tbl, kv, args.schema,
+                                   key=args.key)
+            if cols:
+                decoded = decoded.select(*cols)
+        elif args.key_range:
             if args.where or args.snapshot_id is not None:
                 raise SystemExit("--key-range is mutually exclusive with "
                                  "--where/--snapshot-id")

@@ -183,15 +183,36 @@ def q_tpch_q1(spark, sf):
 def q_global_agg(spark, sf):
     """aggregated() global summary + minBy/maxBy arg-extrema in one row
     (DataStream.scala:300-344): count/min/max/avg plus the order ids that
-    carry the extreme prices."""
-    return (DataStream(_t(spark, sf, "orders")).aggregated()
-            .agg(F.count("*").alias("n_orders"),
-                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
-                 F.round(F.max("o_totalprice"), 2).alias("max_price"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-                 F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
-                 F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"))
-            .to_datastream().df)
+    carry the extreme prices.
+
+    r7 fold: the sketches module's column_profile rides as a 'profile'
+    leg over the events table — its EXACT fields (non-null count, null
+    count, min/max/mean) are hash-compared per column; the approximate
+    fields (HLL++ distinct, GK quantiles) are engine-specific by nature
+    and stay bounds-pinned in tests/test_sketches.py instead."""
+    from eel_sdk_spark.functions.sketches import column_profile
+
+    agg = (DataStream(_t(spark, sf, "orders")).aggregated()
+           .agg(F.count("*").alias("n"),
+                F.round(F.min("o_totalprice"), 2).alias("vmin"),
+                F.round(F.max("o_totalprice"), 2).alias("vmax"),
+                F.round(F.avg("o_totalprice"), 4).alias("vmean"),
+                F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+                F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"))
+           .to_datastream().df
+           .select(F.lit("agg").alias("leg"),
+                   F.lit(None).cast("string").alias("col"),
+                   "n", F.lit(None).cast("long").alias("n_nulls"),
+                   "vmin", "vmax", "vmean", "top_order", "bottom_order"))
+    prof = column_profile(_t(spark, sf, "events"),
+                          cols=["value", "event_type"])
+    prof_leg = prof.select(
+        F.lit("profile").alias("leg"), "col", "n", "n_nulls",
+        F.round("min", 4).alias("vmin"), F.round("max", 4).alias("vmax"),
+        F.round("mean", 4).alias("vmean"),
+        F.lit(None).cast("long").alias("top_order"),
+        F.lit(None).cast("long").alias("bottom_order"))
+    return agg.unionByName(prof_leg)
 
 
 def q_topk_per_group(spark, sf):
@@ -1343,13 +1364,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE epoch(l_shipdate) <= {EPOCH_Q1_CUT}
             GROUP BY l_returnflag, l_linestatus""",
         "global_agg": """
-            SELECT count(*) AS n_orders,
-                   round(min(o_totalprice), 2) AS min_price,
-                   round(max(o_totalprice), 2) AS max_price,
-                   round(avg(o_totalprice), 4) AS avg_price,
+            SELECT 'agg' AS leg, NULL::VARCHAR AS col, count(*) AS n,
+                   NULL::BIGINT AS n_nulls,
+                   round(min(o_totalprice), 2) AS vmin,
+                   round(max(o_totalprice), 2) AS vmax,
+                   round(avg(o_totalprice), 4) AS vmean,
                    arg_max(o_orderkey, o_totalprice) AS top_order,
                    arg_min(o_orderkey, o_totalprice) AS bottom_order
-            FROM orders""",
+            FROM orders
+            UNION ALL
+            SELECT 'profile', 'value', count(value),
+                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+                   round(min(value), 4) + 0.0, round(max(value), 4) + 0.0,
+                   round(avg(value), 4) + 0.0,
+                   NULL::BIGINT, NULL::BIGINT
+            FROM events
+            UNION ALL
+            SELECT 'profile', 'event_type', count(event_type),
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+                   NULL::BIGINT, NULL::BIGINT
+            FROM events""",
         "topk_per_group": """
             SELECT o_custkey, o_orderkey, rn FROM (
                 SELECT o_custkey, o_orderkey,

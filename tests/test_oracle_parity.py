@@ -172,13 +172,17 @@ ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     # NULL on the simhash leg and vice versa; frames-leg ints are NULL on
     # the features leg; k2 is NULL on the update leg
     "dedup_exact": {"n_dups", "keep_id", "doc_id"},
+    # r7 fold wave 3: agg-leg extrema are NULL on the profile legs
+    # and vice versa for n_nulls
+    "global_agg": {"n_nulls", "top_order", "bottom_order",
+                   "vmin", "vmax", "vmean"},
     "field_ops": {"k2"},
     "multimodal_frames": {"frame_idx", "n_bytes", "fake_width",
                           "fake_height", "fake_frames"},
     "broadcast_join_agg": {"revenue"},
     "grouping_sets": {"qty"},
     "filter_projection": {"l_quantity"},
-    "global_agg": {"max_price", "avg_price"},
+
     "join_multi": {"sum_acctbal"},
     "pivot_case": {"qty_open", "qty_finished"},
     "text_metrics": {"punct_ratio"},

@@ -212,6 +212,169 @@ def build_bloom_index(spark: SparkSession, tbl: ManifestTable,
     return prop
 
 
+FSCK_SCHEMA_DDL = ("file string, part_id int, block_seq int, "
+                   "writer_uid bigint, col string, status string, "
+                   "n_blocks bigint")
+
+
+def fsck(spark: SparkSession, tbl: ManifestTable | None = None,
+         files: list[str] | None = None,
+         snapshot_id: int | None = None,
+         n_tasks: int | None = None) -> DataFrame:
+    """Distributed integrity scan of an encoded table: recompute every
+    block's ``payload_crc`` against its stored value WITHOUT decoding
+    values, and cross-check the manifest's file list against storage.
+
+    Returns one DataFrame (schema ``FSCK_SCHEMA_DDL``) with:
+
+    - one row per corrupted block — ``status='bad_crc'`` with the exact
+      (file, part_id, block_seq, writer_uid, col) coordinates, so the
+      operator can map damage to the specific parts/columns affected
+      (and re-encode just those parts via the checkpoint lineage);
+    - one ``status='ok'`` row per file carrying ``n_blocks`` verified
+      clean (healthy blocks aggregate per file — at 100k files a
+      per-healthy-block row set would dwarf the signal);
+    - one ``status='no_crc'`` row per file counting blocks written
+      before the crc column existed (uncovered, not failed — rewrite
+      via ``ManifestTable.compact`` does NOT backfill crcs, a fresh
+      encode does);
+    - one ``status='missing_file'`` row per manifest entry that storage
+      no longer serves (manifest/storage drift: a too-eager GC, a
+      partial restore).
+
+    The unit of work is the file (zero shuffle, like the decode path);
+    cost is a narrow columnar read of header+payload bytes + crc32 at
+    memory speed — ~the cheapest full-table read possible, suitable as
+    a scheduled audit on a 100 TB table. This is the integrity half the
+    reference delegates to ORC's file checksums (eel-orc
+    OrcSink.scala); here it spans any snapshot including time travel
+    (``snapshot_id=``)."""
+    if files is None:
+        if tbl is None:
+            raise ValueError("fsck: pass a ManifestTable or a files list")
+        snap = (tbl.snapshot(snapshot_id) if snapshot_id is not None
+                else tbl.current())
+        if snap is None or not snap.files:
+            raise FileNotFoundError(
+                f"fsck: table {tbl.dir} has no committed snapshot")
+        files = snap.files
+
+    def _scan(batches):
+        import zlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                base = os.path.basename(path)
+                out = {"file": [], "part_id": [], "block_seq": [],
+                       "writer_uid": [], "col": [], "status": [],
+                       "n_blocks": []}
+
+                def emit(status, n, part=None, seq=None, uid=None,
+                         col=None):
+                    out["file"].append(base)
+                    out["part_id"].append(part)
+                    out["block_seq"].append(seq)
+                    out["writer_uid"].append(uid)
+                    out["col"].append(col)
+                    out["status"].append(status)
+                    out["n_blocks"].append(n)
+
+                def typed_batch():
+                    # explicit types: an all-null column (missing_file
+                    # rows) must still match the declared int32/int64
+                    # fields, inference would make it null-typed
+                    return pa.record_batch(
+                        [pa.array(out["file"], type=pa.string()),
+                         pa.array(out["part_id"], type=pa.int32()),
+                         pa.array(out["block_seq"], type=pa.int32()),
+                         pa.array(out["writer_uid"], type=pa.int64()),
+                         pa.array(out["col"], type=pa.string()),
+                         pa.array(out["status"], type=pa.string()),
+                         pa.array(out["n_blocks"], type=pa.int64())],
+                        names=list(out.keys()))
+
+                try:
+                    names = pq.read_schema(path).names
+                    has_crc = "payload_crc" in names
+                    want = ["part_id", "block_seq", "writer_uid", "col",
+                            "header", "payload"]
+                    if has_crc:
+                        want.append("payload_crc")
+                    t = pq.read_table(path, columns=want,
+                                      use_threads=False)
+                except (FileNotFoundError, OSError):
+                    emit("missing_file", 0)
+                    yield typed_batch()
+                    continue
+                except pa.ArrowInvalid:
+                    # file exists but is not readable parquet (truncated
+                    # upload, bad magic): container-level corruption,
+                    # reported distinctly from block-level bad_crc
+                    emit("unreadable_file", 0)
+                    yield typed_batch()
+                    continue
+                n_ok = n_uncov = 0
+                for tb in t.to_batches():
+                    headers = tb.column("header")
+                    payloads = tb.column("payload")
+                    crcs = tb.column("payload_crc") if has_crc else None
+                    for i in range(tb.num_rows):
+                        if crcs is None or not crcs[i].is_valid:
+                            n_uncov += 1
+                            continue
+                        got = zlib.crc32(payloads[i].as_buffer(),
+                                         zlib.crc32(headers[i].as_py()))
+                        if got == crcs[i].as_py():
+                            n_ok += 1
+                        else:
+                            emit("bad_crc", 1,
+                                 part=tb.column("part_id")[i].as_py(),
+                                 seq=tb.column("block_seq")[i].as_py(),
+                                 uid=tb.column("writer_uid")[i].as_py(),
+                                 col=tb.column("col")[i].as_py())
+                if n_ok:
+                    emit("ok", n_ok)
+                if n_uncov:
+                    emit("no_crc", n_uncov)
+                yield typed_batch()
+
+    n_tasks = n_tasks or min(
+        len(files), spark.sparkContext.defaultParallelism * 2) or 1
+    fdf = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(n_tasks)
+    return fdf.mapInArrow(_scan, FSCK_SCHEMA_DDL)
+
+
+def fsck_summary(report: DataFrame) -> dict:
+    """Collapse an ``fsck`` report to the operator-facing counters (the
+    report itself is the per-block detail). Healthy table =>
+    ``bad_crc == 0 and missing_files == 0``."""
+    rows = (report.groupBy("status")
+            .agg(F.sum("n_blocks").alias("blocks"),
+                 F.countDistinct("file").alias("files"))
+            .collect())
+    by = {r["status"]: r for r in rows}
+
+    def blocks(s):
+        return int(by[s]["blocks"]) if s in by else 0
+
+    def files(s):
+        return int(by[s]["files"]) if s in by else 0
+
+    return {
+        "blocks_ok": blocks("ok"),
+        "blocks_bad_crc": blocks("bad_crc"),
+        "blocks_no_crc": blocks("no_crc"),
+        "missing_files": files("missing_file"),
+        "unreadable_files": files("unreadable_file"),
+        "healthy": (blocks("bad_crc") == 0 and "missing_file" not in by
+                    and "unreadable_file" not in by),
+    }
+
+
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
                  schema_ddl: str, key: str = "url",
                  salt_by_value: str | None = None,

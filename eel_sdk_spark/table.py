@@ -181,7 +181,8 @@ class ManifestTable:
     def read_decoded(self, spark, schema_ddl: str,
                      columns: list[str] | None = None,
                      constraints: list | None = None,
-                     snapshot_id: int | None = None):
+                     snapshot_id: int | None = None,
+                     verify: bool = True):
         """Decode an encoded-blocks table straight from its snapshot file
         list with ZERO shuffle: whole files per task (encode.py's
         decode_files_df — block groups are file-adjacent by construction).
@@ -198,7 +199,8 @@ class ManifestTable:
             parts = snap.partitions or [{} for _ in files]
             files = [f for f, pv in zip(files, parts)
                      if all(c.eval(pv) for c in constraints)]
-        df = decode_files_df(spark, files, schema_ddl, columns=columns)
+        df = decode_files_df(spark, files, schema_ddl, columns=columns,
+                             verify=verify)
         return df
 
     def partition_values(self, keys: list[str] | None = None,

@@ -325,6 +325,35 @@ def cmd_bloom_index(args) -> None:
         spark.stop()
 
 
+def cmd_fsck(args) -> None:
+    """Distributed integrity audit of an encoded table
+    (checkpoint.fsck): recompute every block's payload_crc, cross-check
+    the manifest's file list against storage, print the summary and the
+    coordinates of any damaged blocks. Exit code 1 when unhealthy, so a
+    scheduled audit can alert."""
+    from eel_sdk_spark.checkpoint import fsck, fsck_summary
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="fsck")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        # cache: the report is O(files + bad blocks) rows, but producing
+        # it reads the whole table — never scan twice for two summaries
+        report = fsck(spark, tbl, snapshot_id=args.snapshot).cache()
+        bad = [r.asDict() for r in report.filter(
+            "status in ('bad_crc', 'missing_file', 'unreadable_file')")
+            .limit(args.max_detail).collect()]
+        out = fsck_summary(report)
+        if bad:
+            out["detail"] = bad
+        sys.stdout.write(json.dumps(out) + "\n")
+        if not out["healthy"]:
+            sys.exit(1)
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -408,13 +437,24 @@ def main(argv=None) -> None:
     bi.add_argument("--table", default="blocks")
     bi.add_argument("--key", default="url")
 
+    fs = sub.add_parser("fsck",
+                        help="verify every block's payload CRC and the "
+                             "manifest<->storage file list; exit 1 on "
+                             "damage")
+    fs.add_argument("--warehouse", required=True)
+    fs.add_argument("--table", default="blocks")
+    fs.add_argument("--snapshot", type=int, default=None,
+                    help="audit a historical snapshot (time travel)")
+    fs.add_argument("--max-detail", type=int, default=50,
+                    help="cap on per-block damage rows printed")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
      "history": cmd_history, "realign": cmd_realign,
      "compact-store": cmd_compact_store, "bpe": cmd_bpe,
-     "bloom-index": cmd_bloom_index}[args.cmd](args)
+     "bloom-index": cmd_bloom_index, "fsck": cmd_fsck}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,11 @@ def main(argv=None) -> None:
                         "min/max stats -> residual row filter); integer "
                         "bounds when both parse as ints. Mutually "
                         "exclusive with --where/--snapshot-id")
+    p.add_argument("--no-verify-crc", action="store_true",
+                   help="skip per-block payload CRC verification on the "
+                        "storage decode path (on by default; crc32 over "
+                        "the compressed payload is within decode run "
+                        "noise)")
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="time travel: decode the table AS OF this "
                         "snapshot instead of the current one")
@@ -142,7 +147,8 @@ def main(argv=None) -> None:
             # exchange — decode_blocks_df remains the path for predicate
             # pushdown with block-stat pruning above
             decoded = tbl.read_decoded(spark, args.schema, columns=cols,
-                                       snapshot_id=args.snapshot_id)
+                                       snapshot_id=args.snapshot_id,
+                                       verify=not args.no_verify_crc)
         out: dict = {}
         if args.output:
             decoded.write.mode("overwrite").parquet(args.output)

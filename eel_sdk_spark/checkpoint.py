@@ -375,6 +375,178 @@ def fsck_summary(report: DataFrame) -> dict:
     }
 
 
+def _expand_coverage(cov) -> set[int]:
+    """Inverse of compact_coverage: exact part set from either form."""
+    if isinstance(cov, dict):
+        out: set[int] = set()
+        for lo, hi in cov.get("ranges", []):
+            out.update(range(int(lo), int(hi) + 1))
+        return out
+    return {int(p) for p in cov}
+
+
+def repair_table(spark: SparkSession, tbl: ManifestTable,
+                 input_df: DataFrame,
+                 report: DataFrame | None = None,
+                 verify_fingerprint: bool = True,
+                 run_index: int = -1,
+                 dry_run: bool = False) -> dict:
+    """Lineage-driven self-healing: take an ``fsck`` damage report, drop
+    every affected file, re-encode EXACTLY the parts those files covered
+    from the original input, and commit the healed snapshot atomically.
+
+    Part ids are content-derived (``with_part_id``: pmod(xxhash64(key)))
+    — the same input rows land in the same parts on any cluster size —
+    so "which rows were in the lost file" is answerable from the
+    manifest's per-file part coverage without any record of physical row
+    placement. The rewrite unit is the PART, not the file: dropping a
+    damaged file removes its parts' rows wherever they sit, so every
+    OTHER file holding any of those parts must be dropped and re-encoded
+    too (the cascade below runs to a fixed point over manifest coverage,
+    driver-side, zero I/O).
+
+    Layout determines the blast radius, not correctness:
+
+    - part-aligned layout (``shuffle=True``): a file covers exactly its
+      own parts — the cascade stops immediately and one damaged file
+      costs ~1/n_parts of an encode pass. This is the layout to choose
+      when repairability matters (same trade as Iceberg
+      rewrite_data_files granularity).
+    - banded 'local' layout: every file spans the full part range, so
+      any damage cascades to a full re-encode (returned as
+      ``full_rebuild=True``). Still correct, just honest about cost.
+
+    Guards: the committed run's partitioning params are adopted from the
+    manifest (never guessed), and ``verify_fingerprint=True`` refuses to
+    repair from input whose content fingerprint differs from what the
+    damaged run actually encoded — repairing from drifted input would
+    silently replace data. Files the manifest has NO coverage for are
+    scanned for their exact parts when readable; a damaged file that is
+    BOTH unreadable and uncovered forces ``full_rebuild``.
+
+    ``dry_run=True`` returns the plan (files to drop, parts to
+    re-encode) without writing anything.
+    """
+    from .encode import PART_COL, encode_df, with_part_id
+
+    snap = tbl.current()
+    if snap is None or not snap.files:
+        raise FileNotFoundError(f"repair: table {tbl.dir} has no snapshot")
+    runs = snap.properties.get("runs", [])
+    if not runs:
+        raise ValueError("repair: table has no encode run lineage")
+    run = runs[run_index]
+    key, n_parts = run.get("key", "url"), run["n_parts"]
+    salt, salt_by = run.get("salt", 1), run.get("salt_by")
+
+    if report is None:
+        report = fsck(spark, tbl)
+    dmg = report.filter(
+        "status in ('bad_crc', 'missing_file', 'unreadable_file')") \
+        .select("file", "status").distinct().collect()
+    damaged_names = {r["file"] for r in dmg}
+    unreadable_names = {r["file"] for r in dmg
+                        if r["status"] in ("missing_file",
+                                           "unreadable_file")}
+    if not damaged_names:
+        return {"healthy": True, "dropped_files": [], "repaired_parts": [],
+                "full_rebuild": False}
+
+    by_name = {os.path.basename(f): f for f in snap.files}
+    coverage: dict[str, object] = {}
+    for r in runs:
+        coverage.update(r.get("file_parts", {}))
+    coverage.update(snap.properties.get("file_parts_extra", {}))
+
+    file_parts: dict[str, set[int]] = {
+        n: _expand_coverage(coverage[n]) for n in by_name if n in coverage}
+    uncovered = [n for n in by_name if n not in coverage]
+    full_rebuild = False
+    if any(n in unreadable_names for n in uncovered):
+        # a gone/unreadable file with no manifest coverage: its parts
+        # are unknowable -> the only safe repair is everything
+        full_rebuild = True
+    elif uncovered:
+        # exact parts for coverage-less files, ONE narrow scan (same
+        # aggregate compact() re-records); parts is exact membership,
+        # pre-banding rows normalize to [part_id]
+        rows = (spark.read.option("mergeSchema", "true")
+                .parquet(*[by_name[n] for n in uncovered])
+                .select(F.input_file_name().alias("f"),
+                        F.explode(F.coalesce(
+                            F.col("parts"),
+                            F.array(F.col("part_id")))).alias("p"))
+                .distinct().collect())
+        for n in uncovered:
+            file_parts[n] = set()
+        for r in rows:
+            file_parts[os.path.basename(r["f"])].add(int(r["p"]))
+
+    if full_rebuild:
+        drop = set(by_name)
+        parts = set(range(n_parts))
+    else:
+        drop = set(damaged_names)
+        parts: set[int] = set()
+        for n in drop:
+            parts |= file_parts[n]
+        changed = True
+        while changed:  # cascade: any survivor sharing a part must go too
+            changed = False
+            for n, ps in file_parts.items():
+                if n not in drop and ps & parts:
+                    drop.add(n)
+                    parts |= ps
+                    changed = True
+        if len(drop) == len(by_name):
+            full_rebuild = True
+
+    out = {"healthy": False, "full_rebuild": full_rebuild,
+           "dropped_files": sorted(drop),
+           "repaired_parts": sorted(parts),
+           "surviving_files": len(by_name) - len(drop)}
+    if dry_run:
+        return out
+
+    cur_fp = input_fingerprint(input_df, key)
+    if verify_fingerprint and run.get("fingerprint") not in (None, cur_fp):
+        raise ValueError(
+            f"repair input mismatch: fingerprint {cur_fp} != committed "
+            f"{run['fingerprint']}; repairing from drifted input would "
+            f"silently replace data (pass verify_fingerprint=False only "
+            f"if the drift is intended)")
+
+    new_files: list[str] = []
+    rec = None
+    if full_rebuild or parts:
+        src = input_df
+        if not full_rebuild:
+            src = (with_part_id(input_df, key, n_parts, salt, salt_by)
+                   .filter(F.col(PART_COL).isin(*sorted(parts)))
+                   .drop(PART_COL))
+        blocks = encode_df(src, key=key, n_parts=n_parts,
+                           salt=salt, salt_by=salt_by)
+        job_dir = tbl.new_data_path()
+        blocks.write.mode("overwrite").parquet(job_dir)
+        new_files = ManifestTable.list_written_files(job_dir)
+        rec = _run_record(spark, job_dir, new_files,
+                          run_id=f"repair-{snap.snapshot_id}",
+                          fingerprint=cur_fp, n_parts=n_parts, salt=salt,
+                          salt_by=salt_by, key=key)
+    # else: every damaged file covered ZERO parts (hash-empty writes) —
+    # dropping them from the snapshot IS the repair
+    props = dict(snap.properties)
+    props["runs"] = runs + ([rec] if rec else [])
+    survivors = [f for f in snap.files
+                 if os.path.basename(f) not in drop]
+    healed = tbl.commit(survivors + new_files,
+                        snap.schema_ddl or BLOCK_SCHEMA_DDL,
+                        props, mode="overwrite")
+    out["new_files"] = len(new_files)
+    out["snapshot_id"] = healed.snapshot_id
+    return out
+
+
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
                  schema_ddl: str, key: str = "url",
                  salt_by_value: str | None = None,

@@ -354,6 +354,31 @@ def cmd_fsck(args) -> None:
         spark.stop()
 
 
+def cmd_repair(args) -> None:
+    """Lineage-driven self-healing (checkpoint.repair_table): drop the
+    files an fsck flags, re-encode exactly the parts they covered from
+    the original input, commit the healed snapshot. --dry-run prints the
+    plan (files to drop, parts to re-encode) without writing."""
+    from eel_sdk_spark.checkpoint import repair_table
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="repair")
+    try:
+        if args.input.startswith("synthetic:"):
+            from eel_sdk_spark.corpus import webtext_df
+
+            df = webtext_df(spark, int(args.input.split(":", 1)[1]))
+        else:
+            df = spark.read.parquet(args.input)
+        tbl = ManifestTable(args.warehouse, args.table)
+        out = repair_table(spark, tbl, df, dry_run=args.dry_run,
+                           verify_fingerprint=not args.force)
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -448,13 +473,27 @@ def main(argv=None) -> None:
     fs.add_argument("--max-detail", type=int, default=50,
                     help="cap on per-block damage rows printed")
 
+    rp = sub.add_parser("repair",
+                        help="heal fsck-flagged damage by re-encoding "
+                             "the affected parts from the original input")
+    rp.add_argument("--warehouse", required=True)
+    rp.add_argument("--table", default="blocks")
+    rp.add_argument("--input", required=True,
+                    help="the run's original input: parquet path or "
+                         "synthetic:<rows>")
+    rp.add_argument("--dry-run", action="store_true")
+    rp.add_argument("--force", action="store_true",
+                    help="skip the input-content fingerprint guard "
+                         "(repairing from drifted input replaces data)")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
      "history": cmd_history, "realign": cmd_realign,
      "compact-store": cmd_compact_store, "bpe": cmd_bpe,
-     "bloom-index": cmd_bloom_index, "fsck": cmd_fsck}[args.cmd](args)
+     "bloom-index": cmd_bloom_index, "fsck": cmd_fsck,
+     "repair": cmd_repair}[args.cmd](args)
 
 
 if __name__ == "__main__":

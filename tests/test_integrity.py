@@ -156,3 +156,116 @@ def test_crc_survives_compaction(spark, tmp_path):
     assert s["healthy"] and s["blocks_bad_crc"] == 0
     assert s["blocks_no_crc"] == 0 and s["blocks_ok"] > 0
     assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 3000
+
+
+# ---- lineage-driven repair -------------------------------------------------
+
+def _first_nonempty(files) -> str:
+    """Part-aligned writes can leave hash-empty output files — tampering
+    needs a file that actually holds a block."""
+    for f in sorted(files):
+        if pq.ParquetFile(f).metadata.num_rows > 0:
+            return f
+    raise AssertionError("no non-empty file")
+
+
+def _rows_equal(a, b) -> bool:
+    return (a.count() == b.count()
+            and a.exceptAll(b).count() == 0
+            and b.exceptAll(a).count() == 0)
+
+
+def test_repair_part_aligned_is_surgical(spark, tmp_path):
+    """Part-aligned layout: one damaged file costs only its own parts —
+    the cascade stops, most files survive, and the healed table is
+    row-exact against the original input."""
+    from eel_sdk_spark.checkpoint import repair_table
+
+    df = webtext_df(spark, 4000, parts=8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "heal")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1",
+                           shuffle=True)
+    n_files = len(tbl.current().files)
+    victim = _first_nonempty(tbl.current().files)
+    _tamper_payload(victim)
+
+    plan = repair_table(spark, tbl, df, dry_run=True)
+    assert not plan["full_rebuild"]
+    assert os.path.basename(victim) in plan["dropped_files"]
+    assert len(plan["dropped_files"]) < n_files
+    # dry run committed nothing
+    assert os.path.basename(victim) in map(os.path.basename,
+                                           tbl.current().files)
+
+    out = repair_table(spark, tbl, df)
+    assert not out["full_rebuild"]
+    assert out["surviving_files"] > 0
+    assert fsck_summary(fsck(spark, tbl))["healthy"]
+    decoded = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert _rows_equal(decoded, df)
+    df.unpersist()
+
+
+def test_repair_banded_layout_full_rebuild(spark, tmp_path):
+    """Banded 'local' layout: every file spans the part range, so any
+    damage honestly cascades to a full re-encode — and the result is
+    still row-exact."""
+    from eel_sdk_spark.checkpoint import repair_table
+
+    df = webtext_df(spark, 3000, parts=8).cache()
+    df.count()
+    tbl = _encoded_table(spark, tmp_path, "healband", n=3000, parts=8)
+    _tamper_payload(sorted(tbl.current().files)[0])
+    out = repair_table(spark, tbl, df)
+    assert out["full_rebuild"]
+    assert fsck_summary(fsck(spark, tbl))["healthy"]
+    assert _rows_equal(tbl.read_decoded(spark, SCHEMA_DDL), df)
+    df.unpersist()
+
+
+def test_repair_missing_file(spark, tmp_path):
+    """A deleted data file (manifest/storage drift) heals from lineage:
+    its parts are re-encoded from input, rows come back exact."""
+    from eel_sdk_spark.checkpoint import repair_table
+
+    df = webtext_df(spark, 4000, parts=8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "gone")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1",
+                           shuffle=True)
+    victim = _first_nonempty(tbl.current().files)
+    os.remove(victim)
+    _drop_hadoop_crc_sidecar(victim)
+    out = repair_table(spark, tbl, df)
+    assert not out["full_rebuild"]
+    assert fsck_summary(fsck(spark, tbl))["healthy"]
+    assert _rows_equal(tbl.read_decoded(spark, SCHEMA_DDL), df)
+    df.unpersist()
+
+
+def test_repair_refuses_drifted_input(spark, tmp_path):
+    """Repairing from input whose content differs from what the damaged
+    run encoded would silently replace data — fingerprint guard."""
+    from eel_sdk_spark.checkpoint import repair_table
+
+    df = webtext_df(spark, 2000, parts=4)
+    tbl = ManifestTable(str(tmp_path), "drifted")
+    encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="r1",
+                           shuffle=True)
+    _tamper_payload(_first_nonempty(tbl.current().files))
+    drifted = df.withColumn("url", F.concat(F.col("url"), F.lit("?x")))
+    with pytest.raises(ValueError, match="fingerprint"):
+        repair_table(spark, tbl, drifted)
+
+
+def test_repair_healthy_table_is_noop(spark, tmp_path):
+    from eel_sdk_spark.checkpoint import repair_table
+
+    df = webtext_df(spark, 1000, parts=2)
+    tbl = ManifestTable(str(tmp_path), "fine")
+    encode_with_checkpoint(spark, df, tbl, n_parts=2, run_id="r1")
+    snap_before = tbl.current().snapshot_id
+    out = repair_table(spark, tbl, df)
+    assert out["healthy"] and out["dropped_files"] == []
+    assert tbl.current().snapshot_id == snap_before

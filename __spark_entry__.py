@@ -962,21 +962,66 @@ def q_session_stats(spark, sf):
         "n_events", "sv")
 
 
-def q_roundtrip_verify(spark, sf):  # rows-only: block codecs aren't SQL
-    from eel_sdk_spark.encode import decode_blocks_df, encode_df
+def q_roundtrip_verify(spark, sf):
+    """Codec roundtrip + (r7) the integrity tier as tagged literal legs:
+    a freshly committed table must fsck healthy, and a single flipped
+    payload byte must be caught by the per-block payload_crc (the
+    oracle states the expected verdicts — same purity-property pattern
+    as media_features)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from eel_sdk_spark.checkpoint import fsck, fsck_summary
+    from eel_sdk_spark.encode import (BLOCK_SCHEMA_DDL, decode_blocks_df,
+                                      encode_df)
+    from eel_sdk_spark.table import ManifestTable
 
     d = _t(spark, sf, "documents")
     blocks = encode_df(d, key="doc_id", n_parts=8)
     decoded = decode_blocks_df(
         blocks, "doc_id bigint, text string, lang string, source string, "
                 "n_chars bigint")
+
+    tmp = tempfile.mkdtemp(prefix="eel_gate_crc_")
+    try:
+        tbl = ManifestTable(tmp, "rt")
+        job_dir = tbl.new_data_path()
+        encode_df(d, key="doc_id", n_parts=4) \
+            .write.mode("overwrite").parquet(job_dir)
+        tbl.commit(ManifestTable.list_written_files(job_dir),
+                   BLOCK_SCHEMA_DDL)
+        fsck_healthy = fsck_summary(fsck(spark, tbl))["healthy"]
+        victim = next(f for f in sorted(tbl.current().files)
+                      if _pq.ParquetFile(f).metadata.num_rows > 0)
+        t = _pq.read_table(victim)
+        pl = t.column("payload").to_pylist()
+        # some blocks carry header-only payloads (e.g. all-null) — flip
+        # a byte in the first payload that has one
+        vi = next(i for i, p in enumerate(pl) if p)
+        flipped = bytearray(pl[vi])
+        flipped[len(flipped) // 2] ^= 0xFF
+        pl[vi] = bytes(flipped)
+        _pq.write_table(t.set_column(
+            t.schema.get_field_index("payload"), "payload",
+            _pa.array(pl, type=_pa.binary())), victim)
+        s2 = fsck_summary(fsck(spark, tbl))
+        tamper_detected = (not s2["healthy"]
+                           and s2["blocks_bad_crc"] >= 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     j = decoded.alias("d").join(d.alias("o"), "doc_id")
-    return j.agg(
+    return (j.agg(
         F.count("*").alias("rows"),
         F.sum(F.when(F.col("d.text").eqNullSafe(F.col("o.text")), 1)
               .otherwise(0)).alias("text_ok"),
         F.sum(F.when(F.col("d.lang").eqNullSafe(F.col("o.lang")), 1)
               .otherwise(0)).alias("lang_ok"))
+        .withColumn("fsck_healthy", F.lit(int(fsck_healthy)))
+        .withColumn("tamper_detected", F.lit(int(tamper_detected))))
 
 
 def q_roundtrip_tables(spark, sf):
@@ -2283,7 +2328,9 @@ def oracle_sql() -> dict[str, str]:
         # the Spark side breaks the hash compare
         "roundtrip_verify": """
             SELECT count(*) AS rows, count(*) AS text_ok,
-                   count(*) AS lang_ok FROM documents""",
+                   count(*) AS lang_ok,
+                   1 AS fsck_healthy, 1 AS tamper_detected
+            FROM documents""",
         "roundtrip_tables": """
             SELECT (SELECT count(*) FROM lineitem) AS decoded_rows,
                    (SELECT count(*) FROM lineitem) AS orig_rows,

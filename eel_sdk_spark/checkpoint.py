@@ -624,8 +624,11 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     # finer skip min/max can't provide on scattered layouts)
     if "key_bloom" in blocks.columns:
         blocks = prune_block_groups_bloom(blocks, key, key_value)
-    return decode_blocks_df(blocks, schema_ddl).filter(
+    out = decode_blocks_df(blocks, schema_ddl).filter(
         F.col(key) == key_value)
+    from .deletes import apply_deletes  # tombstoned keys stay suppressed
+
+    return apply_deletes(spark, out, snap)
 
 
 def range_lookup(spark: SparkSession, tbl: ManifestTable,
@@ -666,8 +669,11 @@ def range_lookup(spark: SparkSession, tbl: ManifestTable,
                                     upper_s=upper)
     else:
         blocks = prune_block_groups(blocks, key, lower=lower, upper=upper)
-    return decode_blocks_df(blocks, schema_ddl).filter(
+    out = decode_blocks_df(blocks, schema_ddl).filter(
         (F.col(key) >= lower) & (F.col(key) <= upper))
+    from .deletes import apply_deletes  # tombstoned keys stay suppressed
+
+    return apply_deletes(spark, out, snap)
 
 
 def compact_coverage(parts: list[int]) -> "list[int] | dict":

@@ -1,0 +1,237 @@
+"""Row-level deletes for encoded tables: tombstones + bloom-pruned purge.
+
+A 100 TB webtext table is immutable block files — but takedowns, GDPR
+erasure, and opt-outs demand row deletes without rewriting petabytes.
+The split here is Iceberg v2's equality-delete idea expressed
+Spark-first:
+
+- ``delete_rows`` is METADATA-ONLY: the keys go to a small parquet
+  tombstone sidecar and a properties-only snapshot commit. Reads
+  (``read_decoded``, ``point_lookup``, ``range_lookup``) anti-join the
+  tombstoned keys out. O(delete size), never O(table).
+- ``purge_deletes`` MATERIALIZES them: only the files that may contain
+  a tombstoned key (manifest key-range tier + ONE batched per-block
+  bloom scan — the same tiers point lookups use, turned to the write
+  side) are decoded, filtered, and re-encoded; every other file
+  survives untouched.
+
+Suppression is GLOBAL-until-purged, by design: a tombstoned key stays
+suppressed even in rows that arrive in later appends or compaction
+rewrites (a takedown must not resurface because a later crawl re-fetched
+the page). Re-admitting a key = purge first, then append. Two honest
+caveats, documented because they are inherent to the snapshot model:
+time travel to a snapshot OLDER than the delete commit bypasses
+suppression (compliance workflows should follow a purge with
+``expire_snapshots``), and ``repair_table`` re-encodes from the
+ORIGINAL input, so purged rows reappear unless the input was cleaned
+too (delete at the source as well as the table).
+
+The reference has no delete story at all (eel tables are write-once,
+eel-hive/src/main/scala/io/eels/component/hive/HiveSink.scala); this is
+engine-native because training-data pipelines legally require it.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .table import ManifestTable
+
+# one OR-chained bloom probe expression covers up to this many keys in a
+# single narrow scan; larger delete sets skip the bloom tier (the
+# manifest range tier still applies, and correctness never depends on
+# pruning)
+PURGE_BLOOM_MAX_KEYS = 256
+# anti-join side gets a broadcast hint while the tombstone set is
+# comfortably executor-memory sized; beyond that it becomes a plain
+# (shuffled) anti-join
+BROADCAST_MAX_KEYS = 1_000_000
+
+
+def _tombstone_entries(snap) -> list[dict]:
+    return list((snap.properties or {}).get("tombstones", []))
+
+
+def delete_rows(spark: SparkSession, tbl: ManifestTable, keys,
+                key: str = "url") -> dict:
+    """Suppress all rows whose ``key`` column matches ``keys`` (a Python
+    list or a one-column DataFrame). Metadata-only: writes the keys to a
+    tombstone parquet sidecar and publishes a properties-only snapshot —
+    no data file is touched, so the operation is O(|keys|) regardless of
+    table size."""
+    snap = tbl.current()
+    if snap is None:
+        raise FileNotFoundError(f"delete: table {tbl.dir} has no snapshot")
+    if isinstance(keys, DataFrame):
+        if len(keys.columns) != 1:
+            raise ValueError("delete: keys DataFrame must have exactly "
+                             "one column (the key values)")
+        kdf = keys.toDF(key).distinct()
+    else:
+        keys = list(keys)
+        if not keys:
+            return {"deleted_keys": 0, "snapshot_id": snap.snapshot_id}
+        kdf = spark.createDataFrame([(k,) for k in keys], [key]).distinct()
+    out_dir = os.path.join(tbl.dir, "tombstones", uuid.uuid4().hex)
+    kdf.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    files = ManifestTable.list_written_files(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    entry = {"key": key, "files": files, "n": n,
+             "as_of_snapshot": snap.snapshot_id}
+    props = {"tombstones": _tombstone_entries(snap) + [entry]}
+    healed = tbl.commit([], "", props, mode="append")
+    return {"deleted_keys": n, "snapshot_id": healed.snapshot_id,
+            "tombstone_commits": len(props["tombstones"])}
+
+
+def tombstone_keys(spark: SparkSession, snap) -> dict[str, DataFrame]:
+    """Live tombstones of a snapshot, one distinct-values DataFrame per
+    key column (deletes may target different columns across commits)."""
+    by_key: dict[str, list[str]] = {}
+    for e in _tombstone_entries(snap):
+        by_key.setdefault(e["key"], []).extend(e["files"])
+    return {k: spark.read.parquet(*files).toDF(k).distinct()
+            for k, files in by_key.items()}
+
+
+def apply_deletes(spark: SparkSession, df: DataFrame, snap) -> DataFrame:
+    """Anti-join a decoded DataFrame against the snapshot's live
+    tombstones. Key columns absent from ``df`` are skipped (a projection
+    that dropped the key can't be filtered — callers that need deletes
+    applied must keep the key column in the read)."""
+    entries = _tombstone_entries(snap)
+    if not entries:
+        return df
+    total = sum(e["n"] for e in entries)
+    for k, kdf in tombstone_keys(spark, snap).items():
+        if k not in df.columns:
+            continue
+        right = F.broadcast(kdf) if total <= BROADCAST_MAX_KEYS else kdf
+        df = df.join(right, on=k, how="left_anti")
+    return df
+
+
+def _purge_candidates(spark: SparkSession, snap, key: str,
+                      values: list) -> list[str]:
+    """Files that MAY hold any of ``values``, via the read-side pruning
+    tiers turned to the write side: manifest per-file key ranges
+    (driver-side, zero I/O), then ONE batched bloom scan with all probes
+    OR-chained (instead of a job per key like a point lookup). Falls
+    back to 'all files' whenever a tier can't answer — pruning here is
+    an efficiency tier, never a correctness dependency."""
+    from .encode import bloom_may_contain
+
+    files = list(snap.files)
+    # tier 1: manifest key ranges — keep a file if ANY value is inside
+    key_ranges: dict[str, dict] = {}
+    for r in snap.properties.get("runs", []):
+        if r.get("key", key) == key:
+            key_ranges.update(r.get("file_key_ranges", {}))
+    kr_extra = snap.properties.get("file_key_ranges_extra", {})
+    if kr_extra.get("key") == key:
+        key_ranges.update(kr_extra.get("files", {}))
+    fam = "s" if isinstance(values[0], str) else "i"
+    kept = []
+    for f in files:
+        rng = key_ranges.get(os.path.basename(f), {}).get(fam)
+        if rng is None or any(rng[0] <= v <= rng[1] for v in values):
+            kept.append(f)
+    # unlike a lookup's "empty parquet read" guard, an empty answer here
+    # is meaningful: no file can hold any value -> nothing to rewrite
+    files = kept
+    if not files or len(values) > PURGE_BLOOM_MAX_KEYS or len(files) <= 2:
+        return files
+    # tier 2: ONE narrow columnar scan, all probes OR-chained; per-file
+    # verdict = max over its bloomed key blocks. Files with no bloomed
+    # key blocks at all never appear in the aggregate and are kept
+    # conservatively.
+    nar = spark.read.option("mergeSchema", "true").parquet(*files)
+    if "key_bloom" not in nar.columns:
+        return files
+    probe = reduce(or_, [bloom_may_contain(v) for v in values])
+    verdicts = (nar.filter((F.col("col") == key)
+                           & F.col("key_bloom").isNotNull())
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.max(F.when(probe, 1).otherwise(0)).alias("may"))
+                .collect())
+    may = {os.path.basename(r["f"]) for r in verdicts if r["may"] == 1}
+    has_bloom = {os.path.basename(r["f"]) for r in verdicts}
+    return [f for f in files
+            if os.path.basename(f) in may
+            or os.path.basename(f) not in has_bloom]
+
+
+def purge_deletes(spark: SparkSession, tbl: ManifestTable,
+                  schema_ddl: str) -> dict:
+    """Materialize every live tombstone: rewrite ONLY the files that may
+    contain a tombstoned key (decode -> anti-join -> re-encode under the
+    committed run's partitioning params), keep every other file
+    untouched, clear the tombstone list, and commit atomically. After
+    this the rows are physically gone from the current snapshot; run
+    ``expire_snapshots`` to also age out the historical copies."""
+    from .checkpoint import _run_record
+    from .encode import encode_df
+
+    snap = tbl.current()
+    if snap is None:
+        raise FileNotFoundError(f"purge: table {tbl.dir} has no snapshot")
+    entries = _tombstone_entries(snap)
+    if not entries:
+        return {"purged_keys": 0, "rewritten_files": 0}
+    runs = snap.properties.get("runs", [])
+    if not runs:
+        raise ValueError("purge: table has no encode run lineage")
+    run = runs[-1]
+
+    candidates: set[str] = set()
+    keys_by_col = tombstone_keys(spark, snap)
+    for col, kdf in keys_by_col.items():
+        values = [r[col] for r in kdf.limit(PURGE_BLOOM_MAX_KEYS + 1)
+                  .collect()]
+        if len(values) > PURGE_BLOOM_MAX_KEYS:
+            candidates.update(snap.files)
+            break
+        candidates.update(_purge_candidates(spark, snap, col, values))
+    candidates &= set(snap.files)
+    survivors = [f for f in snap.files if f not in candidates]
+
+    new_files: list[str] = []
+    rec = None
+    n_kept = 0
+    if candidates:
+        from .encode import decode_files_df
+
+        decoded = decode_files_df(spark, sorted(candidates), schema_ddl)
+        kept = apply_deletes(spark, decoded, snap)
+        n_kept = kept.count()
+        if n_kept:
+            blocks = encode_df(kept, key=run.get("key", "url"),
+                               n_parts=run["n_parts"],
+                               salt=run.get("salt", 1),
+                               salt_by=run.get("salt_by"))
+            job_dir = tbl.new_data_path()
+            blocks.write.mode("overwrite").parquet(job_dir)
+            new_files = ManifestTable.list_written_files(job_dir)
+            rec = _run_record(spark, job_dir, new_files,
+                              run_id=f"purge-{snap.snapshot_id}",
+                              fingerprint=None,
+                              n_parts=run["n_parts"],
+                              salt=run.get("salt", 1),
+                              salt_by=run.get("salt_by"),
+                              key=run.get("key", "url"))
+    props = dict(snap.properties)
+    props["tombstones"] = []
+    props["runs"] = runs + ([rec] if rec else [])
+    healed = tbl.commit(survivors + new_files,
+                        snap.schema_ddl or "", props, mode="overwrite")
+    return {"purged_keys": sum(e["n"] for e in entries),
+            "rewritten_files": len(candidates),
+            "surviving_files": len(survivors),
+            "new_files": len(new_files),
+            "rows_kept_in_rewrite": n_kept,
+            "snapshot_id": healed.snapshot_id}

@@ -182,7 +182,8 @@ class ManifestTable:
                      columns: list[str] | None = None,
                      constraints: list | None = None,
                      snapshot_id: int | None = None,
-                     verify: bool = True):
+                     verify: bool = True,
+                     with_deletes: bool = True):
         """Decode an encoded-blocks table straight from its snapshot file
         list with ZERO shuffle: whole files per task (encode.py's
         decode_files_df — block groups are file-adjacent by construction).
@@ -201,6 +202,14 @@ class ManifestTable:
                      if all(c.eval(pv) for c in constraints)]
         df = decode_files_df(spark, files, schema_ddl, columns=columns,
                              verify=verify)
+        if with_deletes:
+            # suppress tombstoned keys (deletes.delete_rows); a key
+            # column pruned out by `columns` can't be filtered — the
+            # anti-join silently skips it, so takedown-sensitive reads
+            # must keep the key column
+            from .deletes import apply_deletes
+
+            df = apply_deletes(spark, df, snap)
         return df
 
     def partition_values(self, keys: list[str] | None = None,
@@ -443,8 +452,31 @@ class ManifestTable:
                             deleted_idx += 1
                     if not os.listdir(dirpath):
                         os.rmdir(dirpath)
+            # tombstone sidecars (deletes.delete_rows): a purge clears
+            # the tombstones property, but older snapshots keep
+            # referencing the key files (time-travel reads still apply
+            # them) — deletable only once those snapshots expire, same
+            # liveness rule as the bloom index
+            deleted_tomb = 0
+            tomb_root = os.path.join(self.dir, "tombstones")
+            if delete_files and os.path.isdir(tomb_root):
+                live_tomb: set[str] = set()
+                for sid in keep_ids:
+                    for e in (self.snapshot(sid).properties
+                              .get("tombstones") or []):
+                        live_tomb.update(map(os.path.abspath,
+                                             e.get("files", [])))
+                for dirpath, _, names in os.walk(tomb_root, topdown=False):
+                    for n in names:
+                        path = os.path.abspath(os.path.join(dirpath, n))
+                        if path not in live_tomb:
+                            os.unlink(path)
+                            deleted_tomb += 1
+                    if not os.listdir(dirpath):
+                        os.rmdir(dirpath)
         return {"expired_snapshots": expired, "deleted_files": deleted,
-                "deleted_index_files": deleted_idx}
+                "deleted_index_files": deleted_idx,
+                "deleted_tombstone_files": deleted_tomb}
 
     def remove_orphan_files(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO snapshot (crashed writes:

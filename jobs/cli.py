@@ -379,6 +379,47 @@ def cmd_repair(args) -> None:
         spark.stop()
 
 
+def cmd_delete(args) -> None:
+    """Metadata-only row deletes (deletes.delete_rows): suppress keys via
+    a tombstone sidecar + properties-only commit. O(|keys|), never
+    O(table); reads anti-join the suppressed keys out until `purge`
+    physically rewrites the (bloom-pruned) affected files."""
+    from eel_sdk_spark.deletes import delete_rows
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="delete")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        if args.keys_file:
+            keys = spark.read.parquet(args.keys_file)
+            if args.key_col:
+                keys = keys.select(args.key_col)
+        else:
+            keys = [k for k in args.keys.split(",") if k]
+        out = delete_rows(spark, tbl, keys, key=args.key)
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
+def cmd_purge(args) -> None:
+    """Materialize tombstones (deletes.purge_deletes): decode, filter,
+    and re-encode ONLY the files that may contain a deleted key (manifest
+    key ranges + one batched bloom scan); clear the tombstone list."""
+    from eel_sdk_spark.deletes import purge_deletes
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="purge")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        out = purge_deletes(spark, tbl, args.schema)
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -486,6 +527,28 @@ def main(argv=None) -> None:
                     help="skip the input-content fingerprint guard "
                          "(repairing from drifted input replaces data)")
 
+    dl = sub.add_parser("delete",
+                        help="suppress rows by key (tombstone sidecar + "
+                             "metadata-only commit)")
+    dl.add_argument("--warehouse", required=True)
+    dl.add_argument("--table", default="blocks")
+    dl.add_argument("--key", default="url",
+                    help="column the key values match against")
+    dl.add_argument("--keys", default="",
+                    help="comma-separated key values")
+    dl.add_argument("--keys-file", default=None,
+                    help="parquet of key values (large delete sets)")
+    dl.add_argument("--key-col", default=None,
+                    help="column to take from --keys-file")
+
+    pg = sub.add_parser("purge",
+                        help="physically rewrite the files containing "
+                             "tombstoned keys and clear the tombstones")
+    pg.add_argument("--warehouse", required=True)
+    pg.add_argument("--table", default="blocks")
+    pg.add_argument("--schema", required=True,
+                    help="decode DDL of the table rows")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
@@ -493,7 +556,8 @@ def main(argv=None) -> None:
      "history": cmd_history, "realign": cmd_realign,
      "compact-store": cmd_compact_store, "bpe": cmd_bpe,
      "bloom-index": cmd_bloom_index, "fsck": cmd_fsck,
-     "repair": cmd_repair}[args.cmd](args)
+     "repair": cmd_repair, "delete": cmd_delete,
+     "purge": cmd_purge}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,167 @@
+"""Row-level deletes: tombstone suppression + bloom-pruned purge.
+
+Takedown/GDPR semantics on immutable encoded tables (deletes.py):
+delete_rows is metadata-only (O(|keys|)); every read path anti-joins
+the suppressed keys; purge_deletes physically rewrites ONLY the files
+that may contain a deleted key. Suppression is global-until-purged so
+a taken-down key can't resurface from later appends or compaction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.checkpoint import (encode_with_checkpoint, fsck,
+                                      fsck_summary, point_lookup,
+                                      range_lookup)
+from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+from eel_sdk_spark.deletes import delete_rows, purge_deletes
+from eel_sdk_spark.encode import BLOCK_SCHEMA_DDL, encode_df
+from eel_sdk_spark.table import ManifestTable
+
+
+def _mk(spark, tmp_path, name, n=4000, parts=8, shuffle="auto"):
+    df = webtext_df(spark, n, parts=parts).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), name)
+    encode_with_checkpoint(spark, df, tbl, n_parts=parts, run_id="r1",
+                           shuffle=shuffle)
+    return df, tbl
+
+
+def _some_urls(df, k=3):
+    return [r["url"] for r in df.select("url").limit(k).collect()]
+
+
+def test_delete_suppresses_reads_and_time_travel(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path, "del")
+    pre_snap = tbl.current().snapshot_id
+    victims = _some_urls(df, 3)
+    out = delete_rows(spark, tbl, victims)
+    assert out["deleted_keys"] == 3
+
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.count() == 4000 - 3
+    assert read.filter(F.col("url").isin(victims)).count() == 0
+    # raw read keeps them (physical rows untouched)
+    raw = tbl.read_decoded(spark, SCHEMA_DDL, with_deletes=False)
+    assert raw.count() == 4000
+    # time travel to the pre-delete snapshot bypasses suppression
+    # (documented: compliance pairs purge with expire_snapshots)
+    old = tbl.read_decoded(spark, SCHEMA_DDL, snapshot_id=pre_snap)
+    assert old.count() == 4000
+    df.unpersist()
+
+
+def test_lookups_respect_deletes(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path, "dellkp")
+    victims = _some_urls(df, 2)
+    keep_url = [u for u in _some_urls(df, 5) if u not in victims][0]
+    delete_rows(spark, tbl, victims)
+
+    assert point_lookup(spark, tbl, victims[0], SCHEMA_DDL).first() is None
+    row = point_lookup(spark, tbl, keep_url, SCHEMA_DDL).first()
+    assert row is not None and row["url"] == keep_url
+
+    lo, hi = min(victims), max(victims)
+    rng = range_lookup(spark, tbl, lo, hi, SCHEMA_DDL)
+    assert rng.filter(F.col("url").isin(victims)).count() == 0
+    df.unpersist()
+
+
+def test_deletes_accumulate_and_accept_dataframe_keys(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path, "delacc", n=2000, parts=4)
+    urls = _some_urls(df, 4)
+    delete_rows(spark, tbl, urls[:2])
+    kdf = spark.createDataFrame([(u,) for u in urls[2:]], ["u"])
+    out = delete_rows(spark, tbl, kdf)
+    assert out["tombstone_commits"] == 2
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.count() == 2000 - 4
+    assert read.filter(F.col("url").isin(urls)).count() == 0
+    df.unpersist()
+
+
+def test_deletes_survive_append_and_compact(spark, tmp_path):
+    """Global-until-purged: a suppressed key stays suppressed even when
+    a LATER append re-introduces it (a re-crawl of a taken-down page),
+    and compaction rewrites don't resurrect it either."""
+    df, tbl = _mk(spark, tmp_path, "delglob", n=2000, parts=4)
+    victim = _some_urls(df, 1)[0]
+    delete_rows(spark, tbl, [victim])
+
+    recrawl = df.filter(F.col("url") == victim) \
+        .withColumn("text", F.lit("re-crawled content"))
+    blocks = encode_df(recrawl, key="url", n_parts=4)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    tbl.commit(ManifestTable.list_written_files(job_dir), BLOCK_SCHEMA_DDL)
+
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.filter(F.col("url") == victim).count() == 0
+    assert read.count() == 2000 - 1
+
+    tbl.compact(spark, n_files=2)
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.filter(F.col("url") == victim).count() == 0
+    assert read.count() == 2000 - 1
+    df.unpersist()
+
+
+def test_purge_materializes_with_file_pruning(spark, tmp_path):
+    """Purge rewrites only the (bloom-identified) files that may hold a
+    deleted key: survivors keep their exact basenames, the rewrite drops
+    the rows physically, tombstones clear, and the table fscks healthy."""
+    df, tbl = _mk(spark, tmp_path, "purge", shuffle=True)  # part-aligned
+    n_files_before = len(tbl.current().files)
+    victims = _some_urls(df, 2)
+    delete_rows(spark, tbl, victims)
+
+    out = purge_deletes(spark, tbl, SCHEMA_DDL)
+    assert out["purged_keys"] == 2
+    # bloom + part-aligned layout: only a couple of files rewritten
+    assert 0 < out["rewritten_files"] < n_files_before
+    survivors_before = set(map(os.path.basename, tbl.snapshot(
+        out["snapshot_id"] - 1).files))
+    survivors_after = set(map(os.path.basename, tbl.current().files))
+    assert len(survivors_before & survivors_after) == out["surviving_files"]
+
+    assert tbl.current().properties.get("tombstones") == []
+    raw = tbl.read_decoded(spark, SCHEMA_DDL, with_deletes=False)
+    assert raw.count() == 4000 - 2  # physically gone, no anti-join needed
+    assert raw.filter(F.col("url").isin(victims)).count() == 0
+    assert fsck_summary(fsck(spark, tbl))["healthy"]
+    df.unpersist()
+
+
+def test_purge_of_absent_key_rewrites_nothing(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path, "purgemiss", n=2000, parts=4,
+                  shuffle=True)
+    delete_rows(spark, tbl, ["https://no.such/url"])
+    out = purge_deletes(spark, tbl, SCHEMA_DDL)
+    # blooms reject the absent key everywhere -> zero rewrites (a stray
+    # false positive could rewrite one file; rows never change)
+    assert out["rewritten_files"] <= 1
+    assert out["rows_kept_in_rewrite"] in (0, out["rows_kept_in_rewrite"])
+    assert tbl.current().properties.get("tombstones") == []
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 2000
+    df.unpersist()
+
+
+def test_expire_snapshots_gcs_purged_tombstones(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path, "delgc", n=1000, parts=2)
+    victim = _some_urls(df, 1)[0]
+    delete_rows(spark, tbl, [victim])
+    tomb_files = [f for e in tbl.current().properties["tombstones"]
+                  for f in e["files"]]
+    assert all(os.path.exists(f) for f in tomb_files)
+    purge_deletes(spark, tbl, SCHEMA_DDL)
+    # pre-purge snapshots still reference the sidecar: survives a
+    # keep-everything expiry, goes away once they expire
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["deleted_tombstone_files"] >= 1
+    assert not any(os.path.exists(f) for f in tomb_files)
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1000 - 1
+    df.unpersist()

@@ -1129,10 +1129,15 @@ def q_range_lookup(spark, sf):
     residual filter). The oracle is a plain BETWEEN on the source table
     — the gate hash-compares the DECODED bytes that came back through
     the manifest + codec path against the raw parquet truth. File
-    pruning itself is plan-asserted in tests/test_checkpoint.py."""
+    pruning itself is plan-asserted in tests/test_checkpoint.py.
+    r7 delete leg: three doc_ids inside the range are tombstoned
+    (deletes.delete_rows — metadata-only suppression) before the scan,
+    so the oracle's NOT IN replays the anti-join value-exact through
+    the same decoded-bytes hash compare."""
     import tempfile
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint, range_lookup
+    from eel_sdk_spark.deletes import delete_rows
     from eel_sdk_spark.table import ManifestTable
 
     d = _t(spark, sf, "documents")
@@ -1141,6 +1146,7 @@ def q_range_lookup(spark, sf):
     tbl = ManifestTable(tempfile.mkdtemp(prefix="eel_gate_rl_"), "docs")
     encode_with_checkpoint(spark, d, tbl, key="doc_id", n_parts=8,
                            run_id="gate", sort_by=["doc_id"])
+    delete_rows(spark, tbl, [120, 200, 205], key="doc_id")
     return range_lookup(spark, tbl, 100, 260, ddl, key="doc_id")
 
 
@@ -2228,7 +2234,8 @@ def oracle_sql() -> dict[str, str]:
         # prune -> block skip -> decode) breaks the hash compare
         "range_lookup": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
-            WHERE doc_id BETWEEN 100 AND 260""",
+            WHERE doc_id BETWEEN 100 AND 260
+              AND doc_id NOT IN (120, 200, 205)""",
         # sequential next-fit replay: one recursive-CTE step per doc in
         # doc_id order carries (open pack seq, open pack tokens) exactly
         # like the numpy kernel (close-on-overflow, oversized-alone,

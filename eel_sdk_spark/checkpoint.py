@@ -927,6 +927,7 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
     col_bytes: dict[str, list[int]] = {}
     fp_sets: dict[str, set[int]] = {}
     key_acc: dict[str, dict] = {}
+    file_stats: dict[str, list[int]] = {}
     for r in stats:
         k = f"{r['col']}:{r['codec']}"
         codec_mix[k] = codec_mix.get(k, 0) + int(r["cnt"])
@@ -934,6 +935,11 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         cb[0] += int(r["raw"])
         cb[1] += int(r["enc"])
         base = os.path.basename(r["file"])
+        fs = file_stats.setdefault(base, [0, 0, 0])
+        if r["col"] == first_col:
+            fs[0] += int(r["nv"])
+        fs[1] += int(r["raw"])
+        fs[2] += int(r["enc"])
         fp_sets.setdefault(base, set()).update(int(p) for p in r["parts"])
         if r["col"] == key:
             a = key_acc.setdefault(base, {"cnt": 0, "cns": 0, "cni": 0,
@@ -998,6 +1004,11 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         # basename -> {"s"|"i": [lo, hi]} key range: manifest-side lookup
         # pruning for banded tables (absent entries = keep)
         "file_key_ranges": file_key_ranges,
+        # basename -> [n_rows, raw_bytes, enc_bytes]: lets table stats be
+        # summed over the LIVE file set after rewrites (purge/compact)
+        # instead of over lineage totals that still count replaced files
+        "file_stats": {os.path.basename(f): file_stats.get(
+            os.path.basename(f), [0, 0, 0]) for f in files},
         "fingerprint": fingerprint,
         "n_parts": n_parts,
         "salt": salt,

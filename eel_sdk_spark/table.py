@@ -333,6 +333,29 @@ class ManifestTable:
             props["file_parts_extra"] = {
                 _os.path.basename(f): compact_coverage(sorted(cov.get(
                     _os.path.basename(f), []))) for f in files}
+            # re-record per-file row/byte stats for the rewritten files
+            # (same contract as the run records' file_stats) so
+            # analyze-table keeps summing the LIVE file set after the
+            # old basenames stop matching
+            fs_rows = (rewritten
+                       .groupBy(F.input_file_name().alias("f"), "col")
+                       .agg(F.sum("n_values").alias("nv"),
+                            F.sum("raw_bytes").alias("raw"),
+                            F.sum("enc_bytes").alias("enc"))
+                       .collect())
+            fstats: dict[str, list[int]] = {}
+            fs_first = min((r["col"] for r in fs_rows), default=None)
+            for r in fs_rows:
+                fs = fstats.setdefault(_os.path.basename(r["f"]),
+                                       [0, 0, 0])
+                if r["col"] == fs_first:
+                    fs[0] += int(r["nv"])
+                fs[1] += int(r["raw"])
+                fs[2] += int(r["enc"])
+            props["file_stats_extra"] = {
+                _os.path.basename(f): fstats.get(_os.path.basename(f),
+                                                 [0, 0, 0])
+                for f in files}
             # re-record per-file KEY ranges too (same contract as the
             # encode-time file_key_ranges). Ranges stay CORRECT after a
             # rewrite by construction; their pruning POWER depends on

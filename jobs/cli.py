@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -80,11 +81,35 @@ def cmd_analyze_table(args) -> None:
             cb = cols.setdefault(c, [0, 0])
             cb[0] += craw
             cb[1] += cenc
+    # rows/raw/enc over the LIVE file set when every current file has
+    # recorded per-file stats (run records' file_stats + compact's
+    # file_stats_extra). Lineage totals keep counting files a purge or
+    # compact replaced — summing live files is what the snapshot holds.
+    # Tables written before file_stats fall back to lineage totals
+    # (scope says which). codec_mix/col_ratio stay lineage-level
+    # diagnostics either way.
+    fstats: dict[str, list] = {}
+    for r in runs:
+        fstats.update(r.get("file_stats", {}))
+    fstats.update(snap.properties.get("file_stats_extra", {}))
+    live = {os.path.basename(f) for f in snap.files}
+    scope = "lineage"
+    if live and live <= set(fstats):
+        rows = sum(fstats[b][0] for b in live)
+        raw = sum(fstats[b][1] for b in live)
+        enc = sum(fstats[b][2] for b in live)
+        scope = "live"
+    tomb = sum(e.get("n", 0)
+               for e in snap.properties.get("tombstones", []))
     sys.stdout.write(json.dumps({
         "snapshot_id": snap.snapshot_id,
         "files": len(snap.files),
         "runs": len(runs),
         "rows": rows,
+        # unpurged tombstoned keys: reads suppress them, but the rows
+        # above still physically exist until `eel purge`
+        "tombstoned_keys": tomb,
+        "stats_scope": scope,
         "raw_bytes": raw,
         "enc_bytes": enc,
         "ratio": round(raw / enc, 3) if enc else None,

@@ -165,3 +165,66 @@ def test_expire_snapshots_gcs_purged_tombstones(spark, tmp_path):
     assert not any(os.path.exists(f) for f in tomb_files)
     assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1000 - 1
     df.unpersist()
+
+
+def test_analyze_table_stats_stay_live_through_purge_and_compact(
+        spark, tmp_path, capsys):
+    """analyze-table must describe the CURRENT snapshot: lineage run
+    totals keep counting rows in files a purge replaced (and would
+    double-count the rewrite's survivors). With per-file stats in the
+    run records it sums the live file set instead."""
+    import json
+
+    from jobs.cli import main as cli_main
+
+    def stats():
+        cli_main(["analyze-table", "--warehouse", str(tmp_path),
+                  "--table", "delstats"])
+        return json.loads(capsys.readouterr().out.strip())
+
+    df, tbl = _mk(spark, tmp_path, "delstats", n=3000, parts=6)
+    victims = _some_urls(df, 3)
+    delete_rows(spark, tbl, victims)
+    pre = stats()
+    # metadata-only delete: rows still physically present, flagged
+    assert pre["rows"] == 3000
+    assert pre["tombstoned_keys"] == 3
+    assert pre["stats_scope"] == "live"
+
+    purge_deletes(spark, tbl, SCHEMA_DDL)
+    post = stats()
+    assert post["rows"] == 3000 - 3          # lineage sum would say more
+    assert post["tombstoned_keys"] == 0
+    assert post["stats_scope"] == "live"
+    assert post["enc_bytes"] > 0
+    assert post["ratio"] > 1
+
+    # compaction rewrites every file; file_stats_extra keeps scope live
+    tbl.compact(spark, 3)
+    comp = stats()
+    assert comp["rows"] == 3000 - 3
+    assert comp["stats_scope"] == "live"
+    df.unpersist()
+
+
+def test_analyze_table_falls_back_to_lineage_without_file_stats(
+        spark, tmp_path, capsys):
+    """Tables written before file_stats existed keep the old totals."""
+    import json
+
+    from jobs.cli import main as cli_main
+
+    df, tbl = _mk(spark, tmp_path, "delold", n=500, parts=2)
+    snap = tbl.current()
+    runs = [dict(r) for r in snap.properties["runs"]]
+    for r in runs:
+        r.pop("file_stats", None)
+    props = dict(snap.properties)
+    props["runs"] = runs
+    tbl.commit(list(snap.files), snap.schema_ddl, props, mode="overwrite")
+    cli_main(["analyze-table", "--warehouse", str(tmp_path),
+              "--table", "delold"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stats_scope"] == "lineage"
+    assert out["rows"] == 500
+    df.unpersist()

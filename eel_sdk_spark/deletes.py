@@ -235,3 +235,195 @@ def purge_deletes(spark: SparkSession, tbl: ManifestTable,
             "new_files": len(new_files),
             "rows_kept_in_rewrite": n_kept,
             "snapshot_id": healed.snapshot_id}
+
+
+# sorted incoming keys collected driver-side for the upsert range tier;
+# beyond this the pruner honestly degrades to "rewrite every file whose
+# range tier can't exclude it" = all files (correctness never depends
+# on pruning, and an upsert touching >100k distinct keys is a bulk
+# reload, not a point merge)
+UPSERT_RANGE_MAX_KEYS = 100_000
+
+
+def _range_candidates(snap, key: str, sorted_vals: list) -> list[str]:
+    """Manifest key-range tier for LARGE probe sets: bisect each file's
+    [lo, hi] into the sorted incoming keys — O(files x log K) driver-side,
+    zero I/O. Files without a recorded range are kept (over-approximation
+    safe, same contract as the lookup tiers)."""
+    from bisect import bisect_left
+
+    key_ranges: dict[str, dict] = {}
+    for r in snap.properties.get("runs", []):
+        if r.get("key", key) == key:
+            key_ranges.update(r.get("file_key_ranges", {}))
+    kr_extra = snap.properties.get("file_key_ranges_extra", {})
+    if kr_extra.get("key") == key:
+        key_ranges.update(kr_extra.get("files", {}))
+    fam = "s" if isinstance(sorted_vals[0], str) else "i"
+    kept = []
+    for f in snap.files:
+        rng = key_ranges.get(os.path.basename(f), {}).get(fam)
+        if rng is None:
+            kept.append(f)
+            continue
+        i = bisect_left(sorted_vals, rng[0])
+        if i < len(sorted_vals) and sorted_vals[i] <= rng[1]:
+            kept.append(f)
+    return kept
+
+
+def _rewrite_tombstones(spark: SparkSession, tbl: ManifestTable,
+                        entries: list[dict], key: str,
+                        minus: DataFrame) -> list[dict]:
+    """Re-admission support: rewrite this key column's tombstone sidecars
+    without the keys in ``minus``; entries for other key columns pass
+    through untouched. Old sidecar files stay on disk for time travel
+    (expire_snapshots GCs them with their snapshots)."""
+    ours = [e for e in entries if e["key"] == key]
+    others = [e for e in entries if e["key"] != key]
+    if not ours:
+        return entries
+    remaining = (spark.read.parquet(*[f for e in ours for f in e["files"]])
+                 .toDF(key).distinct().join(minus, on=key, how="left_anti"))
+    n = remaining.count()
+    if n == 0:
+        return others
+    out_dir = os.path.join(tbl.dir, "tombstones", uuid.uuid4().hex)
+    remaining.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    return others + [{"key": key,
+                      "files": ManifestTable.list_written_files(out_dir),
+                      "n": n,
+                      "as_of_snapshot": max(e["as_of_snapshot"]
+                                            for e in ours)}]
+
+
+def upsert_rows(spark: SparkSession, tbl: ManifestTable,
+                incoming: DataFrame, schema_ddl: str,
+                readmit: bool = False) -> dict:
+    """Copy-on-write MERGE on the lineage key: replace every existing row
+    whose key appears in ``incoming`` with the incoming rows, atomically
+    — the re-crawl case (a page re-fetched with fresh content must
+    supersede its old row, not coexist with it).
+
+    Spark-first split: only the files that MAY hold an incoming key are
+    rewritten — pruned by the same manifest-range + bloom tiers point
+    lookups use (<=PURGE_BLOOM_MAX_KEYS keys), by a bisect range tier at
+    <=UPSERT_RANGE_MAX_KEYS, and honestly unpruned beyond that. The
+    rewrite (decode -> anti-join -> re-encode) and the incoming encode
+    land in ONE overwrite commit: readers never see the table without
+    either the old or the new rows. This is Iceberg v2's copy-on-write
+    MERGE INTO shape (the tombstone path in ``delete_rows`` is the
+    merge-on-read half); the reference has no update story at all
+    (write-once HiveSink, eel-hive/.../HiveSink.scala).
+
+    A tombstoned incoming key would be silently suppressed on read
+    (suppression is global-until-purged) — that's almost never what an
+    upsert means, so it raises unless ``readmit=True``, which rewrites
+    the tombstone sidecars without those keys (an explicit re-admission;
+    keep takedown keys out of upsert feeds).
+
+    A registered bloom index is NOT refreshed here (rewritten + new
+    files fall back to the per-file bloom scan — append-safe); refresh
+    with ``build_bloom_index`` or the next ``compact()``."""
+    from .checkpoint import _run_record
+    from .encode import decode_files_df, encode_df
+
+    snap = tbl.current()
+    if snap is None:
+        raise FileNotFoundError(f"upsert: table {tbl.dir} has no snapshot")
+    runs = snap.properties.get("runs", [])
+    if not runs:
+        raise ValueError("upsert: table has no encode run lineage")
+    run = runs[-1]
+    key = run.get("key", "url")
+    if key not in incoming.columns:
+        raise ValueError(f"upsert: incoming frame lacks the lineage key "
+                         f"column {key!r}")
+    ikeys = incoming.select(key).distinct().cache()
+    n_keys = ikeys.count()
+    if n_keys == 0:
+        return {"upserted_rows": 0, "replaced_rows": 0,
+                "snapshot_id": snap.snapshot_id}
+
+    entries = _tombstone_entries(snap)
+    tombstoned = [e for e in entries if e["key"] == key]
+    if tombstoned:
+        hit = (spark.read.parquet(*[f for e in tombstoned
+                                    for f in e["files"]])
+               .toDF(key).distinct().join(ikeys, on=key, how="inner")
+               .count())
+        if hit and not readmit:
+            raise ValueError(
+                f"upsert: {hit} incoming key(s) are tombstoned — their "
+                f"new rows would be suppressed on read. Pass "
+                f"readmit=True to explicitly re-admit them (takedown "
+                f"keys should be removed from the upsert feed instead)")
+        if hit:
+            entries = _rewrite_tombstones(spark, tbl, entries, key, ikeys)
+
+    # prune the rewrite set with the lookup tiers turned to the write side
+    vals = [r[key] for r in ikeys.limit(PURGE_BLOOM_MAX_KEYS + 1)
+            .collect()]
+    if len(vals) <= PURGE_BLOOM_MAX_KEYS:
+        candidates = set(_purge_candidates(spark, snap, key, vals))
+    elif n_keys <= UPSERT_RANGE_MAX_KEYS:
+        candidates = set(_range_candidates(
+            snap, key, sorted(r[key] for r in ikeys.collect())))
+    else:
+        candidates = set(snap.files)
+    candidates &= set(snap.files)
+    survivors = [f for f in snap.files if f not in candidates]
+
+    new_files: list[str] = []
+    recs: list[dict] = []
+    n_replaced = 0
+    if candidates:
+        decoded = decode_files_df(spark, sorted(candidates), schema_ddl)
+        right = F.broadcast(ikeys) if n_keys <= BROADCAST_MAX_KEYS else ikeys
+        kept = decoded.join(right, on=key, how="left_anti")
+        n_before = decoded.count()
+        n_kept = kept.count()
+        n_replaced = n_before - n_kept
+        if n_kept:
+            blocks = encode_df(kept, key=key, n_parts=run["n_parts"],
+                               salt=run.get("salt", 1),
+                               salt_by=run.get("salt_by"))
+            job_dir = tbl.new_data_path()
+            blocks.write.mode("overwrite").parquet(job_dir)
+            files_a = ManifestTable.list_written_files(job_dir)
+            rec = _run_record(spark, job_dir, files_a,
+                              run_id=f"upsert-rewrite-{snap.snapshot_id}",
+                              fingerprint=None, n_parts=run["n_parts"],
+                              salt=run.get("salt", 1),
+                              salt_by=run.get("salt_by"), key=key)
+            new_files += files_a
+            recs.append(rec)
+
+    n_in = incoming.count()
+    blocks = encode_df(incoming, key=key, n_parts=run["n_parts"],
+                       salt=run.get("salt", 1), salt_by=run.get("salt_by"))
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    files_b = ManifestTable.list_written_files(job_dir)
+    rec = _run_record(spark, job_dir, files_b,
+                      run_id=f"upsert-{snap.snapshot_id}",
+                      fingerprint=None, n_parts=run["n_parts"],
+                      salt=run.get("salt", 1), salt_by=run.get("salt_by"),
+                      key=key)
+    new_files += files_b
+    if rec:
+        recs.append(rec)
+
+    props = dict(snap.properties)
+    props["tombstones"] = entries
+    props["runs"] = runs + recs
+    healed = tbl.commit(survivors + new_files, snap.schema_ddl or "",
+                        props, mode="overwrite")
+    ikeys.unpersist()
+    return {"upserted_rows": n_in,
+            "upserted_keys": n_keys,
+            "replaced_rows": n_replaced,
+            "rewritten_files": len(candidates),
+            "surviving_files": len(survivors),
+            "new_files": len(new_files),
+            "snapshot_id": healed.snapshot_id}

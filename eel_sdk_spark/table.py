@@ -212,6 +212,132 @@ class ManifestTable:
             df = apply_deletes(spark, df, snap)
         return df
 
+    def changes_between(self, from_snapshot_id: int,
+                        to_snapshot_id: int | None = None) -> dict:
+        """Manifest-only snapshot diff — the CDC surface. Appended files
+        are classified by run lineage into NEW-DATA files (rows that did
+        not exist at ``from``: fresh encode runs, upsert incoming) vs
+        REWRITE files (old rows in new clothes: purge/upsert rewrites,
+        compaction output — the latter has no run record at all), so an
+        incremental consumer can process exactly the rows added since its
+        last run without re-emitting rows a maintenance pass merely
+        moved. Tombstone entries added in the window surface the deletes.
+        Zero data reads."""
+        try:
+            frm = self.snapshot(from_snapshot_id)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"changes_between: cursor snapshot {from_snapshot_id} "
+                f"expired (expire_snapshots ran past it) — re-bootstrap "
+                f"the consumer from a full read, or keep more history"
+            ) from None
+        to = (self.snapshot(to_snapshot_id) if to_snapshot_id is not None
+              else self.current())
+        if to is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshot")
+        new_data: list[str] = []
+        rewrites: list[str] = []
+        unclassified: list[str] = []
+        tomb_added: list[dict] = []
+        purged = False
+        prev = frm
+        for sid in range(frm.snapshot_id + 1, to.snapshot_id + 1):
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"changes_between: snapshot {sid} expired — the "
+                    f"window [{frm.snapshot_id}, {to.snapshot_id}] "
+                    f"crosses expire_snapshots; poll with smaller "
+                    f"windows or keep more history") from None
+            prev_files = set(prev.files)
+            added = [f for f in s.files if f not in prev_files]
+            run_of: dict[str, str] = {}
+            for r in s.properties.get("runs", []):
+                for b in (r.get("file_stats") or r.get("file_parts")
+                          or {}):
+                    run_of[b] = r.get("run_id", "")
+            compacted = (set(s.properties.get("file_stats_extra", {}))
+                         | set(s.properties.get("file_parts_extra", {})))
+            for f in added:
+                base = os.path.basename(f)
+                rid = run_of.get(base)
+                if rid is not None:
+                    if rid.startswith("purge-"):
+                        purged = True
+                    (rewrites if rid.startswith(("upsert-rewrite-",
+                                                 "purge-"))
+                     else new_data).append(f)
+                elif base in compacted:
+                    rewrites.append(f)
+                else:
+                    # off-lineage append (bare commit, no run record):
+                    # reported separately; consumers treat it as new
+                    # data — re-emitting a row is recoverable
+                    # downstream, silently dropping one is not
+                    unclassified.append(f)
+            prev_sidecars = {f for e in (prev.properties or {}).get(
+                "tombstones", []) for f in e["files"]}
+            prev_entries = (prev.properties or {}).get("tombstones", [])
+            entries = (s.properties or {}).get("tombstones", [])
+            tomb_added += [e for e in entries
+                           if any(f not in prev_sidecars
+                                  for f in e["files"])]
+            if prev_entries and not entries and set(s.files) != prev_files:
+                purged = True
+            prev = s
+        return {"from_snapshot": frm.snapshot_id,
+                "to_snapshot": to.snapshot_id,
+                "new_data_files": new_data,
+                "rewritten_files": rewrites,
+                "unclassified_files": unclassified,
+                "removed_files": sorted(set(frm.files) - set(to.files)),
+                "tombstones_added": tomb_added,
+                # a purge inside the window physically dropped rows the
+                # chain may still attribute as added — see read_appended
+                "purged_in_window": purged}
+
+    def read_appended(self, spark, schema_ddl: str, since_snapshot_id: int,
+                      columns: list[str] | None = None,
+                      verify: bool = True, with_deletes: bool = True,
+                      include_rewrites: bool = False):
+        """Incremental decode: only the rows ADDED after
+        ``since_snapshot_id`` — what a downstream incremental pipeline
+        (e.g. dedup.incremental_dup_ids against a signature store)
+        consumes per run. Rewrite files (purge/upsert/compact output,
+        which hold pre-existing rows) are excluded by default so
+        maintenance between reads never re-emits old rows — stronger
+        than Iceberg's incremental append scan, which refuses the window
+        outright on a replace. Adds are attributed at the snapshot where
+        they landed, so even files a LATER in-window compaction absorbed
+        are read from their original (time-travel-retained) location.
+        Current tombstones still apply, so a row appended then deleted
+        inside the window is not emitted — EXCEPT when the delete was
+        also purged in-window (the keys left with the tombstones;
+        ``purged_in_window`` flags it — snapshot the cursor before
+        maintenance runs, as with Iceberg)."""
+        from .encode import decode_files_df
+
+        ch = self.changes_between(since_snapshot_id)
+        files = ch["new_data_files"] + ch["unclassified_files"] \
+            + (ch["rewritten_files"] if include_rewrites else [])
+        gone = [f for f in files if not os.path.exists(f)]
+        if gone:
+            raise FileNotFoundError(
+                f"read_appended: {len(gone)} in-window data file(s) were "
+                f"expired (expire_snapshots ran past the cursor) — e.g. "
+                f"{gone[0]}; advance the cursor or keep more history")
+        if not files:
+            df = spark.createDataFrame([], schema_ddl)
+            return df.select(*columns) if columns else df
+        df = decode_files_df(spark, files, schema_ddl, columns=columns,
+                             verify=verify)
+        if with_deletes:
+            from .deletes import apply_deletes
+
+            df = apply_deletes(spark, df, self.current())
+        return df
+
     def partition_values(self, keys: list[str] | None = None,
                          constraints: list | None = None) -> list[dict]:
         """Partition-only query answered purely from the manifest — zero

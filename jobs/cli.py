@@ -445,6 +445,43 @@ def cmd_purge(args) -> None:
         spark.stop()
 
 
+def cmd_upsert(args) -> None:
+    """Copy-on-write merge (deletes.upsert_rows): incoming rows replace
+    same-key rows atomically; only files that may hold an incoming key
+    are rewritten (manifest-range + bloom pruned)."""
+    from eel_sdk_spark.deletes import upsert_rows
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="upsert")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        incoming = spark.read.parquet(args.input)
+        out = upsert_rows(spark, tbl, incoming, args.schema,
+                          readmit=args.readmit)
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
+def cmd_changes(args) -> None:
+    """Manifest-only snapshot diff (ManifestTable.changes_between) — the
+    CDC surface an incremental consumer polls. No Spark session."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    ch = tbl.changes_between(args.since, args.to)
+    out = {**ch,
+           "new_data_files": len(ch["new_data_files"]),
+           "rewritten_files": len(ch["rewritten_files"]),
+           "unclassified_files": len(ch["unclassified_files"]),
+           "removed_files": len(ch["removed_files"]),
+           "tombstone_keys_added": sum(e.get("n", 0)
+                                       for e in ch["tombstones_added"])}
+    out.pop("tombstones_added")
+    sys.stdout.write(json.dumps(out) + "\n")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="eel")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -574,6 +611,31 @@ def main(argv=None) -> None:
     pg.add_argument("--schema", required=True,
                     help="decode DDL of the table rows")
 
+    up = sub.add_parser("upsert",
+                        help="copy-on-write merge on the lineage key: "
+                             "incoming rows replace same-key rows in one "
+                             "atomic commit (bloom/range-pruned rewrite)")
+    up.add_argument("--warehouse", required=True)
+    up.add_argument("--table", default="blocks")
+    up.add_argument("--input", required=True,
+                    help="parquet of incoming rows (full row schema)")
+    up.add_argument("--schema", required=True,
+                    help="decode DDL of the table rows")
+    up.add_argument("--readmit", action="store_true",
+                    help="re-admit tombstoned incoming keys instead of "
+                         "failing (rewrites the tombstone sidecars)")
+
+    ch = sub.add_parser("changes",
+                        help="manifest-only snapshot diff since a "
+                             "snapshot id: new-data vs rewrite files, "
+                             "removed files, tombstones added")
+    ch.add_argument("--warehouse", required=True)
+    ch.add_argument("--table", default="blocks")
+    ch.add_argument("--since", required=True, type=int,
+                    help="from-snapshot id (exclusive)")
+    ch.add_argument("--to", default=None, type=int,
+                    help="to-snapshot id (default: current)")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
@@ -582,7 +644,8 @@ def main(argv=None) -> None:
      "compact-store": cmd_compact_store, "bpe": cmd_bpe,
      "bloom-index": cmd_bloom_index, "fsck": cmd_fsck,
      "repair": cmd_repair, "delete": cmd_delete,
-     "purge": cmd_purge}[args.cmd](args)
+     "purge": cmd_purge, "upsert": cmd_upsert,
+     "changes": cmd_changes}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1133,11 +1133,20 @@ def q_range_lookup(spark, sf):
     r7 delete leg: three doc_ids inside the range are tombstoned
     (deletes.delete_rows — metadata-only suppression) before the scan,
     so the oracle's NOT IN replays the anti-join value-exact through
-    the same decoded-bytes hash compare."""
+    the same decoded-bytes hash compare.
+    r7 upsert + cdc legs (deletes.upsert_rows / table.read_appended):
+    doc_ids 120/150/151 are re-crawled with 'UPD:'-prefixed text —
+    120 is one of the tombstoned keys, so readmit=True exercises the
+    tombstone-sidecar rewrite; the copy-on-write merge must land the
+    fresh rows AND drop the stale ones atomically for the 'range' leg
+    to hash. The 'cdc' leg reads rows APPENDED after the pre-upsert
+    cursor: its oracle is EXACTLY the three incoming rows, so if
+    read_appended ever leaked a rewrite file (pre-existing rows in new
+    clothes) or missed the incoming run, the hash breaks."""
     import tempfile
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint, range_lookup
-    from eel_sdk_spark.deletes import delete_rows
+    from eel_sdk_spark.deletes import delete_rows, upsert_rows
     from eel_sdk_spark.table import ManifestTable
 
     d = _t(spark, sf, "documents")
@@ -1147,7 +1156,15 @@ def q_range_lookup(spark, sf):
     encode_with_checkpoint(spark, d, tbl, key="doc_id", n_parts=8,
                            run_id="gate", sort_by=["doc_id"])
     delete_rows(spark, tbl, [120, 200, 205], key="doc_id")
-    return range_lookup(spark, tbl, 100, 260, ddl, key="doc_id")
+    cursor = tbl.current().snapshot_id
+    incoming = (d.filter(F.col("doc_id").isin(120, 150, 151))
+                .withColumn("text", F.concat(F.lit("UPD:"), F.col("text"))))
+    upsert_rows(spark, tbl, incoming, ddl, readmit=True)
+    rng = range_lookup(spark, tbl, 100, 260, ddl, key="doc_id")
+    cdc = tbl.read_appended(spark, ddl, cursor)
+    return (rng.withColumn("leg", F.lit("range"))
+            .unionByName(cdc.withColumn("leg", F.lit("cdc")))
+            .select("leg", "doc_id", "text", "lang", "source", "n_chars"))
 
 
 def q_pack_sequences(spark, sf):
@@ -2231,11 +2248,23 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql,
         # the oracle is the RAW table: a codec/manifest/prune bug on the
         # Spark side (which answers through encode -> manifest key-range
-        # prune -> block skip -> decode) breaks the hash compare
+        # prune -> block skip -> decode) breaks the hash compare. The
+        # 'range' leg replays delete(120,200,205) then upsert(120
+        # readmitted,150,151 with UPD: text); the 'cdc' leg replays
+        # read_appended since the pre-upsert cursor = the incoming rows
+        # ONLY (a leaked rewrite file would re-emit pre-existing rows
+        # and break the hash)
         "range_lookup": """
-            SELECT doc_id, text, lang, source, n_chars FROM documents
+            SELECT 'range' AS leg, doc_id,
+                   CASE WHEN doc_id IN (120, 150, 151)
+                        THEN 'UPD:' || text ELSE text END AS text,
+                   lang, source, n_chars
+            FROM documents
             WHERE doc_id BETWEEN 100 AND 260
-              AND doc_id NOT IN (120, 200, 205)""",
+              AND doc_id NOT IN (200, 205)
+            UNION ALL
+            SELECT 'cdc', doc_id, 'UPD:' || text, lang, source, n_chars
+            FROM documents WHERE doc_id IN (120, 150, 151)""",
         # sequential next-fit replay: one recursive-CTE step per doc in
         # doc_id order carries (open pack seq, open pack tokens) exactly
         # like the numpy kernel (close-on-overflow, oversized-alone,

@@ -1,0 +1,104 @@
+"""Exactly-once incremental follower over encoded ManifestTables.
+
+``follow_once`` turns the CDC surface (``ManifestTable.changes_between``
+/ ``read_appended``) into a resumable materialized pipeline: each call
+decodes ONLY the rows appended to the source since the consumer's
+cursor, applies an optional transform, encodes the result into the sink
+table, and advances the cursor — all in ONE atomic sink commit. The
+cursor lives IN the sink's snapshot properties (``cdc.<consumer_id>``),
+Kafka-Connect's offsets-in-destination pattern: output rows and the
+offset that produced them commit together, so a crash at ANY point
+either replays a window that never landed (no rows lost) or no-ops on a
+window that did (no rows duplicated). The reference's streaming story
+stops at at-least-once file watching (eel-core/.../HdfsWatcher.scala);
+this is the idempotent incremental consumer a 10^12-doc crawl pipeline
+actually schedules.
+
+Scale notes: the per-poll work is bounded by the INCREMENT, never the
+table — ``read_appended`` decodes only in-window files, and maintenance
+(purge/upsert/compact) between polls re-emits nothing because rewrite
+files are excluded by lineage classification, not by re-reading data.
+A rival follower sharing the consumer id is detected by the commit-time
+``expect_properties`` CAS (the loser raises :class:`CommitConflict`
+and publishes nothing; its staged files are orphans for gc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..table import ManifestTable
+
+__all__ = ["follow_once"]
+
+
+def follow_once(spark, src: ManifestTable, sink: ManifestTable,
+                schema_ddl: str, consumer_id: str = "follow",
+                transform=None, key: str | None = None,
+                n_parts: int | None = None, profile: str = "speed",
+                include_rewrites: bool = False) -> dict:
+    """One poll of the follower: process rows appended to ``src`` since
+    this consumer's cursor into ``sink``, exactly once.
+
+    First call (no ``cdc.<consumer_id>`` property on the sink)
+    bootstraps from the FULL current source table. Subsequent calls use
+    ``src.read_appended`` from the stored cursor. An increment that
+    transforms to zero rows still advances the cursor with a
+    properties-only commit (so a filter-everything window is not
+    re-decoded forever). ``key``/``n_parts`` default to the source's
+    encode lineage, like ``deletes.upsert_rows``.
+    """
+    from ..encode import BLOCK_SCHEMA_DDL, encode_df
+
+    cur_src = src.current()
+    if cur_src is None:
+        return {"rows": 0, "cursor_from": None, "cursor_to": None,
+                "bootstrap": False}
+    target = cur_src.snapshot_id
+
+    sink_snap = sink.current()
+    sink_props = sink_snap.properties if sink_snap else {}
+    prop = f"cdc.{consumer_id}"
+    cursor = sink_props.get(prop)
+    cursor = int(cursor) if cursor is not None else None
+    if cursor is not None and target <= cursor:
+        return {"rows": 0, "cursor_from": cursor, "cursor_to": cursor,
+                "bootstrap": False}
+
+    if key is None or n_parts is None:
+        runs = cur_src.properties.get("runs", [])
+        last_run = runs[-1] if runs else {}
+        key = key or last_run.get("key", "url")
+        n_parts = n_parts or int(last_run.get("n_parts", 8))
+
+    bootstrap = cursor is None
+    if bootstrap:
+        df = src.read_decoded(spark, schema_ddl, snapshot_id=target)
+    else:
+        df = src.read_appended(spark, schema_ddl, cursor,
+                               include_rewrites=include_rewrites)
+    if transform is not None:
+        df = transform(df)
+        if not isinstance(df, DataFrame):
+            raise TypeError("follow_once: transform must return a "
+                            "DataFrame")
+
+    guard = {prop: sink_props.get(prop)}  # None == "must still be absent"
+    df = df.cache()
+    try:
+        n_rows = df.count()
+        if n_rows == 0:
+            sink.commit([], "", {prop: target}, mode="append",
+                        expect_properties=guard)
+            return {"rows": 0, "cursor_from": cursor, "cursor_to": target,
+                    "bootstrap": bootstrap}
+        blocks = encode_df(df, key=key, n_parts=n_parts, profile=profile)
+        job_dir = sink.new_data_path()
+        blocks.write.mode("overwrite").parquet(job_dir)
+        sink.commit(ManifestTable.list_written_files(job_dir),
+                    BLOCK_SCHEMA_DDL, {prop: target}, mode="append",
+                    expect_properties=guard)
+    finally:
+        df.unpersist()
+    return {"rows": n_rows, "cursor_from": cursor, "cursor_to": target,
+            "bootstrap": bootstrap}

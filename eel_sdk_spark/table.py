@@ -39,6 +39,12 @@ class Snapshot:
     partitions: list[dict] = field(default_factory=list)
 
 
+class CommitConflict(Exception):
+    """An ``expect_properties`` commit guard failed: another committer
+    changed the guarded property between this committer's read and its
+    commit. Nothing was published; re-read and retry (or stand down)."""
+
+
 _PART_SEG = re.compile(r"^([^=/]+)=([^/]*)$")
 
 
@@ -67,8 +73,18 @@ class ManifestTable:
         return os.path.join(self.data_dir, uuid.uuid4().hex)
 
     def commit(self, new_files: list[str], schema_ddl: str,
-               properties: dict | None = None, mode: str = "append") -> Snapshot:
+               properties: dict | None = None, mode: str = "append",
+               expect_properties: dict | None = None) -> Snapshot:
         """Publish ``new_files`` atomically. mode: append | overwrite.
+
+        ``expect_properties`` is an optional compare-and-swap guard:
+        each (key, value) must match the CURRENT snapshot's property —
+        re-read inside the commit lock — or the commit raises
+        :class:`CommitConflict` and publishes nothing. ``None`` means
+        "key must be absent". This is how optimistic committers (e.g.
+        two incremental followers sharing a consumer id) detect that a
+        rival advanced the cursor first, exactly like Iceberg's
+        requirement-based commit validation.
 
         Commits are SERIALIZED under an advisory file lock (the
         single-host stand-in for a real catalog's compare-and-swap —
@@ -86,6 +102,15 @@ class ManifestTable:
         with open(os.path.join(self.dir, ".commit_lock"), "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             cur = self.current()
+            if expect_properties:
+                have = cur.properties if cur else {}
+                for k, want in expect_properties.items():
+                    got = have.get(k)
+                    if got != want:
+                        raise CommitConflict(
+                            f"commit to {self.dir}: expected property "
+                            f"{k!r} == {want!r} but current snapshot has "
+                            f"{got!r} — a rival committer advanced it")
             parent = cur.snapshot_id if cur else None
             base_files = cur.files if (cur and mode == "append") else []
             base_parts = (cur.partitions if (cur and mode == "append"

@@ -1,0 +1,158 @@
+"""Exactly-once incremental follower (streaming/follow.py).
+
+follow_once materializes source appends into a sink table with the
+cursor stored IN the sink commit (offsets-in-destination): crash before
+commit replays a window that never landed; replay after commit no-ops;
+a rival follower loses the expect_properties CAS. The reference's
+HdfsWatcher (eel-core/.../HdfsWatcher.scala) is at-most-once file
+watching with no offset story — this is the schedulable consumer loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.checkpoint import encode_with_checkpoint
+from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+from eel_sdk_spark.encode import BLOCK_SCHEMA_DDL, encode_df
+from eel_sdk_spark.streaming.follow import follow_once
+from eel_sdk_spark.table import CommitConflict, ManifestTable
+
+
+def _mk_src(spark, tmp_path, n=2000, parts=4):
+    df = webtext_df(spark, n, parts=parts).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "src")
+    encode_with_checkpoint(spark, df, tbl, n_parts=parts, run_id="r1")
+    return df, tbl
+
+
+def _append(spark, tbl, df, parts=4):
+    blocks = encode_df(df, key="url", n_parts=parts)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    tbl.commit(ManifestTable.list_written_files(job_dir), BLOCK_SCHEMA_DDL)
+
+
+def _fresh(spark, n, tag):
+    return (webtext_df(spark, n, parts=1)
+            .withColumn("url", F.concat(F.lit(f"https://{tag}.example/"),
+                                        F.col("url"))))
+
+
+def test_bootstrap_then_increment_then_noop(spark, tmp_path):
+    df, src = _mk_src(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+
+    out = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert out["bootstrap"] and out["rows"] == 2000
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 2000
+
+    inc = _fresh(spark, 37, "inc")
+    _append(spark, src, inc)
+    out2 = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert not out2["bootstrap"] and out2["rows"] == 37
+    assert out2["cursor_from"] == out["cursor_to"]
+    read = sink.read_decoded(spark, SCHEMA_DDL).cache()
+    assert read.count() == 2037
+    assert read.groupBy("url").count().filter("count > 1").count() == 0
+
+    # nothing new -> no-op, no commit
+    sid = sink.current().snapshot_id
+    out3 = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert out3["rows"] == 0 and sink.current().snapshot_id == sid
+    read.unpersist()
+    df.unpersist()
+
+
+def test_crash_before_commit_replays_without_duplicates(spark, tmp_path,
+                                                        monkeypatch):
+    df, src = _mk_src(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    _append(spark, src, _fresh(spark, 11, "inc"))
+
+    real = ManifestTable.commit
+    calls = {"n": 0}
+
+    def dying(self, *a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ManifestTable, "commit", dying)
+    with pytest.raises(RuntimeError):
+        follow_once(spark, src, sink, SCHEMA_DDL)
+    monkeypatch.setattr(ManifestTable, "commit", real)
+    assert calls["n"] == 1
+
+    out = follow_once(spark, src, sink, SCHEMA_DDL)  # replay same window
+    assert out["rows"] == 11
+    read = sink.read_decoded(spark, SCHEMA_DDL)
+    assert read.count() == 2011
+    assert read.groupBy("url").count().filter("count > 1").count() == 0
+    df.unpersist()
+
+
+def test_transform_and_empty_window_advances_cursor(spark, tmp_path):
+    df, src = _mk_src(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+    keep_en = lambda d: d.filter(F.col("lang") == "en")  # noqa: E731
+    follow_once(spark, src, sink, SCHEMA_DDL, transform=keep_en)
+    n_en = df.filter(F.col("lang") == "en").count()
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == n_en
+
+    # an increment the transform filters to nothing still advances the
+    # cursor (properties-only commit) so it is never re-decoded
+    _append(spark, src, _fresh(spark, 9, "inc").withColumn(
+        "lang", F.lit("zz")))
+    out = follow_once(spark, src, sink, SCHEMA_DDL, transform=keep_en)
+    assert out["rows"] == 0
+    assert out["cursor_to"] == src.current().snapshot_id
+    assert int(sink.current().properties["cdc.follow"]) \
+        == src.current().snapshot_id
+    out2 = follow_once(spark, src, sink, SCHEMA_DDL, transform=keep_en)
+    assert out2["rows"] == 0 and out2["cursor_from"] == out2["cursor_to"]
+    df.unpersist()
+
+
+def test_rival_follower_loses_cas(spark, tmp_path):
+    df, src = _mk_src(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    _append(spark, src, _fresh(spark, 5, "inc"))
+
+    # rival advanced the cursor between our read and our commit:
+    # simulate by advancing it mid-flight via the transform hook
+    def racing(d):
+        sink.commit([], "", {"cdc.follow": src.current().snapshot_id})
+        return d
+
+    with pytest.raises(CommitConflict):
+        follow_once(spark, src, sink, SCHEMA_DDL, transform=racing)
+    # the rival's advance stands; our rows never landed
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 2000
+    df.unpersist()
+
+
+def test_maintenance_between_polls_reemits_nothing(spark, tmp_path):
+    from eel_sdk_spark.deletes import upsert_rows
+
+    df, src = _mk_src(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+
+    # an upsert rewrites files AND adds 3 incoming rows; only the
+    # incoming rows may flow (2 updates of existing keys + 1 insert)
+    victims = [r["url"] for r in df.select("url").limit(2).collect()]
+    incoming = (df.filter(F.col("url").isin(victims))
+                .withColumn("text", F.lit("recrawl"))
+                .unionByName(_fresh(spark, 1, "new")))
+    upsert_rows(spark, src, incoming, SCHEMA_DDL)
+    out = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert out["rows"] == 3
+    read = sink.read_decoded(spark, SCHEMA_DDL).cache()
+    assert read.count() == 2003  # sink is append-only: old + new versions
+    assert read.filter(F.col("text") == "recrawl").count() == 2
+    read.unpersist()
+    df.unpersist()

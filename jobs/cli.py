@@ -464,6 +464,29 @@ def cmd_upsert(args) -> None:
         spark.stop()
 
 
+def cmd_follow(args) -> None:
+    """One exactly-once follower poll (streaming/follow.py): decode the
+    rows appended to --src-table since this consumer's cursor, optionally
+    filter, encode into --sink-table, cursor advanced in the SAME commit.
+    Schedule under cron/Airflow; replays after a crash cannot duplicate."""
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.streaming.follow import follow_once
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="follow")
+    try:
+        src = ManifestTable(args.warehouse, args.src_table)
+        sink = ManifestTable(args.warehouse, args.sink_table)
+        transform = ((lambda d: d.filter(args.filter))
+                     if args.filter else None)
+        out = follow_once(spark, src, sink, args.schema,
+                          consumer_id=args.consumer_id,
+                          transform=transform, profile=args.profile)
+        sys.stdout.write(json.dumps(out) + "\n")
+    finally:
+        spark.stop()
+
+
 def cmd_changes(args) -> None:
     """Manifest-only snapshot diff (ManifestTable.changes_between) — the
     CDC surface an incremental consumer polls. No Spark session."""
@@ -636,6 +659,20 @@ def main(argv=None) -> None:
     ch.add_argument("--to", default=None, type=int,
                     help="to-snapshot id (default: current)")
 
+    fo = sub.add_parser("follow",
+                        help="one exactly-once incremental-consumer "
+                             "poll: src appends -> optional filter -> "
+                             "sink encode, cursor in the sink commit")
+    fo.add_argument("--warehouse", required=True)
+    fo.add_argument("--src-table", default="blocks")
+    fo.add_argument("--sink-table", required=True)
+    fo.add_argument("--schema", required=True,
+                    help="decode DDL of the source rows")
+    fo.add_argument("--consumer-id", default="follow")
+    fo.add_argument("--filter", default=None,
+                    help="SQL boolean expression applied to the window")
+    fo.add_argument("--profile", default="speed")
+
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
@@ -645,7 +682,7 @@ def main(argv=None) -> None:
      "bloom-index": cmd_bloom_index, "fsck": cmd_fsck,
      "repair": cmd_repair, "delete": cmd_delete,
      "purge": cmd_purge, "upsert": cmd_upsert,
-     "changes": cmd_changes}[args.cmd](args)
+     "changes": cmd_changes, "follow": cmd_follow}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -778,8 +778,11 @@ def input_fingerprint(df: DataFrame, key: str) -> str:
     return f"{row['n']}:{row['s']}"
 
 
-def committed_part_ids(tbl: ManifestTable) -> set[int]:
-    snap = tbl.current()
+def committed_part_ids(tbl: ManifestTable,
+                       stage: str | None = None) -> set[int]:
+    # resume reads the line it writes: a killed STAGED encode must skip
+    # the parts already committed on its ref, not on main
+    snap = tbl.head(stage)
     if snap is None:
         return set()
     done: set[int] = set()
@@ -806,8 +809,14 @@ def encode_with_checkpoint(
     key_bloom: bool = True,
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
+    stage: str | None = None,
 ) -> dict:
     """Encode ``df`` into ``tbl``, skipping parts already committed.
+
+    ``stage`` commits onto a named ref instead of main (write half of
+    write-audit-publish: audit with fsck, then ``tbl.publish(stage)``).
+    Resume and run lineage then read from the ref's head, so a killed
+    staged encode resumes on its own line without touching main.
 
     Resume safety: committed part_ids are only meaningful under the
     partitioning params (n_parts/salt/salt_by/key) of the run that wrote
@@ -823,7 +832,7 @@ def encode_with_checkpoint(
     Returns run metrics (also persisted in the manifest).
     """
     cur_fp = None  # computed at most ONCE (it is a full key-column scan)
-    snap0 = tbl.current()
+    snap0 = tbl.head(stage)
     prior_runs = snap0.properties.get("runs", []) if snap0 else []
     if prior_runs:
         last = prior_runs[-1]
@@ -849,7 +858,7 @@ def encode_with_checkpoint(
                     f"committed {prior_fp}; skipping committed parts over "
                     f"different input would lose rows")
     n_parts = n_parts or spark.sparkContext.defaultParallelism * 2
-    done = committed_part_ids(tbl)
+    done = committed_part_ids(tbl, stage)
 
     from .encode import PART_COL, with_part_id
     tagged = with_part_id(df, key, n_parts, salt, salt_by)
@@ -886,9 +895,69 @@ def encode_with_checkpoint(
     if run is None:
         return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
                 "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
-    snap = tbl.current()
+    snap = tbl.head(stage)
     runs = (snap.properties.get("runs", []) if snap else []) + [run]
-    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": runs}, mode="append")
+    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": runs}, mode="append",
+               stage=stage)
+    return run
+
+
+def append_encode(spark: SparkSession, df: DataFrame, tbl: ManifestTable,
+                  run_id: str = "append", key: str | None = None,
+                  n_parts: int | None = None, profile: str = "speed",
+                  shuffle: bool | str = "auto",
+                  sort_by: list[str] | None = None,
+                  stage: str | None = None, **encode_kw) -> dict:
+    """Append NEW rows to an existing encoded table with full run
+    lineage — the sibling of :func:`encode_with_checkpoint` for data
+    that was NOT part of the original run (daily crawl increments).
+    The checkpoint API is a same-input resume surface (its fingerprint
+    guard rejects different data by design); this one adopts the
+    table's partitioning params from the head's last run (raising on an
+    explicit mismatch, same rule as resume) and commits ONE run record,
+    so ``changes_between`` classifies the files as new data (not
+    unclassified) and the manifest prune tiers cover them. ``stage``
+    lands the append on a named ref for write-audit-publish."""
+    from .encode import BLOCK_SCHEMA_DDL, encode_df
+
+    snap = tbl.head(stage)
+    if snap is None:
+        raise FileNotFoundError(
+            f"append_encode: table {tbl.dir} has no snapshot — bootstrap "
+            f"with encode_with_checkpoint")
+    runs = snap.properties.get("runs", [])
+    last = runs[-1] if runs else {}
+    adopted_key = last.get("key", "url")
+    adopted_parts = last.get("n_parts")
+    if key is not None and last and key != adopted_key:
+        raise ValueError(f"append_encode: key={key!r} but the table's "
+                         f"lineage key is {adopted_key!r}")
+    if n_parts is not None and adopted_parts and n_parts != adopted_parts:
+        raise ValueError(f"append_encode: n_parts={n_parts} but the "
+                         f"table was encoded with {adopted_parts}")
+    key = key or adopted_key
+    n_parts = n_parts or adopted_parts \
+        or spark.sparkContext.defaultParallelism * 2
+    salt = last.get("salt", 1)
+    salt_by = last.get("salt_by")
+
+    blocks = encode_df(df, key=key, n_parts=n_parts, salt=salt,
+                       salt_by=salt_by, profile=profile, shuffle=shuffle,
+                       sort_by=sort_by, **encode_kw)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    files = ManifestTable.list_written_files(job_dir)
+    run = _run_record(spark, job_dir, files, run_id,
+                      fingerprint=None, n_parts=n_parts, salt=salt,
+                      salt_by=salt_by, key=key)
+    if run is None:
+        return {"run_id": run_id, "part_ids": [], "n_rows": 0,
+                "raw_bytes": 0, "enc_bytes": 0}
+    head = tbl.head(stage)
+    tbl.commit(files, BLOCK_SCHEMA_DDL,
+               {"runs": (head.properties.get("runs", []) if head else [])
+                + [run]},
+               mode="append", stage=stage)
     return run
 
 

@@ -74,8 +74,19 @@ class ManifestTable:
 
     def commit(self, new_files: list[str], schema_ddl: str,
                properties: dict | None = None, mode: str = "append",
-               expect_properties: dict | None = None) -> Snapshot:
+               expect_properties: dict | None = None,
+               stage: str | None = None) -> Snapshot:
         """Publish ``new_files`` atomically. mode: append | overwrite.
+
+        ``stage`` names a REF instead of moving the main pointer — the
+        write half of write-audit-publish: the snapshot is durably
+        written and readable by ``resolve_ref``/``read_decoded(
+        snapshot_id=)``, but invisible to main-table readers until
+        :meth:`publish` fast-forwards the pointer onto it. Staged
+        commits chain on the ref's own head (repeat stagings extend the
+        audit line); the first one forks from current main. Snapshot
+        ids are globally monotonic across lines (max over all
+        manifests), so a staged line and main can never collide.
 
         ``expect_properties`` is an optional compare-and-swap guard:
         each (key, value) must match the CURRENT snapshot's property —
@@ -101,7 +112,7 @@ class ManifestTable:
 
         with open(os.path.join(self.dir, ".commit_lock"), "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            cur = self.current()
+            cur = self.head(stage)
             if expect_properties:
                 have = cur.properties if cur else {}
                 for k, want in expect_properties.items():
@@ -118,7 +129,7 @@ class ManifestTable:
                           [{} for _ in base_files])
             new_sorted = sorted(new_files)
             snap = Snapshot(
-                snapshot_id=(parent or 0) + 1,
+                snapshot_id=max((parent or 0), self._max_manifest_id()) + 1,
                 parent_id=parent,
                 files=base_files + new_sorted,
                 schema_ddl=schema_ddl or (cur.schema_ddl if cur else ""),
@@ -143,10 +154,125 @@ class ManifestTable:
             with os.fdopen(fd, "w") as f:
                 json.dump(snap.__dict__, f)
             os.replace(mpath + ".tmp", mpath)
-            with open(self.pointer + ".tmp", "w") as f:
+            target = (self._ref_path(stage) if stage is not None
+                      else self.pointer)
+            with open(target + ".tmp", "w") as f:
                 f.write(os.path.basename(mpath))
-            os.replace(self.pointer + ".tmp", self.pointer)  # atomic commit
+            os.replace(target + ".tmp", target)  # atomic commit
         return snap
+
+    def _max_manifest_id(self) -> int:
+        mx = 0
+        for name in os.listdir(self.manifest_dir):
+            m = re.fullmatch(r"m-(\d+)\.json", name)
+            if m is not None:
+                mx = max(mx, int(m.group(1)))
+        return mx
+
+    # -- refs: tags + staged write-audit-publish lines ---------------------
+    _REF_NAME = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+
+    def _ref_path(self, name: str) -> str:
+        if not self._REF_NAME.fullmatch(name):
+            raise ValueError(f"invalid ref name {name!r} (allowed: "
+                             f"letters, digits, . _ -, max 64)")
+        return os.path.join(self.manifest_dir, f"ref-{name}")
+
+    def refs(self) -> dict[str, int]:
+        """All named refs (tags + staged lines) → snapshot id."""
+        out: dict[str, int] = {}
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("ref-") and not name.endswith(".tmp"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    m = re.fullmatch(r"m-(\d+)\.json", f.read().strip())
+                if m is not None:
+                    out[name[4:]] = int(m.group(1))
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        path = self._ref_path(name)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no ref {name!r} on {self.dir}")
+        with open(path) as f:
+            return int(re.fullmatch(r"m-(\d+)\.json",
+                                    f.read().strip()).group(1))
+
+    def ref_snapshot(self, name: str) -> Snapshot:
+        return self.snapshot(self.resolve_ref(name))
+
+    def head(self, stage: str | None = None) -> Snapshot | None:
+        """The snapshot a commit on ``stage`` chains from: the ref's
+        head when it exists, else current main (first staged commit
+        forks from main; ``stage=None`` is just main)."""
+        if stage is not None:
+            try:
+                return self.ref_snapshot(stage)
+            except FileNotFoundError:
+                pass
+        return self.current()
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (audit points,
+        reproducible-training-set versions). Write-once; the tagged
+        snapshot and its files survive ``expire_snapshots``."""
+        path = self._ref_path(name)
+        sid = snapshot_id
+        if sid is None:
+            cur = self.current()
+            if cur is None:
+                raise FileNotFoundError(f"table {self.dir} has no snapshot")
+            sid = cur.snapshot_id
+        self.snapshot(sid)  # must exist
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(f"ref {name!r} already exists (refs are "
+                             f"write-once; drop_ref first)") from None
+        with os.fdopen(fd, "w") as f:
+            f.write(f"m-{sid}.json")
+        return sid
+
+    def drop_ref(self, name: str) -> None:
+        """Abandon a ref. An unpublished staged line loses its liveness
+        protection: the next ``expire_snapshots`` deletes its snapshots
+        and any files only they reference."""
+        os.unlink(self._ref_path(name))
+
+    def publish(self, name: str, drop: bool = True) -> Snapshot:
+        """The publish half of write-audit-publish: atomically
+        fast-forward the main pointer onto the staged ref's head. The
+        current main head must be an ANCESTOR of the staged head
+        (re-checked inside the commit lock) — if a rival published or
+        committed to main after this line forked, :class:`CommitConflict`
+        is raised and nothing moves (re-stage on top of the new main and
+        re-audit, exactly Iceberg's WAP cherry-pick validation)."""
+        import fcntl
+
+        with open(os.path.join(self.dir, ".commit_lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            staged = self.ref_snapshot(name)
+            cur = self.current()
+            if cur is not None and cur.snapshot_id != staged.snapshot_id:
+                s = staged
+                while s.parent_id is not None \
+                        and s.parent_id != cur.snapshot_id:
+                    try:
+                        s = self.snapshot(s.parent_id)
+                    except FileNotFoundError:
+                        s = Snapshot(-1, None, [], "", {})
+                        break
+                if s.parent_id != cur.snapshot_id:
+                    raise CommitConflict(
+                        f"publish {name!r}: main head "
+                        f"{cur.snapshot_id} is not an ancestor of staged "
+                        f"head {staged.snapshot_id} — main advanced "
+                        f"after the stage forked; re-stage and re-audit")
+            with open(self.pointer + ".tmp", "w") as f:
+                f.write(f"m-{staged.snapshot_id}.json")
+            os.replace(self.pointer + ".tmp", self.pointer)
+            if drop:
+                os.unlink(self._ref_path(name))
+        return staged
 
     # -- read side --------------------------------------------------------
     def current(self) -> Snapshot | None:
@@ -265,16 +391,30 @@ class ManifestTable:
         unclassified: list[str] = []
         tomb_added: list[dict] = []
         purged = False
-        prev = frm
-        for sid in range(frm.snapshot_id + 1, to.snapshot_id + 1):
+        # walk the PARENT chain from ``to`` back to the cursor (snapshot
+        # ids are globally monotonic but NOT contiguous on one line of
+        # history once staged/branch commits exist — an integer-range
+        # walk would fold a staged snapshot's files into the window)
+        chain: list[Snapshot] = []
+        s = to
+        while s.snapshot_id != frm.snapshot_id:
+            chain.append(s)
+            if s.parent_id is None:
+                raise ValueError(
+                    f"changes_between: snapshot {frm.snapshot_id} is not "
+                    f"an ancestor of {to.snapshot_id} — the cursor points "
+                    f"off this line of history (a staged/tagged ref, or "
+                    f"a published line that replaced it)")
             try:
-                s = self.snapshot(sid)
+                s = self.snapshot(s.parent_id)
             except FileNotFoundError:
                 raise FileNotFoundError(
-                    f"changes_between: snapshot {sid} expired — the "
-                    f"window [{frm.snapshot_id}, {to.snapshot_id}] "
+                    f"changes_between: snapshot {s.parent_id} expired — "
+                    f"the window [{frm.snapshot_id}, {to.snapshot_id}] "
                     f"crosses expire_snapshots; poll with smaller "
                     f"windows or keep more history") from None
+        prev = frm
+        for s in reversed(chain):
             prev_files = set(prev.files)
             added = [f for f in s.files if f not in prev_files]
             run_of: dict[str, str] = {}
@@ -583,6 +723,19 @@ class ManifestTable:
                          if s.parent_id is not None else None)
                 except FileNotFoundError:  # parent beyond a prior expiry
                     s = None
+            # named refs (tags, staged write-audit-publish lines) pin
+            # their whole line: the head AND its ancestors down to a
+            # main-kept snapshot survive until drop_ref (publish's
+            # fast-forward walk needs the intermediate manifests) —
+            # Iceberg's ref-retention rule
+            for sid in self.refs().values():
+                while sid is not None and sid not in keep_ids:
+                    try:
+                        s = self.snapshot(sid)
+                    except FileNotFoundError:
+                        break
+                    keep_ids.append(sid)
+                    sid = s.parent_id
             live: set[str] = set()
             for sid in keep_ids:
                 live.update(self.snapshot(sid).files)

@@ -464,6 +464,47 @@ def cmd_upsert(args) -> None:
         spark.stop()
 
 
+def cmd_tag(args) -> None:
+    """Pin a snapshot under an immutable name (no Spark session)."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    sid = tbl.tag(args.name, args.snapshot_id)
+    sys.stdout.write(json.dumps({"ref": args.name, "snapshot_id": sid})
+                     + "\n")
+
+
+def cmd_refs(args) -> None:
+    """List named refs (tags + staged lines) and main head."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    cur = tbl.current()
+    sys.stdout.write(json.dumps(
+        {"main": cur.snapshot_id if cur else None,
+         "refs": tbl.refs()}) + "\n")
+
+
+def cmd_publish(args) -> None:
+    """Fast-forward main onto a staged ref (the publish half of
+    write-audit-publish); refuses if main advanced since the fork."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    snap = tbl.publish(args.ref, drop=not args.keep_ref)
+    sys.stdout.write(json.dumps(
+        {"published": args.ref, "snapshot_id": snap.snapshot_id,
+         "n_files": len(snap.files)}) + "\n")
+
+
+def cmd_drop_ref(args) -> None:
+    """Abandon a ref; the next gc reclaims anything only it pinned."""
+    from eel_sdk_spark.table import ManifestTable
+
+    ManifestTable(args.warehouse, args.table).drop_ref(args.ref)
+    sys.stdout.write(json.dumps({"dropped": args.ref}) + "\n")
+
+
 def cmd_follow(args) -> None:
     """One exactly-once follower poll (streaming/follow.py): decode the
     rows appended to --src-table since this consumer's cursor, optionally
@@ -659,6 +700,33 @@ def main(argv=None) -> None:
     ch.add_argument("--to", default=None, type=int,
                     help="to-snapshot id (default: current)")
 
+    tg = sub.add_parser("tag", help="pin a snapshot under an immutable "
+                                    "name (survives gc until drop-ref)")
+    tg.add_argument("--warehouse", required=True)
+    tg.add_argument("--table", default="blocks")
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--snapshot-id", type=int, default=None,
+                    help="default: current main head")
+
+    rf = sub.add_parser("refs", help="list named refs and main head")
+    rf.add_argument("--warehouse", required=True)
+    rf.add_argument("--table", default="blocks")
+
+    pb = sub.add_parser("publish",
+                        help="fast-forward main onto a staged ref "
+                             "(write-audit-publish: encode --stage, "
+                             "fsck --snapshot-id, then publish)")
+    pb.add_argument("--warehouse", required=True)
+    pb.add_argument("--table", default="blocks")
+    pb.add_argument("--ref", required=True)
+    pb.add_argument("--keep-ref", action="store_true")
+
+    dr = sub.add_parser("drop-ref", help="abandon a ref (gc reclaims "
+                                         "what only it pinned)")
+    dr.add_argument("--warehouse", required=True)
+    dr.add_argument("--table", default="blocks")
+    dr.add_argument("--ref", required=True)
+
     fo = sub.add_parser("follow",
                         help="one exactly-once incremental-consumer "
                              "poll: src appends -> optional filter -> "
@@ -682,7 +750,9 @@ def main(argv=None) -> None:
      "bloom-index": cmd_bloom_index, "fsck": cmd_fsck,
      "repair": cmd_repair, "delete": cmd_delete,
      "purge": cmd_purge, "upsert": cmd_upsert,
-     "changes": cmd_changes, "follow": cmd_follow}[args.cmd](args)
+     "changes": cmd_changes, "follow": cmd_follow,
+     "tag": cmd_tag, "refs": cmd_refs, "publish": cmd_publish,
+     "drop-ref": cmd_drop_ref}[args.cmd](args)
 
 
 if __name__ == "__main__":

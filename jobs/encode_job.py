@@ -68,6 +68,14 @@ def main(argv=None) -> None:
                    help="skip per-block key bloom filters (saves ~1.25 "
                         "bytes/key; point lookups on scattered layouts "
                         "fall back to decoding every candidate file)")
+    p.add_argument("--append", action="store_true",
+                   help="append NEW rows as a lineage-recorded run "
+                        "(adopts the table's partitioning; the default "
+                        "path is the same-input resume checkpoint)")
+    p.add_argument("--stage", default=None,
+                   help="commit onto a named ref instead of main "
+                        "(write-audit-publish: fsck the staged snapshot, "
+                        "then `eel publish --ref <name>`)")
     p.add_argument("--bloom-bits", type=int, default=None,
                    help="bloom size in bits per key value (default 10 ~1% fp).\nSize to the table's FILE count: fp file-opens per lookup scale\nlinearly with candidates — 16 bits (~0.2% fp) keeps 512-file\ntables at ~2 opens (BENCH.md round-7)")
     p.add_argument("--bloom-cols", default=None,
@@ -104,6 +112,22 @@ def main(argv=None) -> None:
                 zb = {c: (float(lo), float(hi)) for c, (lo, hi)
                       in json.loads(args.zorder_bounds).items()}
             sort_by.append(zorder_key(df, args.zorder.split(","), bounds=zb))
+        if args.append:
+            from eel_sdk_spark.checkpoint import append_encode
+
+            run = append_encode(
+                spark, df, tbl, run_id=args.run_id,
+                key=None if args.key == "url" else args.key,
+                n_parts=args.parts, profile=args.profile,
+                shuffle={"auto": "auto", "local": "local",
+                         "true": True}[args.shuffle_mode],
+                sort_by=sort_by or None, stage=args.stage,
+                key_bloom=not args.no_key_bloom,
+                bloom_cols=(args.bloom_cols.split(",")
+                            if args.bloom_cols else None),
+                bloom_bits=args.bloom_bits)
+            sys.stdout.write(json.dumps(run) + "\n")
+            return
         run = encode_with_checkpoint(
             spark, df, tbl, key=args.key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
@@ -114,7 +138,7 @@ def main(argv=None) -> None:
             key_bloom=not args.no_key_bloom,
             bloom_cols=(args.bloom_cols.split(",")
                         if args.bloom_cols else None),
-            bloom_bits=args.bloom_bits)
+            bloom_bits=args.bloom_bits, stage=args.stage)
         sys.stdout.write(json.dumps(run) + "\n")
     finally:
         spark.stop()

@@ -1,0 +1,222 @@
+"""Named refs: tags + staged write-audit-publish lines (table.py).
+
+`commit(stage=...)` writes a snapshot that main readers cannot see;
+`publish` fast-forwards the main pointer onto it atomically (CAS'd
+against rival main commits inside the lock); `tag` pins immutable
+points; `expire_snapshots` keeps everything reachable from a ref.
+Iceberg's WAP pattern (wap.id staged snapshots + cherry-pick
+validation) re-expressed on the jar-free manifest layer; the reference
+has no snapshot story at all (write-once HiveSink.scala).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eel_sdk_spark.checkpoint import encode_with_checkpoint, fsck, \
+    fsck_summary
+from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+from eel_sdk_spark.encode import BLOCK_SCHEMA_DDL, encode_df
+from eel_sdk_spark.table import CommitConflict, ManifestTable
+
+
+def _mk(spark, tmp_path, n=1500, parts=3):
+    df = webtext_df(spark, n, parts=parts).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "t")
+    encode_with_checkpoint(spark, df, tbl, n_parts=parts, run_id="r1")
+    return df, tbl
+
+
+def _stage(spark, tbl, df, ref, parts=3):
+    blocks = encode_df(df, key="url", n_parts=parts)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    return tbl.commit(ManifestTable.list_written_files(job_dir),
+                      BLOCK_SCHEMA_DDL, stage=ref)
+
+
+def _fresh(spark, n, tag):
+    return (webtext_df(spark, n, parts=1)
+            .withColumn("url", F.concat(F.lit(f"https://{tag}.example/"),
+                                        F.col("url"))))
+
+
+def test_write_audit_publish_roundtrip(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path)
+    head = tbl.current().snapshot_id
+
+    staged = _stage(spark, tbl, _fresh(spark, 40, "wap"), "audit-1")
+    # invisible to main readers, readable via the ref
+    assert tbl.current().snapshot_id == head
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1500
+    assert staged.snapshot_id == tbl.resolve_ref("audit-1")
+    assert tbl.read_decoded(spark, SCHEMA_DDL,
+                            snapshot_id=staged.snapshot_id).count() == 1540
+
+    # the audit half: fsck the staged snapshot before anyone sees it
+    rep = fsck_summary(fsck(spark, tbl, snapshot_id=staged.snapshot_id))
+    assert rep["healthy"]
+
+    out = tbl.publish("audit-1")
+    assert out.snapshot_id == staged.snapshot_id
+    assert tbl.current().snapshot_id == staged.snapshot_id
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1540
+    assert "audit-1" not in tbl.refs()
+    df.unpersist()
+
+
+def test_publish_conflict_on_rival_main_commit(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path)
+    _stage(spark, tbl, _fresh(spark, 10, "wap"), "audit-1")
+
+    # a rival lands on main after the fork: publish must refuse
+    blocks = encode_df(_fresh(spark, 5, "rival"), key="url", n_parts=3)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    tbl.commit(ManifestTable.list_written_files(job_dir), BLOCK_SCHEMA_DDL)
+
+    with pytest.raises(CommitConflict):
+        tbl.publish("audit-1")
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1505
+
+    # re-stage on the new main and publish cleanly
+    tbl.drop_ref("audit-1")
+    _stage(spark, tbl, _fresh(spark, 10, "wap"), "audit-2")
+    tbl.publish("audit-2")
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1515
+    df.unpersist()
+
+
+def test_multi_commit_staged_line_and_unique_ids(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path)
+    s1 = _stage(spark, tbl, _fresh(spark, 7, "a"), "line")
+    s2 = _stage(spark, tbl, _fresh(spark, 8, "b"), "line")  # chains on s1
+    assert s2.parent_id == s1.snapshot_id
+    # ids stay globally unique even when main commits interleave
+    blocks = encode_df(_fresh(spark, 3, "m"), key="url", n_parts=3)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    m = tbl.commit(ManifestTable.list_written_files(job_dir),
+                   BLOCK_SCHEMA_DDL)
+    assert len({s1.snapshot_id, s2.snapshot_id, m.snapshot_id}) == 3
+    df.unpersist()
+
+
+def test_tag_pins_through_expiry_and_drop_releases(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path)
+    v1 = tbl.current().snapshot_id
+    tbl.tag("train-v1")
+    with pytest.raises(ValueError):
+        tbl.tag("train-v1")  # write-once
+
+    # overwrite main twice, then expire keeping only the newest
+    for i in range(2):
+        blocks = encode_df(webtext_df(spark, 500, parts=2), key="url",
+                           n_parts=2)
+        job_dir = tbl.new_data_path()
+        blocks.write.mode("overwrite").parquet(job_dir)
+        tbl.commit(ManifestTable.list_written_files(job_dir),
+                   BLOCK_SCHEMA_DDL, mode="overwrite")
+    tbl.expire_snapshots(keep_last=1)
+    # the tagged snapshot survived and reads row-exact
+    assert tbl.read_decoded(spark, SCHEMA_DDL,
+                            snapshot_id=v1).count() == 1500
+    assert tbl.refs() == {"train-v1": v1}
+
+    tbl.drop_ref("train-v1")
+    out = tbl.expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] >= 1
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(v1)
+    df.unpersist()
+
+
+def test_abandoned_stage_is_garbage_collected(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path)
+    staged = _stage(spark, tbl, _fresh(spark, 9, "junk"), "bad-audit")
+    staged_only = [f for f in staged.files
+                   if f not in set(tbl.current().files)]
+    assert staged_only
+    tbl.expire_snapshots(keep_last=1)  # ref still pins the line
+    assert all(os.path.exists(f) for f in staged_only)
+
+    tbl.drop_ref("bad-audit")
+    tbl.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(f) for f in staged_only)
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(staged.snapshot_id)
+    df.unpersist()
+
+
+def test_follower_sees_published_rows_exactly_once(spark, tmp_path):
+    from eel_sdk_spark.streaming.follow import follow_once
+
+    df, tbl = _mk(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+    follow_once(spark, tbl, sink, SCHEMA_DDL)
+
+    _stage(spark, tbl, _fresh(spark, 12, "wap"), "audit-1")
+    out = follow_once(spark, tbl, sink, SCHEMA_DDL)
+    assert out["rows"] == 0  # staged rows are NOT visible downstream
+
+    tbl.publish("audit-1")
+    out2 = follow_once(spark, tbl, sink, SCHEMA_DDL)
+    assert out2["rows"] == 12  # exactly once, after the audit passed
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 1512
+    df.unpersist()
+
+
+def test_append_encode_lineage_and_cdc(spark, tmp_path):
+    from eel_sdk_spark.checkpoint import append_encode
+
+    df, tbl = _mk(spark, tmp_path)
+    cursor = tbl.current().snapshot_id
+    inc = _fresh(spark, 25, "daily")
+    run = append_encode(spark, inc, tbl, run_id="daily-1")
+    assert run["n_rows"] == 25
+    assert run["n_parts"] == 3  # adopted from the table's lineage
+
+    # lineage-recorded appends classify as NEW DATA, not unclassified
+    ch = tbl.changes_between(cursor)
+    assert ch["new_data_files"] and not ch["unclassified_files"]
+    assert tbl.read_appended(spark, SCHEMA_DDL, cursor).count() == 25
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1525
+
+    with pytest.raises(ValueError):
+        append_encode(spark, inc, tbl, n_parts=7)  # param mismatch
+    with pytest.raises(ValueError):
+        append_encode(spark, inc, tbl, key="text")
+    df.unpersist()
+
+
+def test_staged_encode_kill_and_resume_on_ref_line(spark, tmp_path):
+    df, tbl = _mk(spark, tmp_path, n=1200, parts=6)
+    main_head = tbl.current().snapshot_id
+
+    inc = _fresh(spark, 300, "staged").cache()
+    inc.count()
+    r1 = encode_with_checkpoint(spark, inc, ManifestTable(
+        str(tmp_path), "t2"), n_parts=6, run_id="s1",
+        fail_after_commit_parts=2, stage="audit")
+    t2 = ManifestTable(str(tmp_path), "t2")
+    assert len(r1["part_ids"]) == 2
+    assert t2.current() is None  # staged line never touched main
+
+    # resume completes on the ref line, skipping the committed parts
+    r2 = encode_with_checkpoint(spark, inc, t2, n_parts=6, run_id="s2",
+                                stage="audit")
+    assert set(r1["part_ids"]).isdisjoint(r2["part_ids"])
+    assert len(r1["part_ids"]) + len(r2["part_ids"]) == 6
+    t2.publish("audit")
+    assert t2.read_decoded(spark, SCHEMA_DDL).count() == 300
+    got = {r["url"] for r in
+           t2.read_decoded(spark, SCHEMA_DDL).select("url").collect()}
+    want = {r["url"] for r in inc.select("url").collect()}
+    assert got == want  # no dupes, no gaps across the staged resume
+    inc.unpersist()
+    df.unpersist()
+    assert tbl.current().snapshot_id == main_head

@@ -1159,7 +1159,17 @@ def q_range_lookup(spark, sf):
     cursor = tbl.current().snapshot_id
     incoming = (d.filter(F.col("doc_id").isin(120, 150, 151))
                 .withColumn("text", F.concat(F.lit("UPD:"), F.col("text"))))
-    upsert_rows(spark, tbl, incoming, ddl, readmit=True)
+    # r7 WAP routing (same oracle): the merge lands STAGED on a named
+    # ref — main must still read pre-upsert until the staged snapshot
+    # passes fsck and publish fast-forwards the pointer; a staged leak
+    # into main (or a publish of a damaged snapshot) breaks the hash
+    from eel_sdk_spark.checkpoint import fsck, fsck_summary
+
+    upsert_rows(spark, tbl, incoming, ddl, readmit=True, stage="audit")
+    assert tbl.current().snapshot_id == cursor, "staged upsert leaked"
+    staged = tbl.resolve_ref("audit")
+    assert fsck_summary(fsck(spark, tbl, snapshot_id=staged))["healthy"]
+    tbl.publish("audit")
     rng = range_lookup(spark, tbl, 100, 260, ddl, key="doc_id")
     cdc = tbl.read_appended(spark, ddl, cursor)
     return (rng.withColumn("leg", F.lit("range"))

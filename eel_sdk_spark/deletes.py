@@ -299,7 +299,7 @@ def _rewrite_tombstones(spark: SparkSession, tbl: ManifestTable,
 
 def upsert_rows(spark: SparkSession, tbl: ManifestTable,
                 incoming: DataFrame, schema_ddl: str,
-                readmit: bool = False) -> dict:
+                readmit: bool = False, stage: str | None = None) -> dict:
     """Copy-on-write MERGE on the lineage key: replace every existing row
     whose key appears in ``incoming`` with the incoming rows, atomically
     — the re-crawl case (a page re-fetched with fresh content must
@@ -328,7 +328,10 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
     from .checkpoint import _run_record
     from .encode import decode_files_df, encode_df
 
-    snap = tbl.current()
+    # ``stage`` lands the merged snapshot on a named ref (audit the
+    # merge — fsck, row counts, spot decodes — then tbl.publish);
+    # repeat staged upserts chain on the ref's own head
+    snap = tbl.head(stage)
     if snap is None:
         raise FileNotFoundError(f"upsert: table {tbl.dir} has no snapshot")
     runs = snap.properties.get("runs", [])
@@ -418,7 +421,7 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
     props["tombstones"] = entries
     props["runs"] = runs + recs
     healed = tbl.commit(survivors + new_files, snap.schema_ddl or "",
-                        props, mode="overwrite")
+                        props, mode="overwrite", stage=stage)
     ikeys.unpersist()
     return {"upserted_rows": n_in,
             "upserted_keys": n_keys,

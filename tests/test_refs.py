@@ -220,3 +220,27 @@ def test_staged_encode_kill_and_resume_on_ref_line(spark, tmp_path):
     inc.unpersist()
     df.unpersist()
     assert tbl.current().snapshot_id == main_head
+
+
+def test_staged_upsert_audits_then_publishes(spark, tmp_path):
+    from eel_sdk_spark.deletes import upsert_rows
+
+    df, tbl = _mk(spark, tmp_path)
+    victims = [r["url"] for r in df.select("url").limit(3).collect()]
+    incoming = (df.filter(F.col("url").isin(victims))
+                .withColumn("text", F.lit("recrawl")))
+    out = upsert_rows(spark, tbl, incoming, SCHEMA_DDL, stage="merge-1")
+    assert out["replaced_rows"] == 3
+    # main is untouched until publish
+    assert (tbl.read_decoded(spark, SCHEMA_DDL)
+            .filter(F.col("text") == "recrawl").count() == 0)
+    rep = fsck_summary(fsck(spark, tbl,
+                            snapshot_id=tbl.resolve_ref("merge-1")))
+    assert rep["healthy"]
+    tbl.publish("merge-1")
+    read = tbl.read_decoded(spark, SCHEMA_DDL).cache()
+    assert read.filter(F.col("text") == "recrawl").count() == 3
+    assert read.count() == 1500
+    assert read.groupBy("url").count().filter("count > 1").count() == 0
+    read.unpersist()
+    df.unpersist()

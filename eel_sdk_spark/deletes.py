@@ -167,17 +167,19 @@ def _purge_candidates(spark: SparkSession, snap, key: str,
 
 
 def purge_deletes(spark: SparkSession, tbl: ManifestTable,
-                  schema_ddl: str) -> dict:
+                  schema_ddl: str, stage: str | None = None) -> dict:
     """Materialize every live tombstone: rewrite ONLY the files that may
     contain a tombstoned key (decode -> anti-join -> re-encode under the
     committed run's partitioning params), keep every other file
     untouched, clear the tombstone list, and commit atomically. After
     this the rows are physically gone from the current snapshot; run
-    ``expire_snapshots`` to also age out the historical copies."""
+    ``expire_snapshots`` to also age out the historical copies.
+    ``stage`` lands the purged snapshot on a named ref for audit before
+    ``publish`` (erasure review flows)."""
     from .checkpoint import _run_record
     from .encode import encode_df
 
-    snap = tbl.current()
+    snap = tbl.head(stage)
     if snap is None:
         raise FileNotFoundError(f"purge: table {tbl.dir} has no snapshot")
     entries = _tombstone_entries(snap)
@@ -228,7 +230,8 @@ def purge_deletes(spark: SparkSession, tbl: ManifestTable,
     props["tombstones"] = []
     props["runs"] = runs + ([rec] if rec else [])
     healed = tbl.commit(survivors + new_files,
-                        snap.schema_ddl or "", props, mode="overwrite")
+                        snap.schema_ddl or "", props, mode="overwrite",
+                        stage=stage)
     return {"purged_keys": sum(e["n"] for e in entries),
             "rewritten_files": len(candidates),
             "surviving_files": len(survivors),

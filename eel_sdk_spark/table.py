@@ -551,7 +551,8 @@ class ManifestTable:
 
     def compact(self, spark, n_files: int,
                 by: list[str] | None = None,
-                refresh_bloom_index: bool | None = None) -> Snapshot:
+                refresh_bloom_index: bool | None = None,
+                stage: str | None = None) -> Snapshot:
         """Small-file compaction: rewrite the current snapshot to exactly
         ``n_files`` files in one new snapshot (reference: Compactor.compactTo,
         eel-hive/src/main/scala/io/eels/component/hive/Compactor.scala:16-21;
@@ -563,9 +564,16 @@ class ManifestTable:
         this is REQUIRED to preserve the groups-whole-per-file invariant
         that the zero-shuffle ``read_decoded`` path relies on — the
         auto-detect below applies ``part_id`` when the schema is a blocks
-        schema and the caller did not choose."""
-        df = self.read(spark)
-        snap = self.current()
+        schema and the caller did not choose.
+
+        ``stage`` lands the compacted snapshot on a named ref (audit,
+        then ``publish`` — same WAP flow as staged encodes/upserts); a
+        staged compact defers the bloom-index refresh to post-publish
+        maintenance, since the index registration is a main-line commit.
+        """
+        snap = self.head(stage)
+        df = self.read(spark, snapshot_id=snap.snapshot_id if snap
+                       else None)
         if by is None and {"part_id", "block_seq", "col"} <= set(df.columns):
             by = ["part_id"]
             if "part_hi" in df.columns and (
@@ -680,16 +688,18 @@ class ManifestTable:
                 props["file_key_ranges_extra"] = {"key": key,
                                                   "files": ranges}
             out = self.commit(files, snap.schema_ddl, props,
-                              mode="overwrite")
+                              mode="overwrite", stage=stage)
         else:
             out = self.commit(self.list_written_files(job_dir),
-                              snap.schema_ddl, props, mode="overwrite")
+                              snap.schema_ddl, props, mode="overwrite",
+                              stage=stage)
         # a registered bloom INDEX references the replaced basenames, so
         # every rewritten file would fall back to the per-file scan —
         # refresh it by default so compaction keeps the O(1)-file lookup
         # property (opt out with refresh_bloom_index=False to defer the
         # ~1/4-encode-pass rebuild to a later maintenance window)
-        if props.get("bloom_index") and refresh_bloom_index is not False:
+        if props.get("bloom_index") and refresh_bloom_index is not False \
+                and stage is None:
             from .checkpoint import build_bloom_index
 
             build_bloom_index(spark, self,

@@ -244,3 +244,29 @@ def test_staged_upsert_audits_then_publishes(spark, tmp_path):
     assert read.groupBy("url").count().filter("count > 1").count() == 0
     read.unpersist()
     df.unpersist()
+
+
+def test_staged_compact_and_staged_purge(spark, tmp_path):
+    from eel_sdk_spark.deletes import delete_rows, purge_deletes
+
+    df, tbl = _mk(spark, tmp_path)
+    n_main = len(tbl.current().files)
+
+    out = tbl.compact(spark, n_files=2, stage="maint")
+    assert len(tbl.current().files) == n_main  # main untouched
+    assert len(out.files) <= 2 * 2  # n_files per partition-write cap
+    tbl.publish("maint")
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.count() == 1500
+
+    victims = [r["url"] for r in read.select("url").limit(2).collect()]
+    delete_rows(spark, tbl, victims, key="url")
+    p = purge_deletes(spark, tbl, SCHEMA_DDL, stage="erasure-1")
+    assert p["purged_keys"] == 2
+    # main still carries the tombstones (suppressed, not yet purged)
+    assert tbl.current().properties.get("tombstones")
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1498
+    tbl.publish("erasure-1")
+    assert not tbl.current().properties.get("tombstones")
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1498
+    df.unpersist()

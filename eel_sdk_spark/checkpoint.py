@@ -51,7 +51,8 @@ def _check_key_type(schema_ddl: str, key: str, value,
 
 
 def lookup_files(spark: SparkSession, snap, key_value, key: str,
-                 parts: set[int]) -> list[str]:
+                 parts: set[int],
+                 aliases: set[str] = frozenset()) -> list[str]:
     """The three file-pruning tiers of a point lookup, in increasing
     cost order; returns the files whose payloads must be decoded.
 
@@ -81,14 +82,15 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
     """
     coverage: dict[str, list[int]] = {}
     key_ranges: dict[str, dict] = {}
+    names = {key} | set(aliases)
     for r in snap.properties.get("runs", []):
         coverage.update(r.get("file_parts", {}))
-        if r.get("key", key) == key:
+        if r.get("key", key) in names:
             key_ranges.update(r.get("file_key_ranges", {}))
     # compaction rewrites files and re-records their coverage here
     coverage.update(snap.properties.get("file_parts_extra", {}))
     kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") == key:
+    if kr_extra.get("key") in names:
         key_ranges.update(kr_extra.get("files", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
     fam = "s" if isinstance(key_value, str) else "i"
@@ -103,7 +105,7 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
         keep: set[str] | None = None
         uncovered = files
         idx = snap.properties.get("bloom_index")
-        if idx and idx.get("key") == key:
+        if idx and idx.get("key") in names:
             # tier 3a (r7): manifest-registered BLOOM INDEX sidecar — the
             # per-block key blooms copied into a handful of narrow index
             # files at build_bloom_index time, so the scan opens O(1)
@@ -137,7 +139,8 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
             uncovered = [f for f in files
                          if os.path.basename(f) not in covered]
         if uncovered:
-            scanned = _bloom_scan_files(spark, uncovered, key, key_value)
+            scanned = _bloom_scan_files(spark, uncovered, key, key_value,
+                                        aliases=aliases)
             if scanned is None:  # pre-bloom table: keep them all
                 keep = ((keep or set())
                         | {os.path.basename(f) for f in uncovered})
@@ -150,7 +153,8 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
 
 
 def _bloom_scan_files(spark: SparkSession, files: list[str], key: str,
-                      key_value) -> set[str] | None:
+                      key_value,
+                      aliases: set[str] = frozenset()) -> set[str] | None:
     """Tier 3b: the per-file narrow columnar bloom scan (footers + the
     key blocks' bloom words). Returns surviving basenames, or None when
     the table predates blooms entirely (caller keeps everything)."""
@@ -159,11 +163,31 @@ def _bloom_scan_files(spark: SparkSession, files: list[str], key: str,
     nar = spark.read.option("mergeSchema", "true").parquet(*files)
     if "key_bloom" not in nar.columns:
         return None
-    cand = (nar.filter(F.col("col") == key)
+    cand = (nar.filter(F.col("col").isin(key, *aliases))
             .filter(bloom_may_contain(key_value))
             .select(F.input_file_name().alias("f"))
             .distinct().collect())
     return {os.path.basename(r["f"]) for r in cand}
+
+
+def _key_aliases(snap, key: str) -> set[str]:
+    """Historical names of ``key`` under the snapshot's rename history
+    (ManifestTable.rename_column) — blocks written pre-rename carry
+    them, so every key-matching tier must accept them too."""
+    from .table import fold_renames
+
+    fold = fold_renames(snap.properties.get("column_renames", []))
+    return {h for h, c in fold.items() if c == key}
+
+
+def _relabel_blocks(blocks, aliases: set[str], key: str):
+    """Rewrite historical key names to the current one on a blocks
+    DataFrame, so stats/bloom pruning and decode see ONE name."""
+    if not aliases:
+        return blocks
+    return blocks.withColumn(
+        "col", F.when(F.col("col").isin(*aliases), F.lit(key))
+        .otherwise(F.col("col")))
 
 
 def build_bloom_index(spark: SparkSession, tbl: ManifestTable,
@@ -571,6 +595,7 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
 
     _check_key_type(schema_ddl, key, key_value, "point_lookup")
     snap = tbl.current()
+    aliases = _key_aliases(snap, key)
     run = snap.properties.get("runs", [])[run_index]
     n_parts, salt = run["n_parts"], run.get("salt", 1)
     kv = F.lit(key_value)
@@ -590,12 +615,15 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
         parts_expr = F.array(F.pmod(F.xxhash64(kv), F.lit(n_parts))
                              .cast("int"))
     parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
-    files = lookup_files(spark, snap, key_value, key, parts)
+    files = lookup_files(spark, snap, key_value, key, parts,
+                         aliases=aliases)
     # mergeSchema: a table appended onto across layout generations mixes
     # files WITH and WITHOUT the banded parts/part_hi columns — without
     # merging, whichever file Spark samples first dictates the schema and
     # the other generation's rows silently vanish from the filter below
-    blocks = spark.read.option("mergeSchema", "true").parquet(*files)
+    blocks = _relabel_blocks(
+        spark.read.option("mergeSchema", "true").parquet(*files),
+        aliases, key)
     if "parts" in blocks.columns:
         # exact membership: banded 'local' blocks span a part run, so
         # anchor equality would miss parts above the anchor. Pre-banding
@@ -649,12 +677,14 @@ def range_lookup(spark: SparkSession, tbl: ManifestTable,
     snap = tbl.current()
     if snap is None or not snap.files:
         raise FileNotFoundError(f"table {tbl.dir} has no committed snapshot")
+    aliases = _key_aliases(snap, key)
+    names = {key} | aliases
     key_ranges: dict[str, dict] = {}
     for r in snap.properties.get("runs", []):
-        if r.get("key", key) == key:
+        if r.get("key", key) in names:
             key_ranges.update(r.get("file_key_ranges", {}))
     kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") == key:
+    if kr_extra.get("key") in names:
         key_ranges.update(kr_extra.get("files", {}))
     fam = "s" if isinstance(lower, str) else "i"
     files = []
@@ -663,7 +693,9 @@ def range_lookup(spark: SparkSession, tbl: ManifestTable,
         if rng is None or (rng[0] <= upper and lower <= rng[1]):
             files.append(f)
     files = files or snap.files[:1]  # empty parquet read is invalid
-    blocks = spark.read.option("mergeSchema", "true").parquet(*files)
+    blocks = _relabel_blocks(
+        spark.read.option("mergeSchema", "true").parquet(*files),
+        aliases, key)
     if fam == "s":
         blocks = prune_block_groups(blocks, key, lower_s=lower,
                                     upper_s=upper)

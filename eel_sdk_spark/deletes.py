@@ -108,11 +108,18 @@ def apply_deletes(spark: SparkSession, df: DataFrame, snap) -> DataFrame:
     if not entries:
         return df
     total = sum(e["n"] for e in entries)
+    # tombstones recorded before a rename_column carry the HISTORICAL
+    # key name — translate, or a takedown would silently resurface
+    # under the new column name
+    from .table import fold_renames
+
+    fold = fold_renames(snap.properties.get("column_renames", []))
     for k, kdf in tombstone_keys(spark, snap).items():
-        if k not in df.columns:
+        k_now = fold.get(k, k)
+        if k_now not in df.columns:
             continue
         right = F.broadcast(kdf) if total <= BROADCAST_MAX_KEYS else kdf
-        df = df.join(right, on=k, how="left_anti")
+        df = df.join(right.toDF(k_now), on=k_now, how="left_anti")
     return df
 
 

@@ -849,7 +849,8 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
 def decode_files_df(spark, files: list[str], schema_ddl: str,
                     columns: list[str] | None = None,
                     n_tasks: int | None = None,
-                    verify: bool = True) -> DataFrame:
+                    verify: bool = True,
+                    renames: dict[str, str] | None = None) -> DataFrame:
     """Zero-shuffle decode FROM STORAGE: the unit of work is the FILE.
 
     ``decode_blocks_df`` over a re-read table must either shuffle to
@@ -886,6 +887,15 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
             f"{f.name} {f.dataType.simpleString()}"
             for f in out_schema.fields if f.name in col_order)
     n_cols = len(col_order)
+    # column-rename name mapping (ManifestTable.rename_column): blocks
+    # written before a rename carry the HISTORICAL name — accept those
+    # names in the parquet filter and relabel as they decode (Iceberg
+    # resolves renames by field id; block files key columns by name, so
+    # the manifest-recorded mapping is the equivalent). Only mappings
+    # whose target is actually requested matter here.
+    alias_of = {h: c for h, c in (renames or {}).items()
+                if c in col_order and h not in col_order}
+    scan_names = col_order + sorted(alias_of)
 
     def _read_decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -901,7 +911,7 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
                 t = pq.read_table(
                     path,
                     columns=want,
-                    filters=[("col", "in", col_order)],
+                    filters=[("col", "in", scan_names)],
                     use_threads=False)
                 pending: dict[tuple, dict[str, pa.Array]] = {}
                 for tb in t.to_batches():
@@ -914,6 +924,7 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
                     crcs = (tb.column("payload_crc")
                             if "payload_crc" in tb.schema.names else None)
                     for i, (part, seq, uid, name) in enumerate(keys):
+                        name = alias_of.get(name, name)
                         key = (part, seq, uid)
                         group = pending.setdefault(key, {})
                         hdr = headers[i].as_py()

@@ -48,6 +48,19 @@ class CommitConflict(Exception):
 _PART_SEG = re.compile(r"^([^=/]+)=([^/]*)$")
 
 
+def fold_renames(entries: list[dict]) -> dict[str, str]:
+    """Collapse a rename history into {historical_name: current_name}.
+    Applied in commit order, so a→b then b→c folds to {a: c, b: c}."""
+    alias: dict[str, str] = {}
+    for e in entries:
+        frm, to = e["from"], e["to"]
+        for k, v in list(alias.items()):
+            if v == frm:
+                alias[k] = to
+        alias[frm] = to
+    return alias
+
+
 def partition_values_of(path: str) -> dict:
     """Parse hive-style key=value segments out of a file path."""
     out: dict = {}
@@ -329,6 +342,28 @@ class ManifestTable:
         return reduce(lambda a, b: a.unionByName(
             b, allowMissingColumns=True), dfs)
 
+    def rename_column(self, old: str, new: str,
+                      stage: str | None = None) -> Snapshot:
+        """Rename a column with a properties-only commit — no data moves
+        (Iceberg renames by field id; block files key columns by NAME,
+        so the manifest records the mapping and the decode paths accept
+        the historical name and relabel on the fly). Readers pass the
+        NEW name in their decode DDL from this snapshot on; time-travel
+        reads use each snapshot's own mapping, so pre-rename snapshots
+        still decode under the old name. Renaming the lineage KEY keeps
+        reads correct but degrades manifest key-range pruning for files
+        recorded under the old name until a compact/realign re-records
+        them (lookups keep those files conservatively)."""
+        snap = self.head(stage)
+        if snap is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshot")
+        if old == new:
+            raise ValueError("rename_column: old and new names are equal")
+        entries = list(snap.properties.get("column_renames", []))
+        entries.append({"from": old, "to": new})
+        return self.commit([], "", {"column_renames": entries},
+                           mode="append", stage=stage)
+
     def read_decoded(self, spark, schema_ddl: str,
                      columns: list[str] | None = None,
                      constraints: list | None = None,
@@ -352,7 +387,9 @@ class ManifestTable:
             files = [f for f, pv in zip(files, parts)
                      if all(c.eval(pv) for c in constraints)]
         df = decode_files_df(spark, files, schema_ddl, columns=columns,
-                             verify=verify)
+                             verify=verify,
+                             renames=fold_renames(
+                                 snap.properties.get("column_renames", [])))
         if with_deletes:
             # suppress tombstoned keys (deletes.delete_rows); a key
             # column pruned out by `columns` can't be filtered — the
@@ -496,7 +533,10 @@ class ManifestTable:
             df = spark.createDataFrame([], schema_ddl)
             return df.select(*columns) if columns else df
         df = decode_files_df(spark, files, schema_ddl, columns=columns,
-                             verify=verify)
+                             verify=verify,
+                             renames=fold_renames(
+                                 self.current().properties
+                                 .get("column_renames", [])))
         if with_deletes:
             from .deletes import apply_deletes
 

@@ -73,3 +73,72 @@ def test_old_ddl_reads_evolved_table(spark, tmp_path):
     # fill_missing must not fabricate phantom rows from the orphan column
     out2 = decode_blocks_df(tbl.read(spark), V1_DDL, fill_missing=True)
     assert out2.count() == 400
+
+
+def test_rename_column_name_mapping(spark, tmp_path):
+    """rename_column is a properties-only commit; decode paths accept
+    the historical block name and relabel on the fly (Iceberg renames
+    by field id; blocks key by name, so the manifest carries the map).
+    """
+    from eel_sdk_spark.checkpoint import append_encode, \
+        encode_with_checkpoint
+    from eel_sdk_spark.corpus import webtext_df
+
+    tbl = ManifestTable(str(tmp_path), "ren")
+    df = webtext_df(spark, 600, parts=2).select("url", "text", "lang")
+    encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="r1")
+    pre = tbl.current().snapshot_id
+
+    tbl.rename_column("lang", "language")
+    new_ddl = "url string, text string, language string"
+    got = tbl.read_decoded(spark, new_ddl).cache()
+    assert got.count() == 600
+    n_null_src = df.filter(F.col("lang").isNull()).count()
+    assert got.filter(F.col("language").isNull()).count() == n_null_src
+    # time travel: the pre-rename snapshot still decodes the OLD name
+    old = tbl.read_decoded(spark, "url string, lang string",
+                           snapshot_id=pre)
+    assert old.count() == 600
+    got.unpersist()
+
+    # chain: language -> tongue; and append new-generation blocks that
+    # already carry the final name — one read spans both generations
+    tbl.rename_column("language", "tongue")
+    inc = (webtext_df(spark, 100, parts=1)
+           .withColumn("url", F.concat(F.lit("v2-"), F.col("url")))
+           .selectExpr("url", "text", "lang as tongue"))
+    append_encode(spark, inc, tbl, run_id="v2")
+    ddl3 = "url string, text string, tongue string"
+    got3 = tbl.read_decoded(spark, ddl3).cache()
+    assert got3.count() == 700
+    n_null_inc = inc.filter(F.col("tongue").isNull()).count()
+    assert (got3.filter(F.col("tongue").isNull()).count()
+            == n_null_src + n_null_inc)
+    got3.unpersist()
+
+
+def test_rename_key_keeps_lookups_and_deletes_working(spark, tmp_path):
+    from eel_sdk_spark.checkpoint import encode_with_checkpoint, \
+        point_lookup, range_lookup
+    from eel_sdk_spark.corpus import webtext_df
+    from eel_sdk_spark.deletes import delete_rows
+
+    tbl = ManifestTable(str(tmp_path), "renkey")
+    df = webtext_df(spark, 500, parts=2).select("url", "text").cache()
+    encode_with_checkpoint(spark, df, tbl, key="url", n_parts=4,
+                           run_id="r1", sort_by=["url"])
+    victim, target = [r["url"] for r in df.select("url").limit(2).collect()]
+    delete_rows(spark, tbl, [victim], key="url")
+
+    tbl.rename_column("url", "page_url")
+    ddl = "page_url string, text string"
+    hit = point_lookup(spark, tbl, target, ddl, key="page_url")
+    assert hit.count() == 1
+    assert hit.first()["page_url"] == target
+    # the pre-rename tombstone still suppresses under the new name
+    assert point_lookup(spark, tbl, victim, ddl,
+                        key="page_url").count() == 0
+    rng = range_lookup(spark, tbl, "https://", "https://zzzz", ddl,
+                       key="page_url")
+    assert rng.count() == 499  # all minus the tombstoned row
+    df.unpersist()

@@ -464,6 +464,19 @@ def cmd_upsert(args) -> None:
         spark.stop()
 
 
+def cmd_rename(args) -> None:
+    """Rename a column via manifest name mapping (properties-only
+    commit, no data moves, no Spark session); decode paths accept the
+    historical name from the next read on."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    snap = tbl.rename_column(args.old, args.new, stage=args.stage)
+    sys.stdout.write(json.dumps(
+        {"renamed": {args.old: args.new},
+         "snapshot_id": snap.snapshot_id}) + "\n")
+
+
 def cmd_tag(args) -> None:
     """Pin a snapshot under an immutable name (no Spark session)."""
     from eel_sdk_spark.table import ManifestTable
@@ -700,6 +713,15 @@ def main(argv=None) -> None:
     ch.add_argument("--to", default=None, type=int,
                     help="to-snapshot id (default: current)")
 
+    rn = sub.add_parser("rename", help="rename a column (manifest name "
+                                       "mapping; no data moves)")
+    rn.add_argument("--warehouse", required=True)
+    rn.add_argument("--table", default="blocks")
+    rn.add_argument("--old", required=True)
+    rn.add_argument("--new", required=True)
+    rn.add_argument("--stage", default=None,
+                    help="stage the rename on a ref instead of main")
+
     tg = sub.add_parser("tag", help="pin a snapshot under an immutable "
                                     "name (survives gc until drop-ref)")
     tg.add_argument("--warehouse", required=True)
@@ -752,7 +774,7 @@ def main(argv=None) -> None:
      "purge": cmd_purge, "upsert": cmd_upsert,
      "changes": cmd_changes, "follow": cmd_follow,
      "tag": cmd_tag, "refs": cmd_refs, "publish": cmd_publish,
-     "drop-ref": cmd_drop_ref}[args.cmd](args)
+     "drop-ref": cmd_drop_ref, "rename": cmd_rename}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -994,6 +994,17 @@ def q_roundtrip_verify(spark, sf):
         tbl.commit(ManifestTable.list_written_files(job_dir),
                    BLOCK_SCHEMA_DDL)
         fsck_healthy = fsck_summary(fsck(spark, tbl))["healthy"]
+        # r7 rename leg: a properties-only column rename must decode
+        # value-exact under the NEW name (manifest name mapping — the
+        # blocks still carry 'lang'); rename_ok counts rows whose
+        # renamed column round-trips eqNullSafe against the raw table
+        tbl.rename_column("lang", "language")
+        renamed = tbl.read_decoded(
+            spark, "doc_id bigint, language string")
+        rename_ok = int(
+            renamed.alias("r").join(d.alias("o"), "doc_id")
+            .filter(F.col("r.language").eqNullSafe(F.col("o.lang")))
+            .count() == d.count())
         victim = next(f for f in sorted(tbl.current().files)
                       if _pq.ParquetFile(f).metadata.num_rows > 0)
         t = _pq.read_table(victim)
@@ -1021,7 +1032,8 @@ def q_roundtrip_verify(spark, sf):
         F.sum(F.when(F.col("d.lang").eqNullSafe(F.col("o.lang")), 1)
               .otherwise(0)).alias("lang_ok"))
         .withColumn("fsck_healthy", F.lit(int(fsck_healthy)))
-        .withColumn("tamper_detected", F.lit(int(tamper_detected))))
+        .withColumn("tamper_detected", F.lit(int(tamper_detected)))
+        .withColumn("rename_ok", F.lit(rename_ok)))
 
 
 def q_roundtrip_tables(spark, sf):
@@ -2375,7 +2387,8 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_verify": """
             SELECT count(*) AS rows, count(*) AS text_ok,
                    count(*) AS lang_ok,
-                   1 AS fsck_healthy, 1 AS tamper_detected
+                   1 AS fsck_healthy, 1 AS tamper_detected,
+                   1 AS rename_ok
             FROM documents""",
         "roundtrip_tables": """
             SELECT (SELECT count(*) FROM lineitem) AS decoded_rows,

@@ -129,7 +129,17 @@ def cmd_analyze_table(args) -> None:
         # (uncovered files fall back to the per-file scan; rebuild with
         # `eel bloom-index` when coverage drifts after appends)
         "bloom_index": _bloom_index_stats(snap),
+        # r7 tail: rename history (historical -> current names) and
+        # named refs (tags + staged WAP lines awaiting publish)
+        "column_renames": _fold_renames_safe(snap),
+        "refs": ManifestTable(args.warehouse, args.table).refs(),
     }) + "\n")
+
+
+def _fold_renames_safe(snap) -> dict:
+    from eel_sdk_spark.table import fold_renames
+
+    return fold_renames(snap.properties.get("column_renames", []))
 
 
 def _bloom_index_stats(snap) -> dict | None:

@@ -136,9 +136,22 @@ def main(argv=None) -> None:
             from eel_sdk_spark.predicate import decode_with_predicate
 
             pred = _parse_where(args.where)
-            decoded = decode_with_predicate(
-                tbl.read(spark, snapshot_id=args.snapshot_id),
-                args.schema, pred)
+            # relabel historical block column names (rename_column) so
+            # the predicate decode sees the schema's current names
+            from eel_sdk_spark.table import fold_renames
+
+            snap = (tbl.snapshot(args.snapshot_id)
+                    if args.snapshot_id is not None else tbl.current())
+            fold = fold_renames(
+                (snap.properties if snap else {}).get("column_renames", []))
+            blocks = tbl.read(spark, snapshot_id=args.snapshot_id)
+            for old, new in fold.items():
+                from pyspark.sql import functions as _F
+
+                blocks = blocks.withColumn(
+                    "col", _F.when(_F.col("col") == old, new)
+                    .otherwise(_F.col("col")))
+            decoded = decode_with_predicate(blocks, args.schema, pred)
             if cols:
                 decoded = decoded.select(*cols)
         else:

@@ -572,7 +572,7 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
 
 
 def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
-                 schema_ddl: str, key: str = "url",
+                 schema_ddl: str | None = None, key: str = "url",
                  salt_by_value: str | None = None,
                  run_index: int = -1) -> DataFrame:
     """Key point-lookup against an encoded table: recompute the key's
@@ -593,8 +593,10 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     the whole part."""
     from .encode import decode_blocks_df
 
-    _check_key_type(schema_ddl, key, key_value, "point_lookup")
     snap = tbl.current()
+    if schema_ddl is None:
+        schema_ddl = tbl.row_schema(snap)
+    _check_key_type(schema_ddl, key, key_value, "point_lookup")
     aliases = _key_aliases(snap, key)
     run = snap.properties.get("runs", [])[run_index]
     n_parts, salt = run["n_parts"], run.get("salt", 1)
@@ -660,7 +662,7 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
 
 
 def range_lookup(spark: SparkSession, tbl: ManifestTable,
-                 lower, upper, schema_ddl: str,
+                 lower, upper, schema_ddl: str | None = None,
                  key: str = "url") -> DataFrame:
     """Key-RANGE query against an encoded table (``lower <= key <=
     upper``), the scan sibling of :func:`point_lookup`: part pruning
@@ -672,9 +674,11 @@ def range_lookup(spark: SparkSession, tbl: ManifestTable,
     Files without recorded ranges are conservatively read."""
     from .encode import decode_blocks_df, prune_block_groups
 
+    snap = tbl.current()
+    if schema_ddl is None:
+        schema_ddl = tbl.row_schema(snap)
     _check_key_type(schema_ddl, key, lower, "range_lookup")
     _check_key_type(schema_ddl, key, upper, "range_lookup")
-    snap = tbl.current()
     if snap is None or not snap.files:
         raise FileNotFoundError(f"table {tbl.dir} has no committed snapshot")
     aliases = _key_aliases(snap, key)
@@ -927,10 +931,13 @@ def encode_with_checkpoint(
     if run is None:
         return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
                 "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+    from .table import ddl_of
+
     snap = tbl.head(stage)
     runs = (snap.properties.get("runs", []) if snap else []) + [run]
-    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": runs}, mode="append",
-               stage=stage)
+    tbl.commit(files, BLOCK_SCHEMA_DDL,
+               {"runs": runs, "row_schema_ddl": ddl_of(df)},
+               mode="append", stage=stage)
     return run
 
 
@@ -985,10 +992,12 @@ def append_encode(spark: SparkSession, df: DataFrame, tbl: ManifestTable,
     if run is None:
         return {"run_id": run_id, "part_ids": [], "n_rows": 0,
                 "raw_bytes": 0, "enc_bytes": 0}
+    from .table import ddl_of
+
     head = tbl.head(stage)
     tbl.commit(files, BLOCK_SCHEMA_DDL,
                {"runs": (head.properties.get("runs", []) if head else [])
-                + [run]},
+                + [run], "row_schema_ddl": ddl_of(df)},
                mode="append", stage=stage)
     return run
 

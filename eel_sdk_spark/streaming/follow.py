@@ -33,7 +33,8 @@ __all__ = ["follow_once"]
 
 
 def follow_once(spark, src: ManifestTable, sink: ManifestTable,
-                schema_ddl: str, consumer_id: str = "follow",
+                schema_ddl: str | None = None,
+                consumer_id: str = "follow",
                 transform=None, key: str | None = None,
                 n_parts: int | None = None, profile: str = "speed",
                 include_rewrites: bool = False) -> dict:
@@ -54,6 +55,8 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
     if cur_src is None:
         return {"rows": 0, "cursor_from": None, "cursor_to": None,
                 "bootstrap": False}
+    if schema_ddl is None:
+        schema_ddl = src.row_schema(cur_src)
     target = cur_src.snapshot_id
 
     sink_snap = sink.current()

@@ -103,11 +103,14 @@ def encode_epoch(table, batch_df: DataFrame, epoch_id: int, key: str,
         return False  # replayed epoch: its commit already landed
     if batch_df.isEmpty():
         return False
+    from ..table import ddl_of
+
     blocks = encode_df(batch_df, key=key, n_parts=n_parts, profile=profile)
     job_dir = table.new_data_path()
     blocks.write.mode("overwrite").parquet(job_dir)
     table.commit(ManifestTable.list_written_files(job_dir),
-                 BLOCK_SCHEMA_DDL, {f"epoch.{stream_id}": epoch_id},
+                 BLOCK_SCHEMA_DDL, {f"epoch.{stream_id}": epoch_id,
+                                    "row_schema_ddl": ddl_of(batch_df)},
                  mode="append")
     return True
 

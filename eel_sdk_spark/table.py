@@ -48,6 +48,14 @@ class CommitConflict(Exception):
 _PART_SEG = re.compile(r"^([^=/]+)=([^/]*)$")
 
 
+def ddl_of(df) -> str:
+    """The DataFrame's row schema as a decode DDL string — what encode
+    paths persist in the manifest (``row_schema_ddl``) so reads don't
+    need the caller to restate the schema."""
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in df.schema.fields)
+
+
 def fold_renames(entries: list[dict]) -> dict[str, str]:
     """Collapse a rename history into {historical_name: current_name}.
     Applied in commit order, so a→b then b→c folds to {a: c, b: c}."""
@@ -361,10 +369,34 @@ class ManifestTable:
             raise ValueError("rename_column: old and new names are equal")
         entries = list(snap.properties.get("column_renames", []))
         entries.append({"from": old, "to": new})
-        return self.commit([], "", {"column_renames": entries},
-                           mode="append", stage=stage)
+        props: dict = {"column_renames": entries}
+        stored = snap.properties.get("row_schema_ddl")
+        if stored:
+            # string-level rewrite (no SparkContext needed — the rename
+            # CLI is metadata-only): ddl_of joins fields with ", " and
+            # simpleString never puts a space after inner commas
+            # (struct<a:int,b:string>, decimal(10,2)), so the split is
+            # unambiguous for stored schemas
+            parts = []
+            for fld in stored.split(", "):
+                name, _, typ = fld.partition(" ")
+                parts.append(f"{new if name == old else name} {typ}")
+            props["row_schema_ddl"] = ", ".join(parts)
+        return self.commit([], "", props, mode="append", stage=stage)
 
-    def read_decoded(self, spark, schema_ddl: str,
+    def row_schema(self, snap=None) -> str:
+        """The stored logical row schema (persisted by the encode paths
+        since r7); raises with guidance for tables that predate it."""
+        snap = snap or self.current()
+        ddl = (snap.properties if snap else {}).get("row_schema_ddl")
+        if not ddl:
+            raise ValueError(
+                f"table {self.dir} carries no stored row schema "
+                f"(written before row_schema_ddl, or committed bare) — "
+                f"pass schema_ddl explicitly")
+        return ddl
+
+    def read_decoded(self, spark, schema_ddl: str | None = None,
                      columns: list[str] | None = None,
                      constraints: list | None = None,
                      snapshot_id: int | None = None,
@@ -374,13 +406,17 @@ class ManifestTable:
         list with ZERO shuffle: whole files per task (encode.py's
         decode_files_df — block groups are file-adjacent by construction).
         ``constraints`` prune files manifest-side first; ``snapshot_id``
-        time-travels to an older snapshot (within the expiry horizon)."""
+        time-travels to an older snapshot (within the expiry horizon).
+        ``schema_ddl=None`` uses the schema the encode run persisted in
+        the manifest (``row_schema_ddl`` — renames keep it current)."""
         from .encode import decode_files_df
 
         snap = (self.snapshot(snapshot_id) if snapshot_id is not None
                 else self.current())
         if snap is None or not snap.files:
             raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
+        if schema_ddl is None:
+            schema_ddl = self.row_schema(snap)
         files = snap.files
         if constraints:
             parts = snap.partitions or [{} for _ in files]
@@ -499,7 +535,8 @@ class ManifestTable:
                 # chain may still attribute as added — see read_appended
                 "purged_in_window": purged}
 
-    def read_appended(self, spark, schema_ddl: str, since_snapshot_id: int,
+    def read_appended(self, spark, schema_ddl: str | None,
+                      since_snapshot_id: int,
                       columns: list[str] | None = None,
                       verify: bool = True, with_deletes: bool = True,
                       include_rewrites: bool = False):
@@ -520,6 +557,8 @@ class ManifestTable:
         maintenance runs, as with Iceberg)."""
         from .encode import decode_files_df
 
+        if schema_ddl is None:
+            schema_ddl = self.row_schema()
         ch = self.changes_between(since_snapshot_id)
         files = ch["new_data_files"] + ch["unclassified_files"] \
             + (ch["rewritten_files"] if include_rewrites else [])

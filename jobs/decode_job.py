@@ -36,7 +36,9 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
     p.add_argument("--table", default="blocks")
-    p.add_argument("--schema", required=True)
+    p.add_argument("--schema", default=None,
+                   help="decode DDL; omit to use the schema the encode "
+                        "run stored in the manifest (row_schema_ddl)")
     p.add_argument("--output", default=None)
     p.add_argument("--columns", default=None)
     p.add_argument("--where", default=None,
@@ -72,6 +74,12 @@ def main(argv=None) -> None:
     spark = get_spark(app="decode")
     try:
         tbl = ManifestTable(args.warehouse, args.table)
+        if args.schema is None:
+            # resolve from the snapshot being read: a time-travel read
+            # of a pre-rename snapshot must use ITS schema, not today's
+            args.schema = tbl.row_schema(
+                tbl.snapshot(args.snapshot_id)
+                if args.snapshot_id is not None else None)
         cols = args.columns.split(",") if args.columns else None
         if args.key_point is not None:
             if args.where or args.snapshot_id is not None \

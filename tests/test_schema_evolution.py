@@ -142,3 +142,45 @@ def test_rename_key_keeps_lookups_and_deletes_working(spark, tmp_path):
                        key="page_url")
     assert rng.count() == 499  # all minus the tombstoned row
     df.unpersist()
+
+
+def test_stored_row_schema_resolves_reads(spark, tmp_path):
+    """Encode runs persist row_schema_ddl in the manifest: reads and
+    lookups no longer need the caller to restate the schema, and
+    rename_column keeps the stored schema current."""
+    from eel_sdk_spark.checkpoint import encode_with_checkpoint, \
+        point_lookup, range_lookup
+    from eel_sdk_spark.corpus import webtext_df
+    from eel_sdk_spark.streaming.follow import follow_once
+
+    tbl = ManifestTable(str(tmp_path), "sch")
+    df = webtext_df(spark, 400, parts=2).select("url", "text", "lang")
+    encode_with_checkpoint(spark, df, tbl, key="url", n_parts=4,
+                           run_id="r1", sort_by=["url"])
+    assert tbl.row_schema() == "url string, text string, lang string"
+
+    got = tbl.read_decoded(spark)  # no DDL anywhere
+    assert got.count() == 400 and got.columns == ["url", "text", "lang"]
+    target = df.select("url").first()["url"]
+    assert point_lookup(spark, tbl, target).count() == 1
+    assert range_lookup(spark, tbl, "https://", "https://zzzz").count() \
+        == 400
+
+    tbl.rename_column("lang", "language")
+    assert tbl.row_schema() == "url string, text string, language string"
+    got2 = tbl.read_decoded(spark)
+    assert got2.columns == ["url", "text", "language"]
+    assert got2.count() == 400
+
+    # follower resolves the source schema too
+    sink = ManifestTable(str(tmp_path), "sink")
+    out = follow_once(spark, tbl, sink)
+    assert out["rows"] == 400
+
+    # a bare-commit table (no encode lineage) fails with guidance
+    import pytest as _pt
+
+    bare = ManifestTable(str(tmp_path), "bare")
+    bare.commit([], "x int")
+    with _pt.raises(ValueError, match="no stored row schema"):
+        bare.row_schema()

@@ -25,8 +25,17 @@ import sys
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", required=True,
+                   help="parquet path of raw documents, or "
+                        "'warehouse:<path>[:<table>]' to decode an "
+                        "ENCODED ManifestTable (stored row schema; "
+                        "tombstones applied; zero-shuffle read)")
     p.add_argument("--output", required=True)
+    p.add_argument("--since-snapshot", type=int, default=None,
+                   help="with a warehouse: input, clean ONLY the rows "
+                        "appended after this snapshot id (read_appended "
+                        "— pair with --against-store for incremental "
+                        "dedup against the accepted corpus)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--near-dup", type=float, default=0.5,
@@ -96,7 +105,19 @@ def main(argv=None) -> None:
 
     spark = get_spark(app="clean-corpus")
     try:
-        df = spark.read.parquet(args.input)
+        if args.input.startswith("warehouse:"):
+            from eel_sdk_spark.table import ManifestTable
+
+            _, wh, *rest = args.input.split(":")
+            tbl = ManifestTable(wh, rest[0] if rest else "blocks")
+            df = (tbl.read_appended(spark, None, args.since_snapshot)
+                  if args.since_snapshot is not None
+                  else tbl.read_decoded(spark))
+        elif args.since_snapshot is not None:
+            raise SystemExit("--since-snapshot requires a "
+                             "'warehouse:' --input")
+        else:
+            df = spark.read.parquet(args.input)
         n_in = df.count()
         from eel_sdk_spark.functions.dedup import (dedup_params,
                                                    validate_store_params)

@@ -179,14 +179,39 @@ def main(argv=None) -> None:
                 k, v = kv.split("=", 1)
                 weights[k] = float(v)
             out = mix_sources(out, "source", weights, id_col=args.id_col)
-        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
-        try:
-            kept = spark.read.parquet(args.output)
-        except Exception:
-            # a fully-duplicate increment cleans down to ZERO rows: the
-            # written dir has no part files to infer a schema from —
-            # legitimate in incremental mode, not an error
-            kept = out.limit(0)
+        if args.output.startswith("warehouse:"):
+            # encode the cleaned corpus straight into a ManifestTable
+            # ('split' rides as a column): decode -> clean -> encode in
+            # ONE job, no intermediate parquet export. First run
+            # bootstraps; later runs append with run lineage, so the
+            # cleaned table is itself CDC-followable.
+            from eel_sdk_spark.checkpoint import (append_encode,
+                                                  encode_with_checkpoint)
+            from eel_sdk_spark.table import ManifestTable
+
+            _, wh_out, *rest_o = args.output.split(":")
+            out_tbl = ManifestTable(wh_out, rest_o[0] if rest_o
+                                    else "blocks")
+            out = out.cache()
+            if out.isEmpty():
+                kept = out.limit(0)
+            else:
+                if out_tbl.current() is None:
+                    encode_with_checkpoint(spark, out, out_tbl,
+                                           key=args.id_col, n_parts=8,
+                                           run_id="clean")
+                else:
+                    append_encode(spark, out, out_tbl, run_id="clean")
+                kept = out_tbl.read_decoded(spark) if args.since_snapshot                     is None else out
+        else:
+            out.write.mode("overwrite").partitionBy("split")                 .parquet(args.output)
+            try:
+                kept = spark.read.parquet(args.output)
+            except Exception:
+                # a fully-duplicate increment cleans down to ZERO rows:
+                # the written dir has no part files to infer a schema
+                # from — legitimate in incremental mode, not an error
+                kept = out.limit(0)
         if args.write_store:
             from eel_sdk_spark.functions.dedup import (dedupe_store_rows,
                                                        signature_store,

@@ -1151,10 +1151,13 @@ def q_range_lookup(spark, sf):
     120 is one of the tombstoned keys, so readmit=True exercises the
     tombstone-sidecar rewrite; the copy-on-write merge must land the
     fresh rows AND drop the stale ones atomically for the 'range' leg
-    to hash. The 'cdc' leg reads rows APPENDED after the pre-upsert
-    cursor: its oracle is EXACTLY the three incoming rows, so if
-    read_appended ever leaked a rewrite file (pre-existing rows in new
-    clothes) or missed the incoming run, the hash breaks."""
+    to hash. The 'cdc' leg goes through the exactly-once FOLLOWER
+    (streaming/follow.py): a sink table is bootstrapped pre-upsert,
+    one post-publish poll must materialize exactly the three incoming
+    rows (replay poll asserted a no-op), and the leg decodes the
+    SINK's appended window — a second encode/decode generation, so a
+    duplicate, a leaked rewrite file, a follower cursor bug, or a
+    read_appended miss all break the hash."""
     import tempfile
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint, range_lookup
@@ -1169,6 +1172,17 @@ def q_range_lookup(spark, sf):
                            run_id="gate", sort_by=["doc_id"])
     delete_rows(spark, tbl, [120, 200, 205], key="doc_id")
     cursor = tbl.current().snapshot_id
+    # r7 follower routing (same oracle): bootstrap an exactly-once
+    # follower sink BEFORE the upsert; after publish, ONE poll must
+    # materialize exactly the incoming rows into the sink (offsets-in-
+    # sink cursor, second encode/decode generation), and the cdc leg
+    # reads the SINK's appended window — a duplicate, a leaked rewrite
+    # file, or a cursor bug breaks the hash
+    from eel_sdk_spark.streaming.follow import follow_once
+
+    sink = ManifestTable(tempfile.mkdtemp(prefix="eel_gate_fl_"), "sink")
+    follow_once(spark, tbl, sink, ddl)
+    sink_cursor = sink.current().snapshot_id
     incoming = (d.filter(F.col("doc_id").isin(120, 150, 151))
                 .withColumn("text", F.concat(F.lit("UPD:"), F.col("text"))))
     # r7 WAP routing (same oracle): the merge lands STAGED on a named
@@ -1183,7 +1197,9 @@ def q_range_lookup(spark, sf):
     assert fsck_summary(fsck(spark, tbl, snapshot_id=staged))["healthy"]
     tbl.publish("audit")
     rng = range_lookup(spark, tbl, 100, 260, ddl, key="doc_id")
-    cdc = tbl.read_appended(spark, ddl, cursor)
+    assert follow_once(spark, tbl, sink, ddl)["rows"] == 3
+    assert follow_once(spark, tbl, sink, ddl)["rows"] == 0  # replay no-op
+    cdc = sink.read_appended(spark, ddl, sink_cursor)
     return (rng.withColumn("leg", F.lit("range"))
             .unionByName(cdc.withColumn("leg", F.lit("cdc")))
             .select("leg", "doc_id", "text", "lang", "source", "n_chars"))

@@ -401,16 +401,23 @@ class ManifestTable:
                      constraints: list | None = None,
                      snapshot_id: int | None = None,
                      verify: bool = True,
-                     with_deletes: bool = True):
+                     with_deletes: bool = True,
+                     ref: str | None = None):
         """Decode an encoded-blocks table straight from its snapshot file
         list with ZERO shuffle: whole files per task (encode.py's
         decode_files_df — block groups are file-adjacent by construction).
         ``constraints`` prune files manifest-side first; ``snapshot_id``
         time-travels to an older snapshot (within the expiry horizon).
         ``schema_ddl=None`` uses the schema the encode run persisted in
-        the manifest (``row_schema_ddl`` — renames keep it current)."""
+        the manifest (``row_schema_ddl`` — renames keep it current).
+        ``ref`` reads a named ref (a tag's pinned version, or a staged
+        line under audit) — the reproducible-training-set read."""
         from .encode import decode_files_df
 
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         snap = (self.snapshot(snapshot_id) if snapshot_id is not None
                 else self.current())
         if snap is None or not snap.files:
@@ -788,7 +795,8 @@ class ManifestTable:
 
     # -- maintenance (Iceberg expireSnapshots / deleteOrphanFiles parity) --
     def expire_snapshots(self, keep_last: int = 1,
-                         delete_files: bool = True) -> dict:
+                         delete_files: bool = True,
+                         older_than_s: float | None = None) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and delete data
         files referenced ONLY by expired ones (Iceberg's expire_snapshots;
         the reference has no snapshot layer at all). At 100 TB every
@@ -805,7 +813,15 @@ class ManifestTable:
                 return {"expired_snapshots": 0, "deleted_files": 0}
             keep_ids = []
             s = cur
-            while s is not None and len(keep_ids) < keep_last:
+            # age-based retention (Iceberg's expire_snapshots default):
+            # with older_than_s, every snapshot younger than the cutoff
+            # survives too — keep_last stays the floor
+            cutoff = (time.time() - older_than_s
+                      if older_than_s is not None else None)
+            while s is not None and (
+                    len(keep_ids) < keep_last
+                    or (cutoff is not None
+                        and s.properties.get("committed_at", 0) >= cutoff)):
                 keep_ids.append(s.snapshot_id)
                 try:
                     s = (self.snapshot(s.parent_id)

@@ -276,7 +276,8 @@ def cmd_gc(args) -> None:
     from eel_sdk_spark.table import ManifestTable
 
     tbl = ManifestTable(args.warehouse, args.table)
-    out = tbl.expire_snapshots(keep_last=args.keep_last)
+    out = tbl.expire_snapshots(keep_last=args.keep_last,
+                               older_than_s=args.older_than_s)
     orphans = tbl.remove_orphan_files(older_than_s=args.orphan_age_s)
     out["orphans_removed"] = len(orphans)
     sys.stdout.write(json.dumps(out) + "\n")
@@ -596,6 +597,10 @@ def main(argv=None) -> None:
     gc.add_argument("--warehouse", required=True)
     gc.add_argument("--table", default="blocks")
     gc.add_argument("--keep-last", type=int, default=2)
+    gc.add_argument("--older-than-s", type=float, default=None,
+                    help="also keep every snapshot younger than this "
+                         "many seconds (Iceberg-style age retention; "
+                         "keep-last stays the floor)")
     gc.add_argument("--orphan-age-s", type=float, default=3600.0)
 
     pr = sub.add_parser("profile")

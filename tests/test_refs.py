@@ -270,3 +270,36 @@ def test_staged_compact_and_staged_purge(spark, tmp_path):
     assert not tbl.current().properties.get("tombstones")
     assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 1498
     df.unpersist()
+
+
+def test_read_by_ref_and_age_based_expiry(spark, tmp_path):
+    import time as _time
+
+    df, tbl = _mk(spark, tmp_path, n=800, parts=2)
+    v1 = tbl.current().snapshot_id
+    tbl.tag("train-v1")
+
+    blocks = encode_df(_fresh(spark, 20, "later"), key="url", n_parts=2)
+    job_dir = tbl.new_data_path()
+    blocks.write.mode("overwrite").parquet(job_dir)
+    tbl.commit(ManifestTable.list_written_files(job_dir), BLOCK_SCHEMA_DDL)
+
+    # read the pinned version by NAME (no snapshot id bookkeeping)
+    got = tbl.read_decoded(spark, SCHEMA_DDL, ref="train-v1")
+    assert got.count() == 800
+    assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 820
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read_decoded(spark, SCHEMA_DDL, ref="train-v1", snapshot_id=v1)
+
+    # age-based retention: everything is younger than an hour, so an
+    # older_than_s=3600 expiry keeps BOTH snapshots despite keep_last=1
+    out = tbl.expire_snapshots(keep_last=1, older_than_s=3600)
+    assert out["expired_snapshots"] == 0
+    assert tbl.snapshot(v1).snapshot_id == v1
+    # a zero-second horizon falls back to the keep_last floor (+ refs)
+    tbl.drop_ref("train-v1")
+    out2 = tbl.expire_snapshots(keep_last=1, older_than_s=0)
+    assert out2["expired_snapshots"] == 1
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(v1)
+    df.unpersist()

@@ -37,18 +37,26 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
                 consumer_id: str = "follow",
                 transform=None, key: str | None = None,
                 n_parts: int | None = None, profile: str = "speed",
-                include_rewrites: bool = False) -> dict:
+                include_rewrites: bool = False,
+                bootstrap: str = "full") -> dict:
     """One poll of the follower: process rows appended to ``src`` since
     this consumer's cursor into ``sink``, exactly once.
 
     First call (no ``cdc.<consumer_id>`` property on the sink)
-    bootstraps from the FULL current source table. Subsequent calls use
-    ``src.read_appended`` from the stored cursor. An increment that
-    transforms to zero rows still advances the cursor with a
-    properties-only commit (so a filter-everything window is not
-    re-decoded forever). ``key``/``n_parts`` default to the source's
-    encode lineage, like ``deletes.upsert_rows``.
+    bootstraps per ``bootstrap``: ``"full"`` processes the entire
+    current source table; ``"from_now"`` just pins the cursor at the
+    current snapshot with a properties-only commit and emits nothing —
+    the right first call on a 100 TB table whose history the consumer
+    doesn't need (a full bootstrap there is a table copy). Subsequent
+    calls use ``src.read_appended`` from the stored cursor. An
+    increment that transforms to zero rows still advances the cursor
+    with a properties-only commit (so a filter-everything window is
+    not re-decoded forever). ``key``/``n_parts`` default to the
+    source's encode lineage, like ``deletes.upsert_rows``.
     """
+    if bootstrap not in ("full", "from_now"):
+        raise ValueError(f"bootstrap must be 'full' or 'from_now', "
+                         f"got {bootstrap!r}")
     from ..encode import BLOCK_SCHEMA_DDL, encode_df
 
     cur_src = src.current()
@@ -74,8 +82,13 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
         key = key or last_run.get("key", "url")
         n_parts = n_parts or int(last_run.get("n_parts", 8))
 
-    bootstrap = cursor is None
-    if bootstrap:
+    is_bootstrap = cursor is None
+    if is_bootstrap and bootstrap == "from_now":
+        sink.commit([], "", {prop: target}, mode="append",
+                    expect_properties={prop: sink_props.get(prop)})
+        return {"rows": 0, "cursor_from": None, "cursor_to": target,
+                "bootstrap": True}
+    if is_bootstrap:
         df = src.read_decoded(spark, schema_ddl, snapshot_id=target)
     else:
         df = src.read_appended(spark, schema_ddl, cursor,
@@ -94,7 +107,7 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
             sink.commit([], "", {prop: target}, mode="append",
                         expect_properties=guard)
             return {"rows": 0, "cursor_from": cursor, "cursor_to": target,
-                    "bootstrap": bootstrap}
+                    "bootstrap": is_bootstrap}
         blocks = encode_df(df, key=key, n_parts=n_parts, profile=profile)
         job_dir = sink.new_data_path()
         blocks.write.mode("overwrite").parquet(job_dir)
@@ -104,4 +117,4 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
     finally:
         df.unpersist()
     return {"rows": n_rows, "cursor_from": cursor, "cursor_to": target,
-            "bootstrap": bootstrap}
+            "bootstrap": is_bootstrap}

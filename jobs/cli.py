@@ -546,7 +546,9 @@ def cmd_follow(args) -> None:
                      if args.filter else None)
         out = follow_once(spark, src, sink, args.schema,
                           consumer_id=args.consumer_id,
-                          transform=transform, profile=args.profile)
+                          transform=transform, profile=args.profile,
+                          bootstrap="from_now" if args.from_now
+                          else "full")
         sys.stdout.write(json.dumps(out) + "\n")
     finally:
         spark.stop()
@@ -771,12 +773,17 @@ def main(argv=None) -> None:
     fo.add_argument("--warehouse", required=True)
     fo.add_argument("--src-table", default="blocks")
     fo.add_argument("--sink-table", required=True)
-    fo.add_argument("--schema", required=True,
-                    help="decode DDL of the source rows")
+    fo.add_argument("--schema", default=None,
+                    help="decode DDL of the source rows (default: the "
+                         "stored row_schema_ddl)")
     fo.add_argument("--consumer-id", default="follow")
     fo.add_argument("--filter", default=None,
                     help="SQL boolean expression applied to the window")
     fo.add_argument("--profile", default="speed")
+    fo.add_argument("--from-now", action="store_true",
+                    help="first poll pins the cursor at the current "
+                         "snapshot instead of copying the table's "
+                         "history into the sink")
 
     args = p.parse_args(argv)
     {"schema": cmd_schema, "stream": cmd_stream,

@@ -156,3 +156,23 @@ def test_maintenance_between_polls_reemits_nothing(spark, tmp_path):
     assert read.filter(F.col("text") == "recrawl").count() == 2
     read.unpersist()
     df.unpersist()
+
+
+def test_from_now_bootstrap_skips_history(spark, tmp_path):
+    """bootstrap='from_now' pins the cursor without copying the table —
+    the right first poll on a table whose history the consumer does
+    not need (at 100 TB a full bootstrap is a table copy)."""
+    df, src = _mk_src(spark, tmp_path)
+    sink = ManifestTable(str(tmp_path), "sink")
+    out = follow_once(spark, src, sink, SCHEMA_DDL, bootstrap="from_now")
+    assert out["bootstrap"] and out["rows"] == 0
+    # history was not copied; only rows appended AFTER the pin flow
+    _append(spark, src, _fresh(spark, 13, "new"))
+    out2 = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert out2["rows"] == 13
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 13
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="from_now"):
+        follow_once(spark, src, sink, SCHEMA_DDL, bootstrap="nope")
+    df.unpersist()

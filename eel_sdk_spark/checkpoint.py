@@ -444,7 +444,12 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
     manifest (never guessed), and ``verify_fingerprint=True`` refuses to
     repair from input whose content fingerprint differs from what the
     damaged run actually encoded — repairing from drifted input would
-    silently replace data. Files the manifest has NO coverage for are
+    silently replace data. MULTI-RUN LIMITATION: repair re-encodes from
+    ONE input_df, so a table with appended/upserted/purged runs (their
+    records carry fingerprint=None) is refused under the default guard —
+    rows later runs contributed to a damaged part would otherwise be
+    silently dropped. Pass ``verify_fingerprint=False`` only with an
+    input_df that is the exact union of every committed row. Files the manifest has NO coverage for are
     scanned for their exact parts when readable; a damaged file that is
     BOTH unreadable and uncovered forces ``full_rebuild``.
 
@@ -533,12 +538,24 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
         return out
 
     cur_fp = input_fingerprint(input_df, key)
-    if verify_fingerprint and run.get("fingerprint") not in (None, cur_fp):
-        raise ValueError(
-            f"repair input mismatch: fingerprint {cur_fp} != committed "
-            f"{run['fingerprint']}; repairing from drifted input would "
-            f"silently replace data (pass verify_fingerprint=False only "
-            f"if the drift is intended)")
+    if verify_fingerprint:
+        # EVERY lineage run must fingerprint-match input_df, not just the
+        # resolved one: append/upsert/purge runs record fingerprint=None
+        # (no single input reproduces them), and on a multi-run table the
+        # part-cascade rewrite would silently DROP the other runs' rows
+        # that share a damaged part, replacing them with input_df rows
+        # only. Same-fingerprint multi-run (a checkpoint resume) is fine.
+        fps = {r.get("fingerprint") for r in runs}
+        if fps != {cur_fp}:
+            raise ValueError(
+                f"repair input mismatch: lineage fingerprints "
+                f"{sorted(str(f) for f in fps)} != input fingerprint "
+                f"{cur_fp}. Either the input drifted, or the table has "
+                f"appended/merged runs (recorded fingerprint=None) that "
+                f"input_df cannot prove it contains — repairing would "
+                f"silently replace their rows. Pass "
+                f"verify_fingerprint=False ONLY if input_df is the exact "
+                f"union of every row ever committed")
 
     new_files: list[str] = []
     rec = None

@@ -182,9 +182,29 @@ def purge_deletes(spark: SparkSession, tbl: ManifestTable,
     this the rows are physically gone from the current snapshot; run
     ``expire_snapshots`` to also age out the historical copies.
     ``stage`` lands the purged snapshot on a named ref for audit before
-    ``publish`` (erasure review flows)."""
+    ``publish`` (erasure review flows).
+
+    The commit carries an ``expect_properties`` CAS on the tombstone
+    list: a ``delete_rows`` landing while the purge runs would otherwise
+    be silently erased by the full property overwrite (the takedown
+    would resurface). On conflict the purge recomputes over the new
+    tombstones and retries."""
+    from .table import CommitConflict
+
+    last_err = None
+    for _ in range(3):
+        try:
+            return _purge_once(spark, tbl, schema_ddl, stage)
+        except CommitConflict as e:
+            last_err = e  # a rival delete landed mid-purge: recompute
+    raise last_err
+
+
+def _purge_once(spark: SparkSession, tbl: ManifestTable,
+                schema_ddl: str, stage: str | None = None) -> dict:
     from .checkpoint import _run_record
     from .encode import encode_df
+    from .table import fold_renames
 
     snap = tbl.head(stage)
     if snap is None:
@@ -196,6 +216,11 @@ def purge_deletes(spark: SparkSession, tbl: ManifestTable,
     if not runs:
         raise ValueError("purge: table has no encode run lineage")
     run = runs[-1]
+    # run records keep the key name AT ENCODE TIME; translate through the
+    # rename chain so post-rename rewrites decode and re-encode under the
+    # CURRENT name (decode_files_df relabels the blocks the same way)
+    fold = fold_renames(snap.properties.get("column_renames", []))
+    run_key = fold.get(run.get("key", "url"), run.get("key", "url"))
 
     candidates: set[str] = set()
     keys_by_col = tombstone_keys(spark, snap)
@@ -215,11 +240,12 @@ def purge_deletes(spark: SparkSession, tbl: ManifestTable,
     if candidates:
         from .encode import decode_files_df
 
-        decoded = decode_files_df(spark, sorted(candidates), schema_ddl)
+        decoded = decode_files_df(spark, sorted(candidates), schema_ddl,
+                                  renames=fold)
         kept = apply_deletes(spark, decoded, snap)
         n_kept = kept.count()
         if n_kept:
-            blocks = encode_df(kept, key=run.get("key", "url"),
+            blocks = encode_df(kept, key=run_key,
                                n_parts=run["n_parts"],
                                salt=run.get("salt", 1),
                                salt_by=run.get("salt_by"))
@@ -232,13 +258,15 @@ def purge_deletes(spark: SparkSession, tbl: ManifestTable,
                               n_parts=run["n_parts"],
                               salt=run.get("salt", 1),
                               salt_by=run.get("salt_by"),
-                              key=run.get("key", "url"))
+                              key=run_key)
     props = dict(snap.properties)
     props["tombstones"] = []
     props["runs"] = runs + ([rec] if rec else [])
     healed = tbl.commit(survivors + new_files,
                         snap.schema_ddl or "", props, mode="overwrite",
-                        stage=stage)
+                        stage=stage,
+                        expect_properties={
+                            "tombstones": snap.properties.get("tombstones")})
     return {"purged_keys": sum(e["n"] for e in entries),
             "rewritten_files": len(candidates),
             "surviving_files": len(survivors),
@@ -284,13 +312,17 @@ def _range_candidates(snap, key: str, sorted_vals: list) -> list[str]:
 
 def _rewrite_tombstones(spark: SparkSession, tbl: ManifestTable,
                         entries: list[dict], key: str,
-                        minus: DataFrame) -> list[dict]:
+                        minus: DataFrame,
+                        fold: dict[str, str] | None = None) -> list[dict]:
     """Re-admission support: rewrite this key column's tombstone sidecars
     without the keys in ``minus``; entries for other key columns pass
-    through untouched. Old sidecar files stay on disk for time travel
+    through untouched. ``fold`` matches entries recorded under a
+    historical (pre-rename) key name; the rewritten entry carries the
+    CURRENT name. Old sidecar files stay on disk for time travel
     (expire_snapshots GCs them with their snapshots)."""
-    ours = [e for e in entries if e["key"] == key]
-    others = [e for e in entries if e["key"] != key]
+    fold = fold or {}
+    ours = [e for e in entries if fold.get(e["key"], e["key"]) == key]
+    others = [e for e in entries if fold.get(e["key"], e["key"]) != key]
     if not ours:
         return entries
     remaining = (spark.read.parquet(*[f for e in ours for f in e["files"]])
@@ -334,9 +366,29 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
 
     A registered bloom index is NOT refreshed here (rewritten + new
     files fall back to the per-file bloom scan — append-safe); refresh
-    with ``build_bloom_index`` or the next ``compact()``."""
+    with ``build_bloom_index`` or the next ``compact()``.
+
+    Like ``purge_deletes``, the overwrite commit is CAS-guarded on the
+    tombstone list (a concurrent ``delete_rows`` must not be erased by
+    the property overwrite) and retried on conflict."""
+    from .table import CommitConflict
+
+    last_err = None
+    for _ in range(3):
+        try:
+            return _upsert_once(spark, tbl, incoming, schema_ddl,
+                                readmit, stage)
+        except CommitConflict as e:
+            last_err = e  # a rival delete landed mid-merge: recompute
+    raise last_err
+
+
+def _upsert_once(spark: SparkSession, tbl: ManifestTable,
+                 incoming: DataFrame, schema_ddl: str,
+                 readmit: bool, stage: str | None) -> dict:
     from .checkpoint import _run_record
     from .encode import decode_files_df, encode_df
+    from .table import fold_renames
 
     # ``stage`` lands the merged snapshot on a named ref (audit the
     # merge — fsck, row counts, spot decodes — then tbl.publish);
@@ -348,7 +400,10 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
     if not runs:
         raise ValueError("upsert: table has no encode run lineage")
     run = runs[-1]
-    key = run.get("key", "url")
+    # translate the run's encode-time key name through the rename chain
+    # (callers speak the CURRENT schema)
+    fold = fold_renames(snap.properties.get("column_renames", []))
+    key = fold.get(run.get("key", "url"), run.get("key", "url"))
     if key not in incoming.columns:
         raise ValueError(f"upsert: incoming frame lacks the lineage key "
                          f"column {key!r}")
@@ -359,7 +414,11 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
                 "snapshot_id": snap.snapshot_id}
 
     entries = _tombstone_entries(snap)
-    tombstoned = [e for e in entries if e["key"] == key]
+    # tombstones recorded pre-rename carry the historical key name —
+    # match through the fold or a tombstoned incoming key slips the
+    # readmit check and its new rows are suppressed on read
+    tombstoned = [e for e in entries
+                  if fold.get(e["key"], e["key"]) == key]
     if tombstoned:
         hit = (spark.read.parquet(*[f for e in tombstoned
                                     for f in e["files"]])
@@ -372,7 +431,8 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
                 f"readmit=True to explicitly re-admit them (takedown "
                 f"keys should be removed from the upsert feed instead)")
         if hit:
-            entries = _rewrite_tombstones(spark, tbl, entries, key, ikeys)
+            entries = _rewrite_tombstones(spark, tbl, entries, key, ikeys,
+                                          fold=fold)
 
     # prune the rewrite set with the lookup tiers turned to the write side
     vals = [r[key] for r in ikeys.limit(PURGE_BLOOM_MAX_KEYS + 1)
@@ -391,7 +451,8 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
     recs: list[dict] = []
     n_replaced = 0
     if candidates:
-        decoded = decode_files_df(spark, sorted(candidates), schema_ddl)
+        decoded = decode_files_df(spark, sorted(candidates), schema_ddl,
+                                  renames=fold)
         right = F.broadcast(ikeys) if n_keys <= BROADCAST_MAX_KEYS else ikeys
         kept = decoded.join(right, on=key, how="left_anti")
         n_before = decoded.count()
@@ -430,9 +491,14 @@ def upsert_rows(spark: SparkSession, tbl: ManifestTable,
     props = dict(snap.properties)
     props["tombstones"] = entries
     props["runs"] = runs + recs
-    healed = tbl.commit(survivors + new_files, snap.schema_ddl or "",
-                        props, mode="overwrite", stage=stage)
-    ikeys.unpersist()
+    try:
+        healed = tbl.commit(
+            survivors + new_files, snap.schema_ddl or "",
+            props, mode="overwrite", stage=stage,
+            expect_properties={
+                "tombstones": snap.properties.get("tombstones")})
+    finally:
+        ikeys.unpersist()  # also on CommitConflict — the retry re-caches
     return {"upserted_rows": n_in,
             "upserted_keys": n_keys,
             "replaced_rows": n_replaced,

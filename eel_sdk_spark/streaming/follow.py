@@ -111,9 +111,26 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
         blocks = encode_df(df, key=key, n_parts=n_parts, profile=profile)
         job_dir = sink.new_data_path()
         blocks.write.mode("overwrite").parquet(job_dir)
-        sink.commit(ManifestTable.list_written_files(job_dir),
-                    BLOCK_SCHEMA_DDL, {prop: target}, mode="append",
-                    expect_properties=guard)
+        files = ManifestTable.list_written_files(job_dir)
+        # the sink is a first-class encoded table: commit a run record
+        # (lineage for prune tiers, CDC classification, and chained
+        # followers adopting key/n_parts) and the row schema (so
+        # read_decoded(schema_ddl=None)/row_schema() work on the sink),
+        # exactly as append_encode does
+        from ..checkpoint import _run_record
+        from ..table import ddl_of
+
+        rec = _run_record(spark, job_dir, files,
+                          run_id=f"follow-{consumer_id}-{target}",
+                          fingerprint=None, n_parts=n_parts, salt=1,
+                          salt_by=None, key=key)
+        head = sink.current()
+        sink_runs = head.properties.get("runs", []) if head else []
+        sink.commit(files, BLOCK_SCHEMA_DDL,
+                    {prop: target,
+                     "runs": sink_runs + ([rec] if rec else []),
+                     "row_schema_ddl": ddl_of(df)},
+                    mode="append", expect_properties=guard)
     finally:
         df.unpersist()
     return {"rows": n_rows, "cursor_from": cursor, "cursor_to": target,

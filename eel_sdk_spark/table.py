@@ -810,7 +810,10 @@ class ManifestTable:
             fcntl.flock(lock, fcntl.LOCK_EX)
             cur = self.current()
             if cur is None:
-                return {"expired_snapshots": 0, "deleted_files": 0}
+                # same shape as the full path — callers diff gc output
+                return {"expired_snapshots": 0, "deleted_files": 0,
+                        "deleted_index_files": 0,
+                        "deleted_tombstone_files": 0}
             keep_ids = []
             s = cur
             # age-based retention (Iceberg's expire_snapshots default):

@@ -228,3 +228,71 @@ def test_analyze_table_falls_back_to_lineage_without_file_stats(
     assert out["stats_scope"] == "lineage"
     assert out["rows"] == 500
     df.unpersist()
+
+
+def test_rename_then_purge_materializes(spark, tmp_path):
+    """ADVICE r7: purge must thread the rename mapping into the decode —
+    pre-rename files store the key under its historical name, and a
+    purge after rename_column previously raised 'incomplete block
+    groups' on them (the GDPR materialization path was broken until a
+    compact rewrote the files)."""
+    df, tbl = _mk(spark, tmp_path, "renpurge", n=1500, parts=4)
+    victims = _some_urls(df, 2)
+    delete_rows(spark, tbl, victims)
+    tbl.rename_column("url", "page_url")
+    ddl = SCHEMA_DDL.replace("url ", "page_url ", 1)
+
+    out = purge_deletes(spark, tbl, ddl)
+    assert out["purged_keys"] == 2
+    assert out["rewritten_files"] >= 1
+    assert tbl.current().properties["tombstones"] == []
+    # physically gone: the raw (no-suppression) read no longer has them
+    raw = tbl.read_decoded(spark, with_deletes=False)
+    assert raw.count() == 1500 - 2
+    assert raw.filter(F.col("page_url").isin(victims)).count() == 0
+    df.unpersist()
+
+
+def test_delete_landing_mid_purge_survives_cas(spark, tmp_path,
+                                               monkeypatch):
+    """ADVICE r7: purge reads the tombstone list outside the commit lock
+    and overwrites properties wholesale — a delete_rows landing mid-purge
+    was silently erased (the takedown resurfaced). The expect_properties
+    CAS + retry must purge BOTH."""
+    import eel_sdk_spark.deletes as D
+
+    df, tbl = _mk(spark, tmp_path, "racepurge", n=1500, parts=4)
+    first, second = _some_urls(df, 2)
+    delete_rows(spark, tbl, [first])
+
+    real = D.tombstone_keys
+    fired = {"n": 0}
+
+    def spy(spark_, snap):
+        out = real(spark_, snap)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a rival takedown lands AFTER the purge read its snapshot
+            delete_rows(spark_, tbl, [second])
+        return out
+
+    monkeypatch.setattr(D, "tombstone_keys", spy)
+    out = purge_deletes(spark, tbl, SCHEMA_DDL)
+    # the retry re-read the head and materialized BOTH takedowns
+    assert out["purged_keys"] == 2
+    assert fired["n"] == 1
+    assert tbl.current().properties["tombstones"] == []
+    raw = tbl.read_decoded(spark, SCHEMA_DDL, with_deletes=False)
+    assert raw.filter(F.col("url").isin([first, second])).count() == 0
+    assert raw.count() == 1500 - 2
+    df.unpersist()
+
+
+def test_expire_snapshots_empty_table_result_shape(spark, tmp_path):
+    """ADVICE r7: the early-exit return must carry the same four keys as
+    the full path (callers diff gc output)."""
+    tbl = ManifestTable(str(tmp_path), "emptygc")
+    out = tbl.expire_snapshots()
+    assert out == {"expired_snapshots": 0, "deleted_files": 0,
+                   "deleted_index_files": 0,
+                   "deleted_tombstone_files": 0}

@@ -176,3 +176,35 @@ def test_from_now_bootstrap_skips_history(spark, tmp_path):
     with _pt.raises(ValueError, match="from_now"):
         follow_once(spark, src, sink, SCHEMA_DDL, bootstrap="nope")
     df.unpersist()
+
+
+def test_sink_is_a_first_class_encoded_table(spark, tmp_path):
+    """ADVICE r7: the follower's data commits must carry a run record and
+    the row schema, so the sink supports schema-less reads, CDC
+    classification, and a CHAINED follower adopting key/n_parts from its
+    lineage."""
+    df, src = _mk_src(spark, tmp_path, n=800, parts=4)
+    sink = ManifestTable(str(tmp_path), "sink1")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+
+    # stored schema: schema-less decode + row_schema() work on the sink
+    assert sink.row_schema() == SCHEMA_DDL
+    assert sink.read_decoded(spark).count() == 800
+    # run lineage: the poll's files classify as NEW DATA, not unclassified
+    boot = sink.current()
+    run = boot.properties["runs"][-1]
+    assert run["run_id"].startswith("follow-") and run["key"] == "url"
+    _append(spark, src, _fresh(spark, 25, "inc"))
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    diff = sink.changes_between(boot.snapshot_id)
+    assert diff["unclassified_files"] == []
+    assert len(diff["new_data_files"]) >= 1
+
+    # chained follower adopts key/n_parts from the SINK's own lineage
+    third = ManifestTable(str(tmp_path), "sink2")
+    out = follow_once(spark, sink, third, consumer_id="chain")
+    assert out["rows"] == 825
+    assert third.read_decoded(spark).count() == 825
+    assert third.current().properties["runs"][-1]["n_parts"] == \
+        run["n_parts"]
+    df.unpersist()

@@ -269,3 +269,35 @@ def test_repair_healthy_table_is_noop(spark, tmp_path):
     out = repair_table(spark, tbl, df)
     assert out["healthy"] and out["dropped_files"] == []
     assert tbl.current().snapshot_id == snap_before
+
+
+def test_repair_refuses_multi_run_table_by_default(spark, tmp_path):
+    """ADVICE r7: append/upsert/purge runs record fingerprint=None, which
+    the old guard silently passed — repairing a multi-run table from the
+    bootstrap input would drop the appended rows. The guard must demand
+    an explicit verify_fingerprint=False, and with the true union input
+    the repair must then be row-exact."""
+    from eel_sdk_spark.checkpoint import append_encode, repair_table
+
+    df = webtext_df(spark, 2000, parts=4).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "multirun")
+    encode_with_checkpoint(spark, df, tbl, n_parts=4, run_id="r1",
+                           shuffle=True)
+    extra = (webtext_df(spark, 300, parts=1)
+             .withColumn("url", F.concat(F.lit("https://x.example/"),
+                                         F.col("url")))).cache()
+    extra.count()
+    append_encode(spark, extra, tbl, run_id="a1")
+    _tamper_payload(_first_nonempty(tbl.current().files))
+
+    with pytest.raises(ValueError, match="fingerprint"):
+        repair_table(spark, tbl, df)
+
+    union = df.unionByName(extra)
+    out = repair_table(spark, tbl, union, verify_fingerprint=False)
+    assert not out["healthy"]
+    assert fsck_summary(fsck(spark, tbl))["healthy"]
+    assert _rows_equal(tbl.read_decoded(spark, SCHEMA_DDL), union)
+    df.unpersist()
+    extra.unpersist()

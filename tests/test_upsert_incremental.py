@@ -223,3 +223,64 @@ def test_purge_in_window_is_flagged(spark, tmp_path):
     assert ch["purged_in_window"] is True
     assert sum(e["n"] for e in ch["tombstones_added"]) == 1
     df.unpersist()
+
+
+def test_rename_then_upsert_merges(spark, tmp_path):
+    """ADVICE r7: upsert must decode pre-rename candidate files under the
+    rename mapping (and resolve the lineage key's CURRENT name) — a
+    rename_column previously broke every later merge until a compact."""
+    df, tbl = _mk(spark, tmp_path, "renups", n=1500, parts=4)
+    tbl.rename_column("url", "page_url")
+    ddl = SCHEMA_DDL.replace("url ", "page_url ", 1)
+
+    victims = _urls(df, 3)
+    incoming = (df.filter(F.col("url").isin(victims))
+                .withColumn("text", F.lit("refetched"))
+                .withColumnRenamed("url", "page_url"))
+    out = upsert_rows(spark, tbl, incoming, ddl)
+    assert out["upserted_keys"] == 3 and out["replaced_rows"] == 3
+
+    read = tbl.read_decoded(spark).cache()
+    assert read.count() == 1500
+    assert (read.filter(F.col("page_url").isin(victims))
+            .filter("text = 'refetched'").count() == 3)
+    # the merge run's record carries the CURRENT key name
+    assert tbl.current().properties["runs"][-1]["key"] == "page_url"
+    read.unpersist()
+    df.unpersist()
+
+
+def test_delete_landing_mid_upsert_survives_cas(spark, tmp_path,
+                                                monkeypatch):
+    """ADVICE r7: a delete_rows landing between the upsert's snapshot
+    read and its overwrite commit was erased by the property overwrite.
+    The CAS retry must preserve the takedown."""
+    import eel_sdk_spark.deletes as D
+
+    df, tbl = _mk(spark, tmp_path, "raceups", n=1500, parts=4)
+    victim, updated = _urls(df, 2)
+
+    real = D._purge_candidates
+    fired = {"n": 0}
+
+    def spy(spark_, snap, key, values):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            delete_rows(spark_, tbl, [victim])
+        return real(spark_, snap, key, values)
+
+    monkeypatch.setattr(D, "_purge_candidates", spy)
+    incoming = (df.filter(F.col("url") == updated)
+                .withColumn("text", F.lit("v2")))
+    out = upsert_rows(spark, tbl, incoming, SCHEMA_DDL)
+    assert out["replaced_rows"] == 1 and fired["n"] == 1
+
+    # the rival takedown survived the merge commit
+    tombs = tbl.current().properties["tombstones"]
+    assert len(tombs) == 1 and tombs[0]["n"] == 1
+    read = tbl.read_decoded(spark, SCHEMA_DDL).cache()
+    assert read.filter(F.col("url") == victim).count() == 0
+    assert (read.filter(F.col("url") == updated)
+            .first()["text"] == "v2")
+    read.unpersist()
+    df.unpersist()

@@ -1157,7 +1157,10 @@ def q_range_lookup(spark, sf):
     rows (replay poll asserted a no-op), and the leg decodes the
     SINK's appended window — a second encode/decode generation, so a
     duplicate, a leaked rewrite file, a follower cursor bug, or a
-    read_appended miss all break the hash."""
+    read_appended miss all break the hash.
+    r8 'ck' leg: COMPOSITE lineage keys — a second table keyed
+    ["source", "doc_id"], a 2-col upsert, and three composite
+    point_lookups (see the inline comment)."""
     import tempfile
 
     from eel_sdk_spark.checkpoint import encode_with_checkpoint, range_lookup
@@ -1200,8 +1203,35 @@ def q_range_lookup(spark, sf):
     assert follow_once(spark, tbl, sink, ddl)["rows"] == 3
     assert follow_once(spark, tbl, sink, ddl)["rows"] == 0  # replay no-op
     cdc = sink.read_appended(spark, ddl, sink_cursor)
+    # r8 COMPOSITE-KEY leg ('ck'): a second throwaway table keyed on
+    # ["source", "doc_id"] (the reference's native multi-field row key,
+    # Row.scala:19-24) — part ids hash BOTH columns, the manifest
+    # records per-component key ranges, and a 2-col copy-on-write
+    # upsert re-crawls doc_ids 300/301/302 before three composite
+    # point_lookups fetch exactly the merged tuples through the
+    # per-component range+bloom prune intersection. A tuple-hash
+    # mismatch between encoder and lookup, a component dropped from
+    # the anti-join, or a stale pre-merge row all break the hash.
+    from functools import reduce as _red
+
+    from eel_sdk_spark.checkpoint import point_lookup
+
+    tbl2 = ManifestTable(tempfile.mkdtemp(prefix="eel_gate_ck_"), "docs")
+    encode_with_checkpoint(spark, d, tbl2, key=["source", "doc_id"],
+                           n_parts=8, run_id="gate-ck")
+    picked = (d.filter(F.col("doc_id").isin(300, 301, 302))
+              .select("source", "doc_id").collect())
+    inc2 = (d.filter(F.col("doc_id").isin(300, 301, 302))
+            .withColumn("text", F.concat(F.lit("UPD2:"), F.col("text"))))
+    out2 = upsert_rows(spark, tbl2, inc2, ddl)
+    assert out2["replaced_rows"] == 3, "composite upsert missed rows"
+    ck = _red(lambda a, b: a.unionByName(b),
+              [point_lookup(spark, tbl2, (r["source"], r["doc_id"]),
+                            ddl, key=["source", "doc_id"])
+               for r in picked])
     return (rng.withColumn("leg", F.lit("range"))
             .unionByName(cdc.withColumn("leg", F.lit("cdc")))
+            .unionByName(ck.withColumn("leg", F.lit("ck")))
             .select("leg", "doc_id", "text", "lang", "source", "n_chars"))
 
 
@@ -2302,7 +2332,10 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (200, 205)
             UNION ALL
             SELECT 'cdc', doc_id, 'UPD:' || text, lang, source, n_chars
-            FROM documents WHERE doc_id IN (120, 150, 151)""",
+            FROM documents WHERE doc_id IN (120, 150, 151)
+            UNION ALL
+            SELECT 'ck', doc_id, 'UPD2:' || text, lang, source, n_chars
+            FROM documents WHERE doc_id IN (300, 301, 302)""",
         # sequential next-fit replay: one recursive-CTE step per doc in
         # doc_id order carries (open pack seq, open pack tokens) exactly
         # like the numpy kernel (close-on-overflow, oversized-alone,

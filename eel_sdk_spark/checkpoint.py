@@ -80,19 +80,61 @@ def lookup_files(spark: SparkSession, snap, key_value, key: str,
        conservatively kept. Reference analogue:
        eel-orc/.../OrcSink.scala:15-33 (bloomFilterColumns).
     """
+    from .encode import key_cols, key_values
+
+    cols = key_cols(key)
+    vals = key_values(key, key_value)
     coverage: dict[str, list[int]] = {}
-    key_ranges: dict[str, dict] = {}
-    names = {key} | set(aliases)
     for r in snap.properties.get("runs", []):
         coverage.update(r.get("file_parts", {}))
-        if r.get("key", key) in names:
-            key_ranges.update(r.get("file_key_ranges", {}))
     # compaction rewrites files and re-records their coverage here
     coverage.update(snap.properties.get("file_parts_extra", {}))
-    kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") in names:
-        key_ranges.update(kr_extra.get("files", {}))
     files = prune_files_by_part(snap.files, parts, coverage=coverage)
+    part_pruned = files
+    # tiers 2+3 run per key COMPONENT and intersect: a file survives
+    # only if every component's range admits it AND every component's
+    # bloom may contain its value (per-component blooms over-approximate
+    # the tuple — components may match in different rows — which is the
+    # standard conservative trade; the residual filter stays exact)
+    for c, v in zip(cols, vals):
+        al = (set(aliases) if isinstance(key, str)
+              else _key_aliases(snap, c))
+        files = _prune_files_one_component(spark, snap, files, c, v, al)
+    # empty parquet read is invalid; keep one file (filter drops all)
+    return files or part_pruned[:1] or list(snap.files)[:1]
+
+
+def _component_key_ranges(snap, names: set[str]) -> dict[str, dict]:
+    """Per-file [lo, hi] ranges recorded for ONE key component (under
+    any of its ``names`` incl. historical renames): single-key runs'
+    legacy ``file_key_ranges`` (their primary IS the component),
+    composite runs' per-column ``file_key_ranges_cols``, and the
+    compaction extra."""
+    from .encode import key_cols
+
+    key_ranges: dict[str, dict] = {}
+    for r in snap.properties.get("runs", []):
+        rkey = r.get("key")
+        rprimary = key_cols(rkey)[0] if rkey is not None else None
+        if rkey is None or rprimary in names:
+            key_ranges.update(r.get("file_key_ranges", {}))
+        byc = r.get("file_key_ranges_cols") or {}
+        for n in names:
+            key_ranges.update(byc.get(n, {}))
+    kr_extra = snap.properties.get("file_key_ranges_extra", {})
+    xk = kr_extra.get("key")
+    if xk is not None and key_cols(xk)[0] in names:
+        key_ranges.update(kr_extra.get("files", {}))
+    return key_ranges
+
+
+def _prune_files_one_component(spark: SparkSession, snap,
+                               files: list[str], key: str, key_value,
+                               aliases: set[str]) -> list[str]:
+    """Range tier + bloom tiers (index sidecar, per-file narrow scan)
+    for one key component over an already part-pruned candidate list."""
+    names = {key} | set(aliases)
+    key_ranges = _component_key_ranges(snap, names)
     fam = "s" if isinstance(key_value, str) else "i"
     in_range = []
     for f in files:
@@ -588,8 +630,8 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
     return out
 
 
-def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
-                 schema_ddl: str | None = None, key: str = "url",
+def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value,
+                 schema_ddl: str | None = None, key="url",
                  salt_by_value: str | None = None,
                  run_index: int = -1) -> DataFrame:
     """Key point-lookup against an encoded table: recompute the key's
@@ -608,30 +650,47 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     overlap (no skip, no harm); combined with ``encode_df(sort_by=[key])``
     the ranges are disjoint and a lookup decodes ~one block instead of
     the whole part."""
-    from .encode import decode_blocks_df
+    from .encode import decode_blocks_df, key_cols, key_values
 
     snap = tbl.current()
     if schema_ddl is None:
         schema_ddl = tbl.row_schema(snap)
-    _check_key_type(schema_ddl, key, key_value, "point_lookup")
-    aliases = _key_aliases(snap, key)
+    # composite keys: key=["source","doc_id"], key_value=(v1, v2) — the
+    # part hash chains the component literals exactly like the encoder
+    cols = key_cols(key)
+    vals = key_values(key, key_value)
+    for c, v in zip(cols, vals):
+        _check_key_type(schema_ddl, c, v, "point_lookup")
+    aliases_by_col = {c: _key_aliases(snap, c) for c in cols}
+    aliases = aliases_by_col[cols[0]]
     run = snap.properties.get("runs", [])[run_index]
     n_parts, salt = run["n_parts"], run.get("salt", 1)
-    kv = F.lit(key_value)
+    # probe literals MUST carry the key column's exact type: Py4J boxes
+    # a small Python int as java.lang.Integer, so F.lit(300) is an
+    # IntegerType literal — and xxhash64 hashes int32 and int64
+    # DIFFERENTLY, silently deriving the wrong part for long-keyed
+    # tables (caught by the r8 composite-key gate leg; the same cast
+    # also pins decimal/short keys)
+    from pyspark.sql.types import StructType
+
+    types = {f.name: f.dataType
+             for f in StructType.fromDDL(schema_ddl).fields}
+    kvs = [F.lit(v).cast(types[c]) if c in types else F.lit(v)
+           for c, v in zip(cols, vals)]
     if salt > 1 and salt_by_value is not None:
         shard = F.pmod(F.xxhash64(F.lit(salt_by_value)), F.lit(salt))
-        parts_expr = F.array(F.pmod(F.xxhash64(kv, shard), F.lit(n_parts))
-                             .cast("int"))
+        parts_expr = F.array(F.pmod(F.xxhash64(*kvs, shard),
+                                    F.lit(n_parts)).cast("int"))
     elif salt > 1:
         # shard values must be hashed as BIGINT — that is the type of the
         # encoder's pmod(xxhash64(salt_by), salt) column, and xxhash64
         # hashes int32 and int64 inputs differently
         parts_expr = F.array(*[
-            F.pmod(F.xxhash64(kv, F.lit(s).cast("long")),
+            F.pmod(F.xxhash64(*kvs, F.lit(s).cast("long")),
                    F.lit(n_parts)).cast("int")
             for s in range(salt)])
     else:
-        parts_expr = F.array(F.pmod(F.xxhash64(kv), F.lit(n_parts))
+        parts_expr = F.array(F.pmod(F.xxhash64(*kvs), F.lit(n_parts))
                              .cast("int"))
     parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
     files = lookup_files(spark, snap, key_value, key, parts,
@@ -640,9 +699,9 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     # files WITH and WITHOUT the banded parts/part_hi columns — without
     # merging, whichever file Spark samples first dictates the schema and
     # the other generation's rows silently vanish from the filter below
-    blocks = _relabel_blocks(
-        spark.read.option("mergeSchema", "true").parquet(*files),
-        aliases, key)
+    blocks = spark.read.option("mergeSchema", "true").parquet(*files)
+    for c in cols:
+        blocks = _relabel_blocks(blocks, aliases_by_col[c], c)
     if "parts" in blocks.columns:
         # exact membership: banded 'local' blocks span a part run, so
         # anchor equality would miss parts above the anchor. Pre-banding
@@ -658,21 +717,23 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value: str,
     # range excludes the value (block stats ride the blocks table; this
     # is the same machinery as predicate pushdown, aimed at the key) —
     # with 64k-row blocks a 10M-row part decodes ~1 block instead of ~160
+    from functools import reduce
+    from operator import and_
+
     from .encode import prune_block_groups, prune_block_groups_bloom
 
-    if isinstance(key_value, str):
-        blocks = prune_block_groups(blocks, key, lower_s=key_value,
-                                    upper_s=key_value)
-    elif isinstance(key_value, int):
-        blocks = prune_block_groups(blocks, key, lower=key_value,
-                                    upper=key_value)
-    # block tier of the same bloom machinery: within surviving files,
-    # drop whole block groups whose key bloom excludes the value (the
-    # finer skip min/max can't provide on scattered layouts)
-    if "key_bloom" in blocks.columns:
-        blocks = prune_block_groups_bloom(blocks, key, key_value)
+    for c, v in zip(cols, vals):
+        if isinstance(v, str):
+            blocks = prune_block_groups(blocks, c, lower_s=v, upper_s=v)
+        elif isinstance(v, int):
+            blocks = prune_block_groups(blocks, c, lower=v, upper=v)
+        # block tier of the same bloom machinery: within surviving files,
+        # drop whole block groups whose key bloom excludes the value (the
+        # finer skip min/max can't provide on scattered layouts)
+        if "key_bloom" in blocks.columns:
+            blocks = prune_block_groups_bloom(blocks, c, v)
     out = decode_blocks_df(blocks, schema_ddl).filter(
-        F.col(key) == key_value)
+        reduce(and_, [F.col(c) == v for c, v in zip(cols, vals)]))
     from .deletes import apply_deletes  # tombstoned keys stay suppressed
 
     return apply_deletes(spark, out, snap)
@@ -698,15 +759,12 @@ def range_lookup(spark: SparkSession, tbl: ManifestTable,
     _check_key_type(schema_ddl, key, upper, "range_lookup")
     if snap is None or not snap.files:
         raise FileNotFoundError(f"table {tbl.dir} has no committed snapshot")
+    # ``key`` is ONE column — on composite-keyed tables pass any
+    # component (ranges are recorded per component); _component_key_ranges
+    # resolves it across single-key runs, composite runs, and compaction
     aliases = _key_aliases(snap, key)
     names = {key} | aliases
-    key_ranges: dict[str, dict] = {}
-    for r in snap.properties.get("runs", []):
-        if r.get("key", key) in names:
-            key_ranges.update(r.get("file_key_ranges", {}))
-    kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") in names:
-        key_ranges.update(kr_extra.get("files", {}))
+    key_ranges = _component_key_ranges(snap, names)
     fam = "s" if isinstance(lower, str) else "i"
     files = []
     for f in snap.files:
@@ -822,11 +880,15 @@ def prune_files_by_part(files: list[str], part_ids: set[int],
     return kept or files[:1]
 
 
-def input_fingerprint(df: DataFrame, key: str) -> str:
-    """Order-independent content fingerprint: sum + xor-ish of key hashes."""
+def input_fingerprint(df: DataFrame, key) -> str:
+    """Order-independent content fingerprint: sum + xor-ish of key hashes
+    (composite keys chain their components into one xxhash64)."""
+    from .encode import key_cols
+
     row = df.agg(
         F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(F.col(key))).alias("s"),
+        F.bit_xor(F.xxhash64(*[F.col(k) for k in key_cols(key)]))
+        .alias("s"),
     ).collect()[0]
     return f"{row['n']}:{row['s']}"
 
@@ -985,7 +1047,9 @@ def append_encode(spark: SparkSession, df: DataFrame, tbl: ManifestTable,
     last = runs[-1] if runs else {}
     adopted_key = last.get("key", "url")
     adopted_parts = last.get("n_parts")
-    if key is not None and last and key != adopted_key:
+    from .encode import key_cols as _kcols
+
+    if key is not None and last and _kcols(key) != _kcols(adopted_key):
         raise ValueError(f"append_encode: key={key!r} but the table's "
                          f"lineage key is {adopted_key!r}")
     if n_parts is not None and adopted_parts and n_parts != adopted_parts:
@@ -1049,6 +1113,9 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
     if not stats:
         return None
 
+    from .encode import key_cols as _kc
+
+    kset = set(_kc(key))
     first_col = min(r["col"] for r in stats)
     codec_mix: dict[str, int] = {}
     col_bytes: dict[str, list[int]] = {}
@@ -1068,10 +1135,11 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         fs[1] += int(r["raw"])
         fs[2] += int(r["enc"])
         fp_sets.setdefault(base, set()).update(int(p) for p in r["parts"])
-        if r["col"] == key:
-            a = key_acc.setdefault(base, {"cnt": 0, "cns": 0, "cni": 0,
-                                          "mns": None, "mxs": None,
-                                          "mni": None, "mxi": None})
+        if r["col"] in kset:
+            a = key_acc.setdefault((r["col"], base),
+                                   {"cnt": 0, "cns": 0, "cni": 0,
+                                    "mns": None, "mxs": None,
+                                    "mni": None, "mxi": None})
             a["cnt"] += int(r["cnt"])
             a["cns"] += int(r["cns"])
             a["cni"] += int(r["cni"])
@@ -1096,12 +1164,20 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
     # other blocks would wrongly exclude the statless block's keys.
     # Consumers treat a missing entry as keep — over-approximation safe,
     # like part coverage.
-    file_key_ranges: dict[str, dict] = {}
-    for base, a in key_acc.items():
+    # Composite keys record a range per COMPONENT column
+    # (file_key_ranges_cols); the legacy single-map field keeps carrying
+    # the PRIMARY (first) component so every existing consumer — lookup
+    # tiers, purge/upsert pruners, analyze-table — works unchanged.
+    ranges_by_col: dict[str, dict[str, dict]] = {}
+    for (col, base), a in key_acc.items():
         if a["cnt"] and a["cns"] == a["cnt"] and a["mns"] is not None:
-            file_key_ranges[base] = {"s": [a["mns"], a["mxs"]]}
+            ranges_by_col.setdefault(col, {})[base] = {
+                "s": [a["mns"], a["mxs"]]}
         elif a["cnt"] and a["cni"] == a["cnt"] and a["mni"] is not None:
-            file_key_ranges[base] = {"i": [int(a["mni"]), int(a["mxi"])]}
+            ranges_by_col.setdefault(col, {})[base] = {
+                "i": [int(a["mni"]), int(a["mxi"])]}
+    primary = _kc(key)[0]
+    file_key_ranges = ranges_by_col.get(primary, {})
     # Part membership per file. Part-ALIGNED files hold few scattered
     # parts -> exact sorted lists (a min/max range would match almost
     # every lookup once AQE coalesces parts into a file). BANDED files
@@ -1129,8 +1205,12 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         # basename -> sorted part_id list: manifest-side file pruning
         "file_parts": file_parts,
         # basename -> {"s"|"i": [lo, hi]} key range: manifest-side lookup
-        # pruning for banded tables (absent entries = keep)
+        # pruning for banded tables (absent entries = keep). For a
+        # composite key this is the PRIMARY component; the other
+        # components' ranges ride file_key_ranges_cols below.
         "file_key_ranges": file_key_ranges,
+        **({"file_key_ranges_cols": ranges_by_col}
+           if len(kset) > 1 else {}),
         # basename -> [n_rows, raw_bytes, enc_bytes]: lets table stats be
         # summed over the LIVE file set after rewrites (purge/compact)
         # instead of over lineage totals that still count replaced files

@@ -58,25 +58,35 @@ def _tombstone_entries(snap) -> list[dict]:
 
 
 def delete_rows(spark: SparkSession, tbl: ManifestTable, keys,
-                key: str = "url") -> dict:
-    """Suppress all rows whose ``key`` column matches ``keys`` (a Python
-    list or a one-column DataFrame). Metadata-only: writes the keys to a
-    tombstone parquet sidecar and publishes a properties-only snapshot —
-    no data file is touched, so the operation is O(|keys|) regardless of
-    table size."""
+                key="url") -> dict:
+    """Suppress all rows whose ``key`` column(s) match ``keys``.
+    ``key`` may be one column name or a list (composite key, e.g.
+    ``["source", "doc_id"]``); ``keys`` is then a list of scalars /
+    tuples, or a DataFrame with one column per component. Metadata-only:
+    writes the keys to a tombstone parquet sidecar and publishes a
+    properties-only snapshot — no data file is touched, so the operation
+    is O(|keys|) regardless of table size."""
+    from .encode import key_cols
+
+    cols = key_cols(key)
     snap = tbl.current()
     if snap is None:
         raise FileNotFoundError(f"delete: table {tbl.dir} has no snapshot")
     if isinstance(keys, DataFrame):
-        if len(keys.columns) != 1:
-            raise ValueError("delete: keys DataFrame must have exactly "
-                             "one column (the key values)")
-        kdf = keys.toDF(key).distinct()
+        if len(keys.columns) != len(cols):
+            raise ValueError(f"delete: keys DataFrame must have exactly "
+                             f"{len(cols)} column(s) (the key values)")
+        kdf = keys.toDF(*cols).distinct()
     else:
         keys = list(keys)
         if not keys:
             return {"deleted_keys": 0, "snapshot_id": snap.snapshot_id}
-        kdf = spark.createDataFrame([(k,) for k in keys], [key]).distinct()
+        rows = ([(k,) for k in keys] if isinstance(key, str)
+                else [tuple(k) for k in keys])
+        if not all(len(r) == len(cols) for r in rows):
+            raise ValueError(f"delete: composite key {cols} needs "
+                             f"{len(cols)}-tuples")
+        kdf = spark.createDataFrame(rows, cols).distinct()
     out_dir = os.path.join(tbl.dir, "tombstones", uuid.uuid4().hex)
     kdf.coalesce(1).write.mode("overwrite").parquet(out_dir)
     files = ManifestTable.list_written_files(out_dir)
@@ -89,13 +99,22 @@ def delete_rows(spark: SparkSession, tbl: ManifestTable, keys,
             "tombstone_commits": len(props["tombstones"])}
 
 
-def tombstone_keys(spark: SparkSession, snap) -> dict[str, DataFrame]:
+def _entry_key(e: dict):
+    """A tombstone entry's key spec, hashable: str or tuple of str."""
+    k = e["key"]
+    return k if isinstance(k, str) else tuple(k)
+
+
+def tombstone_keys(spark: SparkSession, snap) -> dict:
     """Live tombstones of a snapshot, one distinct-values DataFrame per
-    key column (deletes may target different columns across commits)."""
-    by_key: dict[str, list[str]] = {}
+    key spec — str for single columns, tuple of str for composite keys
+    (deletes may target different columns across commits)."""
+    by_key: dict = {}
     for e in _tombstone_entries(snap):
-        by_key.setdefault(e["key"], []).extend(e["files"])
-    return {k: spark.read.parquet(*files).toDF(k).distinct()
+        by_key.setdefault(_entry_key(e), []).extend(e["files"])
+    return {k: (spark.read.parquet(*files)
+                .toDF(*([k] if isinstance(k, str) else list(k)))
+                .distinct())
             for k, files in by_key.items()}
 
 
@@ -103,7 +122,7 @@ def apply_deletes(spark: SparkSession, df: DataFrame, snap) -> DataFrame:
     """Anti-join a decoded DataFrame against the snapshot's live
     tombstones. Key columns absent from ``df`` are skipped (a projection
     that dropped the key can't be filtered — callers that need deletes
-    applied must keep the key column in the read)."""
+    applied must keep the key column(s) in the read)."""
     entries = _tombstone_entries(snap)
     if not entries:
         return df
@@ -115,33 +134,33 @@ def apply_deletes(spark: SparkSession, df: DataFrame, snap) -> DataFrame:
 
     fold = fold_renames(snap.properties.get("column_renames", []))
     for k, kdf in tombstone_keys(spark, snap).items():
-        k_now = fold.get(k, k)
-        if k_now not in df.columns:
+        cols = [k] if isinstance(k, str) else list(k)
+        now = [fold.get(c, c) for c in cols]
+        if any(c not in df.columns for c in now):
             continue
         right = F.broadcast(kdf) if total <= BROADCAST_MAX_KEYS else kdf
-        df = df.join(right.toDF(k_now), on=k_now, how="left_anti")
+        df = df.join(right.toDF(*now), on=now, how="left_anti")
     return df
 
 
 def _purge_candidates(spark: SparkSession, snap, key: str,
-                      values: list) -> list[str]:
-    """Files that MAY hold any of ``values``, via the read-side pruning
-    tiers turned to the write side: manifest per-file key ranges
-    (driver-side, zero I/O), then ONE batched bloom scan with all probes
-    OR-chained (instead of a job per key like a point lookup). Falls
-    back to 'all files' whenever a tier can't answer — pruning here is
-    an efficiency tier, never a correctness dependency."""
+                      values: list, names: set | None = None) -> list[str]:
+    """Files that MAY hold any of ``values`` in ONE key component, via
+    the read-side pruning tiers turned to the write side: manifest
+    per-file key ranges (driver-side, zero I/O), then ONE batched bloom
+    scan with all probes OR-chained (instead of a job per key like a
+    point lookup). ``names`` widens the component's manifest/block name
+    matching (historical rename names; encode-time names). Falls back to
+    'all files' whenever a tier can't answer — pruning here is an
+    efficiency tier, never a correctness dependency. Composite-key
+    callers run this per component and intersect."""
+    from .checkpoint import _component_key_ranges
     from .encode import bloom_may_contain
 
+    names = set(names or ()) | {key}
     files = list(snap.files)
     # tier 1: manifest key ranges — keep a file if ANY value is inside
-    key_ranges: dict[str, dict] = {}
-    for r in snap.properties.get("runs", []):
-        if r.get("key", key) == key:
-            key_ranges.update(r.get("file_key_ranges", {}))
-    kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") == key:
-        key_ranges.update(kr_extra.get("files", {}))
+    key_ranges = _component_key_ranges(snap, names)
     fam = "s" if isinstance(values[0], str) else "i"
     kept = []
     for f in files:
@@ -161,7 +180,7 @@ def _purge_candidates(spark: SparkSession, snap, key: str,
     if "key_bloom" not in nar.columns:
         return files
     probe = reduce(or_, [bloom_may_contain(v) for v in values])
-    verdicts = (nar.filter((F.col("col") == key)
+    verdicts = (nar.filter(F.col("col").isin(*names)
                            & F.col("key_bloom").isNotNull())
                 .groupBy(F.input_file_name().alias("f"))
                 .agg(F.max(F.when(probe, 1).otherwise(0)).alias("may"))
@@ -171,6 +190,26 @@ def _purge_candidates(spark: SparkSession, snap, key: str,
     return [f for f in files
             if os.path.basename(f) in may
             or os.path.basename(f) not in has_bloom]
+
+
+def _candidates_for_keyset(spark: SparkSession, snap, cols: list[str],
+                           rows: list, fold: dict[str, str]) -> set[str]:
+    """Rewrite-candidate files for a (possibly composite) key spec and a
+    bounded list of value rows (tuples aligned with ``cols``): run the
+    per-component pruner for every component and INTERSECT — a file must
+    be able to hold every component of some value to need rewriting.
+    Per-component pruning over-approximates the tuple set (components
+    may hit in different rows), which is safe: extra files decode and
+    anti-join to themselves."""
+    cand: set[str] | None = None
+    hist = {now: h for h, now in fold.items()}
+    for i, c in enumerate(cols):
+        vals_c = [r[i] for r in rows]
+        names = {c, fold.get(c, c)} | ({hist[c]} if c in hist else set())
+        got = set(_purge_candidates(spark, snap, fold.get(c, c), vals_c,
+                                    names=names))
+        cand = got if cand is None else (cand & got)
+    return cand or set()
 
 
 def purge_deletes(spark: SparkSession, tbl: ManifestTable,
@@ -216,21 +255,24 @@ def _purge_once(spark: SparkSession, tbl: ManifestTable,
     if not runs:
         raise ValueError("purge: table has no encode run lineage")
     run = runs[-1]
-    # run records keep the key name AT ENCODE TIME; translate through the
-    # rename chain so post-rename rewrites decode and re-encode under the
-    # CURRENT name (decode_files_df relabels the blocks the same way)
+    # run records keep the key name(s) AT ENCODE TIME; translate through
+    # the rename chain so post-rename rewrites decode and re-encode under
+    # the CURRENT name (decode_files_df relabels the blocks the same way)
     fold = fold_renames(snap.properties.get("column_renames", []))
-    run_key = fold.get(run.get("key", "url"), run.get("key", "url"))
+    raw_key = run.get("key", "url")
+    run_key = (fold.get(raw_key, raw_key) if isinstance(raw_key, str)
+               else [fold.get(c, c) for c in raw_key])
 
     candidates: set[str] = set()
-    keys_by_col = tombstone_keys(spark, snap)
-    for col, kdf in keys_by_col.items():
-        values = [r[col] for r in kdf.limit(PURGE_BLOOM_MAX_KEYS + 1)
-                  .collect()]
-        if len(values) > PURGE_BLOOM_MAX_KEYS:
+    for kk, kdf in tombstone_keys(spark, snap).items():
+        cols_k = [kk] if isinstance(kk, str) else list(kk)
+        rows = [tuple(r) for r in kdf.limit(PURGE_BLOOM_MAX_KEYS + 1)
+                .collect()]
+        if len(rows) > PURGE_BLOOM_MAX_KEYS:
             candidates.update(snap.files)
             break
-        candidates.update(_purge_candidates(spark, snap, col, values))
+        candidates.update(_candidates_for_keyset(spark, snap, cols_k,
+                                                 rows, fold))
     candidates &= set(snap.files)
     survivors = [f for f in snap.files if f not in candidates]
 
@@ -283,20 +325,18 @@ def _purge_once(spark: SparkSession, tbl: ManifestTable,
 UPSERT_RANGE_MAX_KEYS = 100_000
 
 
-def _range_candidates(snap, key: str, sorted_vals: list) -> list[str]:
-    """Manifest key-range tier for LARGE probe sets: bisect each file's
-    [lo, hi] into the sorted incoming keys — O(files x log K) driver-side,
-    zero I/O. Files without a recorded range are kept (over-approximation
-    safe, same contract as the lookup tiers)."""
+def _range_candidates(snap, key: str, sorted_vals: list,
+                      names: set | None = None) -> list[str]:
+    """Manifest key-range tier for LARGE probe sets, ONE key component:
+    bisect each file's [lo, hi] into the sorted incoming keys —
+    O(files x log K) driver-side, zero I/O. Files without a recorded
+    range are kept (over-approximation safe, same contract as the lookup
+    tiers). Composite keys prune on their PRIMARY component here."""
     from bisect import bisect_left
 
-    key_ranges: dict[str, dict] = {}
-    for r in snap.properties.get("runs", []):
-        if r.get("key", key) == key:
-            key_ranges.update(r.get("file_key_ranges", {}))
-    kr_extra = snap.properties.get("file_key_ranges_extra", {})
-    if kr_extra.get("key") == key:
-        key_ranges.update(kr_extra.get("files", {}))
+    from .checkpoint import _component_key_ranges
+
+    key_ranges = _component_key_ranges(snap, set(names or ()) | {key})
     fam = "s" if isinstance(sorted_vals[0], str) else "i"
     kept = []
     for f in snap.files:
@@ -310,29 +350,39 @@ def _range_candidates(snap, key: str, sorted_vals: list) -> list[str]:
     return kept
 
 
+def _entry_cols_now(e: dict, fold: dict[str, str]) -> list[str]:
+    """A tombstone entry's key columns translated to CURRENT names."""
+    ek = [e["key"]] if isinstance(e["key"], str) else list(e["key"])
+    return [fold.get(c, c) for c in ek]
+
+
 def _rewrite_tombstones(spark: SparkSession, tbl: ManifestTable,
-                        entries: list[dict], key: str,
+                        entries: list[dict], key,
                         minus: DataFrame,
                         fold: dict[str, str] | None = None) -> list[dict]:
-    """Re-admission support: rewrite this key column's tombstone sidecars
-    without the keys in ``minus``; entries for other key columns pass
+    """Re-admission support: rewrite this key spec's tombstone sidecars
+    without the keys in ``minus``; entries for other key specs pass
     through untouched. ``fold`` matches entries recorded under a
     historical (pre-rename) key name; the rewritten entry carries the
-    CURRENT name. Old sidecar files stay on disk for time travel
+    CURRENT name(s). Old sidecar files stay on disk for time travel
     (expire_snapshots GCs them with their snapshots)."""
+    from .encode import key_cols
+
     fold = fold or {}
-    ours = [e for e in entries if fold.get(e["key"], e["key"]) == key]
-    others = [e for e in entries if fold.get(e["key"], e["key"]) != key]
+    cols = key_cols(key)
+    ours = [e for e in entries if _entry_cols_now(e, fold) == cols]
+    others = [e for e in entries if _entry_cols_now(e, fold) != cols]
     if not ours:
         return entries
     remaining = (spark.read.parquet(*[f for e in ours for f in e["files"]])
-                 .toDF(key).distinct().join(minus, on=key, how="left_anti"))
+                 .toDF(*cols).distinct()
+                 .join(minus, on=cols, how="left_anti"))
     n = remaining.count()
     if n == 0:
         return others
     out_dir = os.path.join(tbl.dir, "tombstones", uuid.uuid4().hex)
     remaining.coalesce(1).write.mode("overwrite").parquet(out_dir)
-    return others + [{"key": key,
+    return others + [{"key": key if isinstance(key, str) else list(key),
                       "files": ManifestTable.list_written_files(out_dir),
                       "n": n,
                       "as_of_snapshot": max(e["as_of_snapshot"]
@@ -400,14 +450,21 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
     if not runs:
         raise ValueError("upsert: table has no encode run lineage")
     run = runs[-1]
-    # translate the run's encode-time key name through the rename chain
-    # (callers speak the CURRENT schema)
+    # translate the run's encode-time key name(s) through the rename
+    # chain (callers speak the CURRENT schema); composite lineage keys
+    # arrive from the manifest as a list
+    from .encode import key_cols
+
     fold = fold_renames(snap.properties.get("column_renames", []))
-    key = fold.get(run.get("key", "url"), run.get("key", "url"))
-    if key not in incoming.columns:
+    raw_key = run.get("key", "url")
+    key = (fold.get(raw_key, raw_key) if isinstance(raw_key, str)
+           else [fold.get(c, c) for c in raw_key])
+    cols = key_cols(key)
+    missing = [c for c in cols if c not in incoming.columns]
+    if missing:
         raise ValueError(f"upsert: incoming frame lacks the lineage key "
-                         f"column {key!r}")
-    ikeys = incoming.select(key).distinct().cache()
+                         f"column(s) {missing!r}")
+    ikeys = incoming.select(*cols).distinct().cache()
     n_keys = ikeys.count()
     if n_keys == 0:
         return {"upserted_rows": 0, "replaced_rows": 0,
@@ -418,11 +475,11 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
     # match through the fold or a tombstoned incoming key slips the
     # readmit check and its new rows are suppressed on read
     tombstoned = [e for e in entries
-                  if fold.get(e["key"], e["key"]) == key]
+                  if _entry_cols_now(e, fold) == cols]
     if tombstoned:
         hit = (spark.read.parquet(*[f for e in tombstoned
                                     for f in e["files"]])
-               .toDF(key).distinct().join(ikeys, on=key, how="inner")
+               .toDF(*cols).distinct().join(ikeys, on=cols, how="inner")
                .count())
         if hit and not readmit:
             raise ValueError(
@@ -435,13 +492,18 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
                                           fold=fold)
 
     # prune the rewrite set with the lookup tiers turned to the write side
-    vals = [r[key] for r in ikeys.limit(PURGE_BLOOM_MAX_KEYS + 1)
+    rows = [tuple(r) for r in ikeys.limit(PURGE_BLOOM_MAX_KEYS + 1)
             .collect()]
-    if len(vals) <= PURGE_BLOOM_MAX_KEYS:
-        candidates = set(_purge_candidates(spark, snap, key, vals))
+    if len(rows) <= PURGE_BLOOM_MAX_KEYS:
+        candidates = _candidates_for_keyset(spark, snap, cols, rows, fold)
     elif n_keys <= UPSERT_RANGE_MAX_KEYS:
+        # large sets prune on the PRIMARY component's recorded ranges
+        hist = {now: h for h, now in fold.items()}
+        names = {cols[0]} | ({hist[cols[0]]} if cols[0] in hist
+                             else set())
         candidates = set(_range_candidates(
-            snap, key, sorted(r[key] for r in ikeys.collect())))
+            snap, cols[0], sorted(r[0] for r in ikeys.collect()),
+            names=names))
     else:
         candidates = set(snap.files)
     candidates &= set(snap.files)
@@ -454,7 +516,7 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
         decoded = decode_files_df(spark, sorted(candidates), schema_ddl,
                                   renames=fold)
         right = F.broadcast(ikeys) if n_keys <= BROADCAST_MAX_KEYS else ikeys
-        kept = decoded.join(right, on=key, how="left_anti")
+        kept = decoded.join(right, on=cols, how="left_anti")
         n_before = decoded.count()
         n_kept = kept.count()
         n_replaced = n_before - n_kept

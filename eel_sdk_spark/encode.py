@@ -243,9 +243,40 @@ def _block_stats(arr: pa.Array, kind: str):
     return None, None, None, None
 
 
-def with_part_id(df: DataFrame, key: str, n_parts: int,
+def key_cols(key) -> list[str]:
+    """Normalize a lineage key spec — a single column name or a list of
+    them (COMPOSITE key, e.g. ``["source", "doc_id"]`` — the reference's
+    native row model is positional multi-field, Row.scala:19-24) — to a
+    list of column names. Every key-handling surface (part assignment,
+    lookups, deletes, upserts, CDC followers) accepts both forms."""
+    if isinstance(key, str):
+        return [key]
+    out = list(key)
+    if not out or not all(isinstance(k, str) for k in out):
+        raise ValueError(f"key must be a column name or a non-empty list "
+                         f"of them, got {key!r}")
+    return out
+
+
+def key_values(key, value) -> list:
+    """Normalize a probe value for ``key``: scalar for a single-column
+    key, tuple/list of matching length for a composite key."""
+    cols = key_cols(key)
+    vals = [value] if isinstance(key, str) else list(value)
+    if len(vals) != len(cols):
+        raise ValueError(f"composite key {cols} needs {len(cols)} probe "
+                         f"values, got {value!r}")
+    return vals
+
+
+def with_part_id(df: DataFrame, key, n_parts: int,
                  salt: int = 1, salt_by: str | None = None) -> DataFrame:
     """Deterministic part assignment.
+
+    ``key`` may be one column name or a list (composite key): part =
+    pmod(xxhash64(col1, col2, ...), n_parts) — xxhash64 natively chains
+    multiple columns, so the composite hash needs no concat/struct
+    materialization and stays whole-stage codegen.
 
     ``salt > 1`` spreads each key value over up to ``salt`` shards using a
     *finer-grained* deterministic column ``salt_by`` (e.g. key=domain,
@@ -256,10 +287,11 @@ def with_part_id(df: DataFrame, key: str, n_parts: int,
     pass salt_by (this is the hot-domain counter-measure; cf. the
     reference's writer-per-partition hotspot HiveSinkWriter.scala:138-148).
     """
-    h = F.xxhash64(F.col(key))
+    cols = [F.col(k) for k in key_cols(key)]
+    h = F.xxhash64(*cols)
     if salt > 1 and salt_by is not None:
         shard = F.pmod(F.xxhash64(F.col(salt_by)), F.lit(salt))
-        h = F.xxhash64(F.col(key), shard)
+        h = F.xxhash64(*cols, shard)
     return df.withColumn(PART_COL, F.pmod(h, F.lit(n_parts)).cast("int"))
 
 
@@ -566,7 +598,7 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     # prune_block_groups_bloom even where min/max stats are vacuous.
     bloom_set = set(bloom_cols or [])
     if key_bloom:
-        bloom_set.add(key)
+        bloom_set.update(key_cols(key))  # every composite component
     bloom_col = frozenset(bloom_set) if bloom_set else None
     extra_sort = [F.col(c) if isinstance(c, str) else c
                   for c in (sort_by or [])]

@@ -750,6 +750,11 @@ class ManifestTable:
             # lineage's key column; skipped for tables without runs.
             runs = snap.properties.get("runs") or []
             key = runs[-1].get("key") if runs else None
+            if key is not None and not isinstance(key, str):
+                # composite lineage key: the extra ranges cover its
+                # PRIMARY component (same rule as the large-probe-set
+                # upsert tier); per-component history stays in the runs
+                key = key[0]
             if key is not None:
                 kr_rows = (rewritten.filter(F.col("col") == key)
                            .groupBy(F.input_file_name().alias("f"))

@@ -427,13 +427,22 @@ def cmd_delete(args) -> None:
     spark = get_spark(app="delete")
     try:
         tbl = ManifestTable(args.warehouse, args.table)
+        key = args.key.split(",") if "," in args.key else args.key
         if args.keys_file:
             keys = spark.read.parquet(args.keys_file)
             if args.key_col:
-                keys = keys.select(args.key_col)
+                keys = keys.select(*args.key_col.split(","))
+            elif not isinstance(key, str) \
+                    and all(c in keys.columns for c in key):
+                keys = keys.select(*key)
+        elif not isinstance(key, str):
+            # composite values are typed (bigint components etc.) —
+            # a comma list can't carry types; demand the parquet path
+            raise SystemExit("composite --key needs --keys-file (typed "
+                             "per-component values)")
         else:
             keys = [k for k in args.keys.split(",") if k]
-        out = delete_rows(spark, tbl, keys, key=args.key)
+        out = delete_rows(spark, tbl, keys, key=key)
         sys.stdout.write(json.dumps(out) + "\n")
     finally:
         spark.stop()
@@ -689,7 +698,9 @@ def main(argv=None) -> None:
     dl.add_argument("--warehouse", required=True)
     dl.add_argument("--table", default="blocks")
     dl.add_argument("--key", default="url",
-                    help="column the key values match against")
+                    help="column the key values match against; "
+                         "comma-separate for a composite key (then "
+                         "pass values via --keys-file)")
     dl.add_argument("--keys", default="",
                     help="comma-separated key values")
     dl.add_argument("--keys-file", default=None,

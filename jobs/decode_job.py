@@ -91,21 +91,39 @@ def main(argv=None) -> None:
 
             from eel_sdk_spark.checkpoint import point_lookup
 
-            kv = args.key_point
-            key_field = next(
-                (f for f in StructType.fromDDL(args.schema).fields
-                 if f.name == args.key), None)
-            if key_field is not None and not isinstance(
-                    key_field.dataType, StringType):
-                try:
-                    kv = int(kv)
-                except ValueError:
-                    raise SystemExit(
-                        f"--key-point {args.key_point!r}: key "
-                        f"{args.key!r} is non-string in --schema but "
-                        f"the value is not an integer")
+            # composite keys: --key source,doc_id --key-point src0:300
+            # (':'-separated values, one per component, typed from
+            # --schema like the single-key path)
+            kcols = (args.key.split(",") if "," in args.key
+                     else [args.key])
+            # left-maxsplit so the LAST component may itself contain
+            # ':' (URLs) — order composite keys with the id-ish
+            # components first
+            kraw = (args.key_point.split(":", len(kcols) - 1)
+                    if len(kcols) > 1 else [args.key_point])
+            if len(kraw) != len(kcols):
+                raise SystemExit(
+                    f"--key-point {args.key_point!r}: composite key "
+                    f"{kcols} needs {len(kcols)} ':'-separated values")
+            fields = {f.name: f for f in
+                      StructType.fromDDL(args.schema).fields}
+            kvals = []
+            for c, v in zip(kcols, kraw):
+                fld = fields.get(c)
+                if fld is not None and not isinstance(
+                        fld.dataType, StringType):
+                    try:
+                        v = int(v)
+                    except ValueError:
+                        raise SystemExit(
+                            f"--key-point {args.key_point!r}: key "
+                            f"{c!r} is non-string in --schema but "
+                            f"the value is not an integer")
+                kvals.append(v)
+            kv = kvals[0] if len(kcols) == 1 else tuple(kvals)
             decoded = point_lookup(spark, tbl, kv, args.schema,
-                                   key=args.key)
+                                   key=(kcols[0] if len(kcols) == 1
+                                        else kcols))
             if cols:
                 decoded = decoded.select(*cols)
         elif args.key_range:

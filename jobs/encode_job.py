@@ -25,7 +25,9 @@ def main(argv=None) -> None:
                    help="parquet path, or synthetic:<rows> for the corpus")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--table", default="blocks")
-    p.add_argument("--key", default="url")
+    p.add_argument("--key", default="url",
+                   help="lineage key column; comma-separate for a "
+                        "COMPOSITE key, e.g. --key source,doc_id")
     p.add_argument("--parts", type=int, default=None)
     p.add_argument("--salt", type=int, default=1)
     p.add_argument("--salt-by", default=None,
@@ -96,12 +98,13 @@ def main(argv=None) -> None:
         else:
             df = spark.read.parquet(args.input)
         tbl = ManifestTable(args.warehouse, args.table)
+        key = (args.key.split(",") if "," in args.key else args.key)
         salt = args.salt
         if args.auto_salt:
             from eel_sdk_spark.encode import recommend_salt
 
             n_parts = args.parts or spark.sparkContext.defaultParallelism * 2
-            salt = max(salt, recommend_salt(df, args.key, n_parts))
+            salt = max(salt, recommend_salt(df, key, n_parts))
         overrides = dict(kv.split("=", 1) for kv in args.codec)
         sort_by = list(args.sort_by)
         if args.zorder:
@@ -117,7 +120,7 @@ def main(argv=None) -> None:
 
             run = append_encode(
                 spark, df, tbl, run_id=args.run_id,
-                key=None if args.key == "url" else args.key,
+                key=None if args.key == "url" else key,
                 n_parts=args.parts, profile=args.profile,
                 shuffle={"auto": "auto", "local": "local",
                          "true": True}[args.shuffle_mode],
@@ -129,7 +132,7 @@ def main(argv=None) -> None:
             sys.stdout.write(json.dumps(run) + "\n")
             return
         run = encode_with_checkpoint(
-            spark, df, tbl, key=args.key, n_parts=args.parts,
+            spark, df, tbl, key=key, n_parts=args.parts,
             salt=salt, salt_by=args.salt_by, run_id=args.run_id,
             profile=args.profile, codec_overrides=overrides or None,
             shuffle={"auto": "auto", "local": "local",

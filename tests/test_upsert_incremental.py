@@ -263,11 +263,11 @@ def test_delete_landing_mid_upsert_survives_cas(spark, tmp_path,
     real = D._purge_candidates
     fired = {"n": 0}
 
-    def spy(spark_, snap, key, values):
+    def spy(spark_, snap, key, values, **kw):
         if fired["n"] == 0:
             fired["n"] += 1
             delete_rows(spark_, tbl, [victim])
-        return real(spark_, snap, key, values)
+        return real(spark_, snap, key, values, **kw)
 
     monkeypatch.setattr(D, "_purge_candidates", spy)
     incoming = (df.filter(F.col("url") == updated)

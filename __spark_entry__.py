@@ -354,10 +354,31 @@ def q_boilerplate(spark, sf):
 
 
 def q_explode_tokens(spark, sf):
+    """explode + token census, plus the r8 'bpe' leg (VERDICT r7 #4 —
+    the last-but-one pytest-only op folded onto the hash): per-doc BPE
+    token counts under a FIXED hand-pinned 2-merge model
+    (t+h, e+r</w>). The closed form the oracle replays: a word's token
+    count = chars - [non-final 'th' pairs] - [ends with 'er'], exact
+    for THIS model because the two merges can never interact (no 'e'
+    ever enters a 'th' symbol) and the end-of-word fusion blocks 'th'
+    merges whose h is the final character. The distributed encoder
+    (functions/bpe.py token_counts: mapInArrow + per-batch word memo,
+    greedy lowest-rank-first replay) must reproduce it doc-exact; the
+    general trained-model path stays pinned in tests/test_bpe.py."""
+    from eel_sdk_spark.functions.bpe import token_counts
+
     d = _t(spark, sf, "documents")
     toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
-    return (toks.groupBy("tok").agg(F.count("*").alias("n"))
-            .orderBy(F.desc("n"), F.col("tok")).limit(20))
+    top = (toks.groupBy("tok").agg(F.count("*").alias("n"))
+           .orderBy(F.desc("n"), F.col("tok")).limit(20)
+           .select(F.lit("top").alias("leg"), "tok", "n"))
+    model = {"merges": [["t", "h"], ["e", "r</w>"]], "eow": "</w>",
+             "lowercase": False}
+    bpe = (token_counts(d, model, "text", "doc_id")
+           .select(F.lit("bpe").alias("leg"),
+                   F.col("doc_id").cast("string").alias("tok"),
+                   F.col("n_bpe_tokens").alias("n")))
+    return top.unionByName(bpe)
 
 
 def q_pivot_case(spark, sf):
@@ -822,7 +843,32 @@ def q_semantic_dedup(spark, sf):
     out = dedup.semantic_dedup(emb, "vec_id", "embedding",
                                threshold=0.3, max_cell=None,
                                centroids=cents)
-    return out.select("vec_id", "label")
+    ded = out.select(F.lit("dedup").alias("leg"), "vec_id", "label",
+                     F.lit(None).cast("int").alias("cell"),
+                     F.lit(None).cast("int").alias("pos"),
+                     F.lit(None).cast("double").alias("m"))
+    # r8 'kmeans' leg (VERDICT r7 #4 — the last pytest-only op folded
+    # onto the hash): ONE Lloyd step with the SAME explicit 8-vector
+    # codebook — assignment (argmax dot, first-max tie-break: oracle
+    # precedent above) then the map-side-combinable posexplode →
+    # groupBy(cell, pos).avg that functions/similarity.kmeans iterates;
+    # the per-(cell, dim) means are the updated centroid matrix, hash-
+    # compared component-exact (round 4, the row's established float
+    # discipline). Full multi-iteration training + recall stays pinned
+    # in tests/test_similarity.py.
+    from eel_sdk_spark.functions.similarity import assign_cells
+
+    km = (assign_cells(emb, cents, "embedding")
+          .select("cell", F.posexplode("embedding").alias("pos", "v"))
+          .groupBy("cell", "pos")
+          .agg((F.round(F.avg(F.col("v").cast("double")), 4) + 0.0)
+               .alias("m"))  # +0.0 normalizes -0.0 (sorted-compare hash)
+          .select(F.lit("kmeans").alias("leg"),
+                  F.lit(None).cast("bigint").alias("vec_id"),
+                  F.lit(None).cast("int").alias("label"),
+                  F.col("cell").cast("int").alias("cell"),
+                  F.col("pos").cast("int").alias("pos"), "m"))
+    return ded.unionByName(km)
 
 
 def q_url_hygiene(spark, sf):
@@ -1021,6 +1067,25 @@ def q_roundtrip_verify(spark, sf):
         s2 = fsck_summary(fsck(spark, tbl))
         tamper_detected = (not s2["healthy"]
                            and s2["blocks_bad_crc"] >= 1)
+        # r8 widen leg: type promotion (ManifestTable.widen_column,
+        # int -> bigint) is properties-only; the decode kernel
+        # safe-casts the old int32 blocks up, so the read returns the
+        # WIDENED type with every value exact against the raw table
+        from eel_sdk_spark.checkpoint import encode_with_checkpoint
+
+        t3 = ManifestTable(tmp, "wd")
+        d3 = d.select(F.col("doc_id").cast("int").alias("small_id"),
+                      "text")
+        encode_with_checkpoint(spark, d3, t3, key="small_id", n_parts=4,
+                               run_id="w1")
+        t3.widen_column("small_id", "bigint")
+        wdf = t3.read_decoded(spark)
+        widen_ok = int(
+            dict(wdf.dtypes)["small_id"] == "bigint"
+            and wdf.alias("w")
+            .join(d.alias("o"), F.col("w.small_id") == F.col("o.doc_id"))
+            .filter(F.col("w.text").eqNullSafe(F.col("o.text")))
+            .count() == d.count())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1033,7 +1098,8 @@ def q_roundtrip_verify(spark, sf):
               .otherwise(0)).alias("lang_ok"))
         .withColumn("fsck_healthy", F.lit(int(fsck_healthy)))
         .withColumn("tamper_detected", F.lit(int(tamper_detected)))
-        .withColumn("rename_ok", F.lit(rename_ok)))
+        .withColumn("rename_ok", F.lit(rename_ok))
+        .withColumn("widen_ok", F.lit(widen_ok)))
 
 
 def q_roundtrip_tables(spark, sf):
@@ -1673,10 +1739,27 @@ def oracle_sql() -> dict[str, str]:
                    NULL::BIGINT AS n_docs, NULL::VARCHAR AS line,
                    doc_id, s
             FROM stripped WHERE s <> orig""",
+        # 'bpe' leg closed form (fixed 2-merge model t+h, e+r</w>):
+        # per word, tokens = chars - non-final 'th' pairs - ends-with-er;
+        # 'th' pairs counted in the first len-1 chars (the final char is
+        # fused with </w> and can never be the h of a t+h merge)
         "explode_tokens": f"""
-            SELECT tok, count(*) AS n FROM (
-                SELECT unnest({_TOKS}) AS tok FROM documents)
-            GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+            SELECT 'top' AS leg, tok, n FROM (
+                SELECT tok, count(*) AS n FROM (
+                    SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY tok ORDER BY n DESC, tok LIMIT 20)
+            UNION ALL
+            SELECT 'bpe', CAST(d.doc_id AS VARCHAR),
+                   CAST(coalesce((SELECT sum(
+                       length(w)
+                       - (length(substr(w, 1, length(w) - 1))
+                          - length(replace(substr(w, 1, length(w) - 1),
+                                           'th', ''))) // 2
+                       - CASE WHEN w LIKE '%er' THEN 1 ELSE 0 END)
+                     FROM unnest(string_split_regex(d.text, '\\s+'))
+                          AS t(w)
+                     WHERE length(w) > 0), 0) AS BIGINT) AS n
+            FROM documents d""",
         "pivot_case": """
             SELECT l_returnflag,
                    round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity
@@ -2173,8 +2256,17 @@ def oracle_sql() -> dict[str, str]:
                     WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                                  b.embedding::DOUBLE[])
                           >= 0.3)
-            SELECT e.vec_id, e.label FROM embeddings e
-            WHERE e.vec_id NOT IN (SELECT vec_id FROM dom)""",
+            SELECT 'dedup' AS leg, e.vec_id, e.label,
+                   NULL::INT AS cell, NULL::INT AS pos,
+                   NULL::DOUBLE AS m
+            FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM dom)
+            UNION ALL
+            SELECT 'kmeans', NULL::BIGINT, NULL::INT,
+                   cell, i - 1 AS pos,
+                   round(avg(embedding[i]::DOUBLE), 4) + 0 AS m
+            FROM asn CROSS JOIN generate_series(1, 64) AS g(i)
+            GROUP BY cell, i""",
         # op-for-op replay of the synthesized URLs + host/domain
         # extraction + all-suffix deny-list flag
         "url_hygiene": """
@@ -2437,7 +2529,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS rows, count(*) AS text_ok,
                    count(*) AS lang_ok,
                    1 AS fsck_healthy, 1 AS tamper_detected,
-                   1 AS rename_ok
+                   1 AS rename_ok, 1 AS widen_ok
             FROM documents""",
         "roundtrip_tables": """
             SELECT (SELECT count(*) FROM lineitem) AS decoded_rows,

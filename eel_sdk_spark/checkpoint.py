@@ -143,6 +143,51 @@ def _prune_files_one_component(spark: SparkSession, snap,
             in_range.append(f)
     # empty parquet read is invalid; keep one file (filter drops all)
     files = in_range or files[:1]
+    # tier 0 (r8): manifest-resident per-file SUMMARY blooms — coarse
+    # fixed-size blooms the encoder stamped per file (sentinel rows ->
+    # _run_record -> snapshot JSON), probed DRIVER-SIDE before ANY file
+    # or index open. Files without a summary (pre-r8, saturated, or
+    # compaction-rewritten) are conservatively kept; the finer tiers
+    # below still run on what survives.
+    if len(files) > 2:
+        summaries: dict[str, dict] = {}
+        for r in snap.properties.get("runs", []):
+            fsb = r.get("file_summary_blooms") or {}
+            for n in names:
+                summaries.update(fsb.get(n, {}))
+        if summaries:
+            import base64
+
+            import numpy as _np
+
+            from .encode import SUMMARY_BLOOM_K, bloom_probe_seeds
+
+            # decoded word arrays are cached ON the snapshot object:
+            # base64+frombuffer per file per probe was the consult's
+            # whole cost (~0.35 ms x files); repeat lookups against the
+            # same snapshot now test bits directly
+            cache = getattr(snap, "_fsb_cache", None)
+            if cache is None:
+                cache = {}
+                snap._fsb_cache = cache
+            h1, h2 = bloom_probe_seeds(key_value)
+            kept0 = []
+            for f in files:
+                s = summaries.get(os.path.basename(f))
+                if s is None:
+                    kept0.append(f)
+                    continue
+                w = cache.get(s["b64"])
+                if w is None:
+                    w = _np.frombuffer(base64.b64decode(s["b64"]),
+                                       dtype=_np.uint64)
+                    cache[s["b64"]] = w
+                m = w.size * 64
+                if all((int(w[p >> 6]) >> (p & 63)) & 1
+                       for p in ((h1 + i * h2) % m
+                                 for i in range(SUMMARY_BLOOM_K))):
+                    kept0.append(f)
+            files = kept0 or files[:1]
     if len(files) > 2:
         keep: set[str] | None = None
         uncovered = files
@@ -615,7 +660,9 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
         rec = _run_record(spark, job_dir, new_files,
                           run_id=f"repair-{snap.snapshot_id}",
                           fingerprint=cur_fp, n_parts=n_parts, salt=salt,
-                          salt_by=salt_by, key=key)
+                          salt_by=salt_by, key=key,
+                          bloom_bits=getattr(blocks, "_eel_bloom_bits",
+                                             None))
     # else: every damaged file covered ZERO parts (hash-empty writes) —
     # dropping them from the snapshot IS the repair
     props = dict(snap.properties)
@@ -670,29 +717,58 @@ def point_lookup(spark: SparkSession, tbl: ManifestTable, key_value,
     # IntegerType literal — and xxhash64 hashes int32 and int64
     # DIFFERENTLY, silently deriving the wrong part for long-keyed
     # tables (caught by the r8 composite-key gate leg; the same cast
-    # also pins decimal/short keys)
+    # also pins decimal/short keys). A WIDENED key column
+    # (ManifestTable.widen_column) is probed at every historical width
+    # too — old generations' parts were derived from the narrow type.
+    from itertools import product
+
     from pyspark.sql.types import StructType
 
-    types = {f.name: f.dataType
+    types = {f.name: f.dataType.simpleString()
              for f in StructType.fromDDL(schema_ddl).fields}
-    kvs = [F.lit(v).cast(types[c]) if c in types else F.lit(v)
-           for c, v in zip(cols, vals)]
-    if salt > 1 and salt_by_value is not None:
-        shard = F.pmod(F.xxhash64(F.lit(salt_by_value)), F.lit(salt))
-        parts_expr = F.array(F.pmod(F.xxhash64(*kvs, shard),
-                                    F.lit(n_parts)).cast("int"))
-    elif salt > 1:
-        # shard values must be hashed as BIGINT — that is the type of the
-        # encoder's pmod(xxhash64(salt_by), salt) column, and xxhash64
-        # hashes int32 and int64 inputs differently
-        parts_expr = F.array(*[
-            F.pmod(F.xxhash64(*kvs, F.lit(s).cast("long")),
-                   F.lit(n_parts)).cast("int")
-            for s in range(salt)])
-    else:
-        parts_expr = F.array(F.pmod(F.xxhash64(*kvs), F.lit(n_parts))
-                             .cast("int"))
-    parts = set(spark.range(1).select(parts_expr.alias("p")).first()["p"])
+    widenings = snap.properties.get("column_widenings", [])
+    type_variants = []
+    for c in cols:
+        names_c = {c} | aliases_by_col[c]
+        chain = [types.get(c)] + [e["from"] for e in widenings
+                                  if e["col"] in names_c]
+        type_variants.append(list(dict.fromkeys(chain)))
+
+    def _parts_expr(kvs):
+        if salt > 1 and salt_by_value is not None:
+            shard = F.pmod(F.xxhash64(F.lit(salt_by_value)), F.lit(salt))
+            return F.array(F.pmod(F.xxhash64(*kvs, shard),
+                                  F.lit(n_parts)).cast("int"))
+        if salt > 1:
+            # shard values must be hashed as BIGINT — that is the type
+            # of the encoder's pmod(xxhash64(salt_by), salt) column, and
+            # xxhash64 hashes int32 and int64 inputs differently
+            return F.array(*[
+                F.pmod(F.xxhash64(*kvs, F.lit(s).cast("long")),
+                       F.lit(n_parts)).cast("int")
+                for s in range(salt)])
+        return F.array(F.pmod(F.xxhash64(*kvs), F.lit(n_parts))
+                       .cast("int"))
+
+    # a value outside a historical narrow type's range cannot exist in
+    # that generation — skip the variant (also avoids the ANSI
+    # CAST_OVERFLOW throw on the literal)
+    int_caps = {"tinyint": 2**7, "smallint": 2**15, "int": 2**31}
+
+    def _fits(v, t):
+        cap = int_caps.get(t)
+        return cap is None or not isinstance(v, int) or -cap <= v < cap
+
+    exprs = []
+    for combo in product(*type_variants):
+        if not all(_fits(v, t) for v, t in zip(vals, combo)):
+            continue
+        kvs = [F.lit(v).cast(t) if t else F.lit(v)
+               for v, t in zip(vals, combo)]
+        exprs.append(_parts_expr(kvs))
+    row = spark.range(1).select(*[e.alias(f"p{i}")
+                                  for i, e in enumerate(exprs)]).first()
+    parts = {p for i in range(len(exprs)) for p in row[f"p{i}"]}
     files = lookup_files(spark, snap, key_value, key, parts,
                          aliases=aliases)
     # mergeSchema: a table appended onto across layout generations mixes
@@ -1006,7 +1082,9 @@ def encode_with_checkpoint(
     run = _run_record(spark, job_dir, files, run_id,
                       cur_fp if cur_fp is not None
                       else input_fingerprint(df, key),
-                      n_parts, salt, salt_by, key)
+                      n_parts, salt, salt_by, key,
+                      bloom_bits=getattr(blocks, "_eel_bloom_bits",
+                                         bloom_bits))
     if run is None:
         return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
                 "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
@@ -1069,7 +1147,9 @@ def append_encode(spark: SparkSession, df: DataFrame, tbl: ManifestTable,
     files = ManifestTable.list_written_files(job_dir)
     run = _run_record(spark, job_dir, files, run_id,
                       fingerprint=None, n_parts=n_parts, salt=salt,
-                      salt_by=salt_by, key=key)
+                      salt_by=salt_by, key=key,
+                      bloom_bits=getattr(blocks, "_eel_bloom_bits",
+                                         None))
     if run is None:
         return {"run_id": run_id, "part_ids": [], "n_rows": 0,
                 "raw_bytes": 0, "enc_bytes": 0}
@@ -1083,9 +1163,28 @@ def append_encode(spark: SparkSession, df: DataFrame, tbl: ManifestTable,
     return run
 
 
+def _fold_summaries(rows) -> dict:
+    """Sentinel rows -> {col: {basename: {"b64": words, "n": n}}}."""
+    import base64
+
+    import numpy as _np
+
+    from .encode import SUMMARY_COL_PREFIX
+
+    out: dict[str, dict] = {}
+    for r in rows:
+        col = r["col"][len(SUMMARY_COL_PREFIX):]
+        words = _np.array(r["key_bloom"], dtype=_np.int64)
+        out.setdefault(col, {})[os.path.basename(r["file"])] = {
+            "b64": base64.b64encode(words.tobytes()).decode("ascii"),
+            "n": int(r["n_values"])}
+    return out
+
+
 def _run_record(spark, job_dir: str, files: list[str], run_id: str,
                 fingerprint: str, n_parts: int, salt: int,
-                salt_by: str | None, key: str) -> dict | None:
+                salt_by: str | None, key: str,
+                bloom_bits: int | None = None) -> dict | None:
     """ONE scan, ONE action over freshly-written blocks: a grouped
     aggregate on (file, parts, col, codec) — cardinality n_files x n_cols
     x codecs, tiny — carries everything the run record needs (part ids,
@@ -1096,9 +1195,22 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
     blocks span a sorted part run; part-aligned blocks carry [part_id])
     keeps run part_ids and file coverage exact in every layout.
     Returns None for an empty write."""
+    from .encode import SUMMARY_COL_PREFIX, effective_bloom_bits
+
     stats = []
+    summary_rows = []
     if files:
-        stats = (spark.read.parquet(job_dir)
+        blocks = spark.read.parquet(job_dir)
+        # tier-0 sentinels (one per file per bloomed column) are lifted
+        # into the manifest and EXCLUDED from the stats aggregate (their
+        # synthetic col name would otherwise pollute first_col/codec_mix)
+        summary_rows = (blocks
+                        .filter(F.col("col").startswith(SUMMARY_COL_PREFIX))
+                        .select(F.input_file_name().alias("file"), "col",
+                                "key_bloom", "n_values")
+                        .collect())
+        stats = (blocks
+                 .filter(~F.col("col").startswith(SUMMARY_COL_PREFIX))
                  .groupBy(F.input_file_name().alias("file"),
                           "parts", "col", "codec")
                  .agg(F.sum("n_values").alias("nv"),
@@ -1211,6 +1323,11 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         "file_key_ranges": file_key_ranges,
         **({"file_key_ranges_cols": ranges_by_col}
            if len(kset) > 1 else {}),
+        # col -> basename -> {"b64": words, "n": values}: the tier-0
+        # per-file summary blooms (driver-side consult, zero I/O);
+        # saturated files are simply absent (conservatively kept)
+        **({"file_summary_blooms": _fold_summaries(summary_rows)}
+           if summary_rows else {}),
         # basename -> [n_rows, raw_bytes, enc_bytes]: lets table stats be
         # summed over the LIVE file set after rewrites (purge/compact)
         # instead of over lineage totals that still count replaced files
@@ -1221,6 +1338,11 @@ def _run_record(spark, job_dir: str, files: list[str], run_id: str,
         "salt": salt,
         "salt_by": salt_by,
         "key": key,
+        # the bits/key this run's blooms were actually sized with (the
+        # explicit knob, else the deterministic auto-derivation from
+        # n_parts) — analyze-table compares it against the LIVE file
+        # count to flag grown tables whose blooms are now under-sized
+        "bloom_bits": effective_bloom_bits(n_parts, bloom_bits),
     }
 
 
@@ -1277,7 +1399,8 @@ def realign_table(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
     blocks.write.mode("overwrite").parquet(job_dir)
     files = ManifestTable.list_written_files(job_dir)
     run = _run_record(spark, job_dir, files, run_id, fp,
-                      n_parts, salt, salt_by, key)
+                      n_parts, salt, salt_by, key,
+                      bloom_bits=getattr(blocks, "_eel_bloom_bits", None))
     if run is None:
         raise ValueError("realign_table: empty table")
     tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": [run]}, mode="overwrite")

@@ -300,7 +300,9 @@ def _purge_once(spark: SparkSession, tbl: ManifestTable,
                               n_parts=run["n_parts"],
                               salt=run.get("salt", 1),
                               salt_by=run.get("salt_by"),
-                              key=run_key)
+                              key=run_key,
+                              bloom_bits=getattr(
+                                  blocks, "_eel_bloom_bits", None))
     props = dict(snap.properties)
     props["tombstones"] = []
     props["runs"] = runs + ([rec] if rec else [])
@@ -531,7 +533,9 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
                               run_id=f"upsert-rewrite-{snap.snapshot_id}",
                               fingerprint=None, n_parts=run["n_parts"],
                               salt=run.get("salt", 1),
-                              salt_by=run.get("salt_by"), key=key)
+                              salt_by=run.get("salt_by"), key=key,
+                              bloom_bits=getattr(
+                                  blocks, "_eel_bloom_bits", None))
             new_files += files_a
             recs.append(rec)
 
@@ -545,7 +549,8 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
                       run_id=f"upsert-{snap.snapshot_id}",
                       fingerprint=None, n_parts=run["n_parts"],
                       salt=run.get("salt", 1), salt_by=run.get("salt_by"),
-                      key=key)
+                      key=key,
+                      bloom_bits=getattr(blocks, "_eel_bloom_bits", None))
     new_files += files_b
     if rec:
         recs.append(rec)

@@ -50,6 +50,19 @@ DECODE_BATCH_ROWS = int(os.environ.get("EEL_DECODE_BATCH_ROWS",
                                        32 * 1024))
 
 
+def _widened(arr: pa.Array, target) -> pa.Array:
+    """Schema-evolution cast on decode (r8 type widening,
+    ManifestTable.widen_column): blocks store a column at its
+    ENCODE-TIME type, so a read under a widened schema (int -> bigint,
+    float -> double, decimal precision up) casts the decoded array to
+    the requested type. ``safe=True``: arrow RAISES on any lossy value,
+    so a wrong narrowing can never silently corrupt. No-op (and no
+    cost) when types already match — the overwhelmingly common case."""
+    if target is None or arr.type == target:
+        return arr
+    return arr.cast(target, safe=True)
+
+
 def _sliced(rb: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
     if rb.num_rows <= DECODE_BATCH_ROWS:
         yield rb
@@ -152,31 +165,118 @@ def _bloom_hash_pair_str(vals: list) -> tuple:
             dig[:, 1].astype(np.uint64) | np.uint64(1))
 
 
-def _bloom_build(arr: pa.Array, kind: str,
-                 bits: int | None = None) -> list[int] | None:
-    """Per-block bloom words (int64 bit patterns) over the non-null
-    values, or None for kinds without a stable hash (floats). m scales
-    with the block's value count (positions are taken mod m at probe
-    time, so a variable m needs no registry)."""
+def _bloom_pair_of(arr: pa.Array, kind: str):
+    """(h1, h2) arrays for a block's non-null values, or None for kinds
+    without a stable hash (floats). Shared by the per-block bloom AND
+    the per-file summary accumulator so values hash once."""
     if len(arr) == 0 or arr.null_count == len(arr):
         return None
     values = arr.drop_null() if arr.null_count else arr
     if kind == "int":
         from .codecs.base import int_view
 
-        h1, h2 = _bloom_hash_pair_int(np.asarray(int_view(values)))
-    elif pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
-        h1, h2 = _bloom_hash_pair_str(values.to_pylist())
-    else:
-        return None
-    n = len(values)
-    m = max(64, (((bits or BLOOM_BITS_PER_VALUE) * n + 63) // 64) * 64)
-    words = np.zeros(m // 64, dtype=np.uint64)
-    for i in range(BLOOM_K):
-        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        return _bloom_hash_pair_int(np.asarray(int_view(values)))
+    if pa.types.is_string(values.type) or pa.types.is_large_string(values.type):
+        return _bloom_hash_pair_str(values.to_pylist())
+    return None
+
+
+def _bloom_fill(words: "np.ndarray", h1, h2, k: int) -> None:
+    """OR the k probe positions of every (h1, h2) value pair into a
+    fixed word array (m = 64 * len(words))."""
+    m = np.uint64(words.size * 64)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
         np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                          np.uint64(1) << (pos & np.uint64(63)))
+
+
+def _bloom_build(arr: pa.Array, kind: str,
+                 bits: int | None = None,
+                 pair=None) -> list[int] | None:
+    """Per-block bloom words (int64 bit patterns) over the non-null
+    values, or None for kinds without a stable hash (floats). m scales
+    with the block's value count (positions are taken mod m at probe
+    time, so a variable m needs no registry)."""
+    pair = pair if pair is not None else _bloom_pair_of(arr, kind)
+    if pair is None:
+        return None
+    h1, h2 = pair
+    n = len(h1)
+    m = max(64, (((bits or BLOOM_BITS_PER_VALUE) * n + 63) // 64) * 64)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _bloom_fill(words, h1, h2, BLOOM_K)
     return words.view(np.int64).tolist()
+
+
+def auto_bloom_bits(n_files_hint: int) -> int:
+    """Size per-block key blooms from the table's expected candidate
+    FILE count (r8, closing the measured linear fp law, BENCH.md r7:
+    fp file-opens per lookup ~= fp(bits) x files — ~1000 opens at 100k
+    files on the old 10-bit default). Smallest bits/key on the ladder
+    whose expected fp opens stay <= ~2 at ``n_files_hint`` candidates;
+    k stays 5 (probe cost unchanged), so past ~10^5 files the ladder
+    tops out at 64 bits/key (fp ~7e-6). Cost is storage only: bits/key
+    x rows ~= 0.1-0.8% of raw bytes."""
+    import math
+
+    for b in (10, 12, 14, 16, 20, 24, 32, 48, 64):
+        fp = (1.0 - math.exp(-BLOOM_K / b)) ** BLOOM_K
+        if fp * max(1, n_files_hint) <= 2.0:
+            return b
+    return 64
+
+
+def effective_bloom_bits(n_parts: int, bloom_bits: int | None) -> int:
+    """The bits/key an encode run actually uses: the explicit parameter,
+    else max(env floor, auto_bloom_bits(n_parts)) — n_parts is the
+    file-count proxy at encode time (part-aligned tables write exactly
+    n_parts files; banded tables write <= input partitions, usually
+    fewer). Deterministic, so maintenance rewrites re-derive the same
+    sizing and analyze-table can flag grown tables."""
+    if bloom_bits is not None:
+        return bloom_bits
+    return max(BLOOM_BITS_PER_VALUE, auto_bloom_bits(n_parts))
+
+
+# -- per-file SUMMARY blooms (lookup tier 0, r8) ---------------------------
+# A coarse fixed-size bloom over each FILE's key values, stored in the
+# snapshot JSON (base64 words) and consulted DRIVER-SIDE before any
+# file/footer is opened — the manifest-level escape hatch BENCH.md r7
+# names for 100k+ file tables, where even the narrow per-file bloom
+# scan's footer opens dominate. Kept deliberately small (<= ~1 KB/file:
+# SUMMARY_MAX_BITS) so a 100k-file manifest stays loadable; files whose
+# value count would saturate the fixed size are recorded as ABSENT
+# (consult keeps them conservatively) rather than stored saturated —
+# the tier's sweet spot is exactly the many-small-files regime
+# (streaming appends, follower sinks, the bloom_scale_bench trend).
+SUMMARY_BLOOM_K = 3
+SUMMARY_BITS_PER_VALUE = 6
+SUMMARY_MAX_BITS = 8192  # 1 KB/file/column
+SUMMARY_COL_PREFIX = "__fs__:"
+
+
+def summary_bloom_words(n: int) -> "np.ndarray | None":
+    """Fresh word accumulator for a file summary, or None when ``n``
+    values would saturate the fixed size past usefulness (fp > ~0.5)."""
+    if n > SUMMARY_MAX_BITS // 2:
+        return None
+    return np.zeros(SUMMARY_MAX_BITS // 64, dtype=np.uint64)
+
+
+def summary_may_contain(b64_words: str, key_value) -> bool:
+    """Driver-side membership probe of a stored file-summary bloom
+    (same (h1, h2) family as the block blooms, k=SUMMARY_BLOOM_K)."""
+    import base64
+
+    words = np.frombuffer(base64.b64decode(b64_words), dtype=np.uint64)
+    m = words.size * 64
+    h1, h2 = bloom_probe_seeds(key_value)
+    for i in range(SUMMARY_BLOOM_K):
+        pos = (h1 + i * h2) % m
+        if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
+            return False
+    return True
 
 
 def bloom_probe_seeds(key_value) -> tuple[int, int]:
@@ -436,6 +536,8 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
 
     seq: dict[int, int] = {}
     ctx: dict = {}  # per-partition codec context (cached FSST tables etc.)
+    # per-file summary bloom accumulators: col -> (words|None, n_values)
+    summaries: dict = {}
     # unique per writer instance: appended runs reuse (part_id, block_seq),
     # so decode groups on (part_id, block_seq, writer_uid) to keep groups
     # from different runs/epochs apart
@@ -480,9 +582,30 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 bloom_this = (name in bloom_col
                               if isinstance(bloom_col, (set, frozenset))
                               else name == bloom_col)
-                rows["key_bloom"].append(
-                    _bloom_build(arr, info["kind"], bits=bloom_bits)
-                    if bloom_this else None)
+                if bloom_this:
+                    pair = _bloom_pair_of(arr, info["kind"])
+                    rows["key_bloom"].append(
+                        _bloom_build(arr, info["kind"], bits=bloom_bits,
+                                     pair=pair))
+                    # per-file SUMMARY accumulator (tier 0): same value
+                    # hashes, fixed size, one sentinel row per column at
+                    # task end; None = saturated, recorded absent
+                    if pair is not None and name in summaries:
+                        words, n_acc = summaries[name]
+                        n_acc += len(pair[0])
+                        if words is None or \
+                                n_acc > SUMMARY_MAX_BITS // 2:
+                            summaries[name] = (None, n_acc)
+                        else:
+                            _bloom_fill(words, *pair, SUMMARY_BLOOM_K)
+                            summaries[name] = (words, n_acc)
+                    elif pair is not None:
+                        words = summary_bloom_words(len(pair[0]))
+                        if words is not None:
+                            _bloom_fill(words, *pair, SUMMARY_BLOOM_K)
+                        summaries[name] = (words, len(pair[0]))
+                else:
+                    rows["key_bloom"].append(None)
                 rows["part_id"].append(part_id)
                 rows["part_hi"].append(part_hi)
                 rows["parts"].append(parts_list)
@@ -523,6 +646,44 @@ def _encode_batches(batches: Iterator[pa.RecordBatch],
                 ],
                 names=BLOCK_FIELDS,
             )
+    # task end == file end (one write task = one output file): emit ONE
+    # sentinel row per bloomed column carrying the file-summary bloom
+    # (tier 0). The sentinel's col is namespaced ("__fs__:<col>") so
+    # every decode/scan path's col filter drops it; parts=[] keeps it
+    # out of coverage maps; the CRC is real so fsck verifies it like
+    # any block. _run_record lifts the words into the manifest.
+    sent = [(name, words, n_acc)
+            for name, (words, n_acc) in summaries.items()
+            if words is not None]
+    if sent:
+        empty_crc = zlib.crc32(b"", zlib.crc32(b""))
+        yield pa.record_batch(
+            [
+                pa.array([0] * len(sent), type=pa.int32()),
+                pa.array([0] * len(sent), type=pa.int32()),
+                pa.array([[]] * len(sent), type=pa.list_(pa.int32())),
+                pa.array([-1] * len(sent), type=pa.int32()),
+                pa.array([writer_uid] * len(sent), type=pa.int64()),
+                pa.array([SUMMARY_COL_PREFIX + n for n, _, _ in sent],
+                         type=pa.string()),
+                pa.array(["fsummary"] * len(sent), type=pa.string()),
+                pa.array([n for _, _, n in sent], type=pa.int64()),
+                pa.array([0] * len(sent), type=pa.int64()),
+                pa.array([b""] * len(sent), type=pa.binary()),
+                pa.array([b""] * len(sent), type=pa.binary()),
+                pa.array([0] * len(sent), type=pa.int64()),
+                pa.array([0] * len(sent), type=pa.int64()),
+                pa.array([0.0] * len(sent), type=pa.float64()),
+                pa.array([None] * len(sent), type=pa.int64()),
+                pa.array([None] * len(sent), type=pa.int64()),
+                pa.array([None] * len(sent), type=pa.string()),
+                pa.array([None] * len(sent), type=pa.string()),
+                pa.array([w.view(np.int64).tolist() for _, w, _ in sent],
+                         type=pa.list_(pa.int64())),
+                pa.array([empty_crc] * len(sent), type=pa.int64()),
+            ],
+            names=BLOCK_FIELDS,
+        )
 
 
 def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
@@ -587,6 +748,16 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
         shuffle = "local"
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or sc.defaultParallelism * 2
+    # r8: blooms auto-size to the table's expected FILE count — the
+    # measured fp law is linear in files, so a fixed 10-bit default
+    # silently degrades to ~1000 fp opens/lookup at 100k files. The
+    # hint: part-aligned layouts write exactly n_parts files; the
+    # no-exchange layouts write one file per INPUT partition, which on
+    # a big corpus is far larger than n_parts.
+    hint = n_parts
+    if shuffle == "local" or shuffle is False:
+        hint = max(n_parts, df.rdd.getNumPartitions())
+    bloom_bits = effective_bloom_bits(hint, bloom_bits)
     overrides = codec_overrides or {}
     # per-block key blooms (key_bloom=True default): the membership tier
     # for exact-key lookups on layouts where min/max stats can't prune
@@ -641,6 +812,10 @@ def encode_df(df: DataFrame, key: str, n_parts: int | None = None,
     # its regrouping shuffle entirely (persist()/cache() return the same
     # object, so encode->cache->decode keeps the zero-shuffle path)
     out._eel_grouped = True
+    # the bits/key this encode resolved to (explicit knob or file-count
+    # auto-sizing): _run_record reads it so the manifest records what
+    # the blooms were ACTUALLY sized with
+    out._eel_bloom_bits = bloom_bits
     return out
 
 
@@ -806,6 +981,10 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
 
     n_cols = len(col_order)
     verify = verify and "payload_crc" in blocks.columns
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_types = {f.name: to_arrow_type(f.dataType)
+                   for f in out_schema.fields if f.name in col_order}
 
     def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pending: dict[tuple[int, int], dict[str, pa.Array]] = {}
@@ -832,21 +1011,19 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
                 group[name] = decode_column(hdr, buf)
                 if len(group) == n_cols:
                     yield from _sliced(pa.record_batch(
-                        [group[c] for c in col_order], names=col_order))
+                        [_widened(group[c], arrow_types.get(c))
+                         for c in col_order], names=col_order))
                     del pending[key]
         if pending and fill_missing:
             # schema evolution: groups written before a column existed get
             # nulls for it (only whole-column absence qualifies)
-            from pyspark.sql.pandas.types import to_arrow_type
-
-            arrow_types = {f.name: to_arrow_type(f.dataType)
-                           for f in out_schema.fields if f.name in col_order}
             for key, group in list(pending.items()):
                 if not group:
                     continue
                 n_rows = len(next(iter(group.values())))
                 yield from _sliced(pa.record_batch(
-                    [group.get(c, pa.nulls(n_rows, type=arrow_types[c]))
+                    [_widened(group[c], arrow_types[c]) if c in group
+                     else pa.nulls(n_rows, type=arrow_types[c])
                      for c in col_order],
                     names=col_order))
                 del pending[key]
@@ -928,6 +1105,10 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
     alias_of = {h: c for h, c in (renames or {}).items()
                 if c in col_order and h not in col_order}
     scan_names = col_order + sorted(alias_of)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    arrow_types = {f.name: to_arrow_type(f.dataType)
+                   for f in out_schema.fields if f.name in col_order}
 
     def _read_decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -967,7 +1148,8 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
                         group[name] = decode_column(hdr, buf)
                         if len(group) == n_cols:
                             yield from _sliced(pa.record_batch(
-                                [group[c] for c in col_order],
+                                [_widened(group[c], arrow_types.get(c))
+                                 for c in col_order],
                                 names=col_order))
                             del pending[key]
                 if pending:

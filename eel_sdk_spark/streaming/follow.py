@@ -123,7 +123,9 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
         rec = _run_record(spark, job_dir, files,
                           run_id=f"follow-{consumer_id}-{target}",
                           fingerprint=None, n_parts=n_parts, salt=1,
-                          salt_by=None, key=key)
+                          salt_by=None, key=key,
+                          bloom_bits=getattr(blocks, "_eel_bloom_bits",
+                                             None))
         head = sink.current()
         sink_runs = head.properties.get("runs", []) if head else []
         sink.commit(files, BLOCK_SCHEMA_DDL,

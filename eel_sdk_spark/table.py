@@ -384,6 +384,69 @@ class ManifestTable:
             props["row_schema_ddl"] = ", ".join(parts)
         return self.commit([], "", props, mode="append", stage=stage)
 
+    #: widenings a stored column type may take without data loss — the
+    #: Iceberg type-promotion matrix (int->long, float->double, decimal
+    #: precision up handled separately)
+    _WIDENINGS = {("tinyint", "smallint"), ("tinyint", "int"),
+                  ("tinyint", "bigint"), ("smallint", "int"),
+                  ("smallint", "bigint"), ("int", "bigint"),
+                  ("float", "double")}
+
+    def widen_column(self, col: str, to_type: str,
+                     stage: str | None = None) -> Snapshot:
+        """Type-WIDENING schema evolution with a properties-only commit
+        — no data moves (Iceberg's type promotion: int->long,
+        float->double, decimal precision up at equal scale). Blocks keep
+        their encode-time type; the decode kernels safe-cast each
+        decoded array up to the stored schema's current type
+        (encode._widened), so mixed-generation reads return ONE widened
+        type and later appends encode natively wide. Chained like
+        ``rename_column``: the history rides ``column_widenings`` and
+        lookups probe the part hash with every historical width (the
+        JVM xxhash64 hashes int32 and int64 differently, so a widened
+        KEY column's old generations live in parts derived from the
+        narrow type)."""
+        import re as _re
+
+        snap = self.head(stage)
+        if snap is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshot")
+        stored = snap.properties.get("row_schema_ddl")
+        if not stored:
+            raise ValueError(
+                "widen_column needs the stored row schema "
+                "(row_schema_ddl) to validate the promotion — this "
+                "table predates it")
+        frm = None
+        parts = []
+        for fld in stored.split(", "):
+            name, _, typ = fld.partition(" ")
+            if name == col:
+                frm = typ
+                typ = to_type
+            parts.append(f"{name} {typ}")
+        if frm is None:
+            raise ValueError(f"widen_column: no column {col!r} in stored "
+                             f"schema {stored!r}")
+        dec = (_re.fullmatch(r"decimal\((\d+),(\d+)\)", frm),
+               _re.fullmatch(r"decimal\((\d+),(\d+)\)", to_type))
+        ok = (frm, to_type) in self._WIDENINGS or (
+            dec[0] and dec[1]
+            and int(dec[1].group(1)) >= int(dec[0].group(1))
+            and dec[1].group(2) == dec[0].group(2))
+        if frm == to_type:
+            raise ValueError(f"widen_column: {col!r} is already {frm}")
+        if not ok:
+            raise ValueError(
+                f"widen_column: {frm} -> {to_type} is not a lossless "
+                f"promotion (allowed: int family up, float->double, "
+                f"decimal precision up at equal scale)")
+        entries = list(snap.properties.get("column_widenings", []))
+        entries.append({"col": col, "from": frm, "to": to_type})
+        return self.commit([], "", {"column_widenings": entries,
+                                    "row_schema_ddl": ", ".join(parts)},
+                           mode="append", stage=stage)
+
     def row_schema(self, snap=None) -> str:
         """The stored logical row schema (persisted by the encode paths
         since r7); raises with guidance for tables that predate it."""
@@ -660,6 +723,17 @@ class ManifestTable:
         snap = self.head(stage)
         df = self.read(spark, snapshot_id=snap.snapshot_id if snap
                        else None)
+        if {"part_id", "block_seq", "col"} <= set(df.columns):
+            # tier-0 summary sentinels describe the ORIGINAL files — a
+            # compacted file mixes many sources, so carrying them over
+            # would stamp wrong summaries onto new basenames. Drop them;
+            # rewritten files simply have no summary (conservatively
+            # kept by lookups) until the next fresh encode.
+            from pyspark.sql import functions as F
+
+            from .encode import SUMMARY_COL_PREFIX
+
+            df = df.filter(~F.col("col").startswith(SUMMARY_COL_PREFIX))
         if by is None and {"part_id", "block_seq", "col"} <= set(df.columns):
             by = ["part_id"]
             if "part_hi" in df.columns and (

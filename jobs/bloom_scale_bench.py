@@ -97,7 +97,8 @@ def main() -> None:
     survivors_norange = len(norange_files(targets[0]))
     # key-range-only wall: disable the bloom tier by patching the gate
     real = checkpoint.lookup_files
-    checkpoint.lookup_files = lambda sp, sn, kv, k, parts: norange_files(kv)
+    checkpoint.lookup_files = \
+        lambda sp, sn, kv, k, parts, **kw: norange_files(kv)
     try:
         ts = time.time()
         assert point_lookup(spark, tbl, targets[0], ddl).count() == 1

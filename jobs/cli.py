@@ -125,6 +125,13 @@ def cmd_analyze_table(args) -> None:
         # r6: per-block key blooms present? (zero-read: schema-level) —
         # scattered-layout point lookups prune to ~1 file when true
         "key_blooms": "key_bloom" in (snap.schema_ddl or ""),
+        # r8: bloom sizing health — the encoder auto-sizes bits/key to
+        # its n_parts file hint, but a table GROWN by appends/followers
+        # can outrun the recorded sizing (the measured fp law is linear
+        # in files: fp(bits) x files = expected wasted opens/lookup).
+        # Non-null => re-encode/realign with the recommended bits (or
+        # lean on the tier-0 summaries + bloom index).
+        "bloom_undersized": _bloom_sizing_check(runs, len(snap.files)),
         # r7: bloom INDEX sidecar status — covered vs current files
         # (uncovered files fall back to the per-file scan; rebuild with
         # `eel bloom-index` when coverage drifts after appends)
@@ -165,6 +172,23 @@ def _bloom_index_stats(snap) -> dict | None:
             "covered_files": len(covered & current),
             "total_files": len(current),
             "stale": bool(current - covered)}
+
+
+def _bloom_sizing_check(runs: list, n_files: int) -> dict | None:
+    """Compare the newest run's recorded bits/key against what the LIVE
+    file count needs (encode.auto_bloom_bits); None when healthy or
+    unknown (pre-r8 tables record no bloom_bits)."""
+    from eel_sdk_spark.encode import auto_bloom_bits
+
+    recorded = next((r["bloom_bits"] for r in reversed(runs)
+                     if r.get("bloom_bits") is not None), None)
+    if recorded is None:
+        return None
+    needed = auto_bloom_bits(n_files)
+    if recorded >= needed:
+        return None
+    return {"recorded_bits": recorded, "recommended_bits": needed,
+            "files": n_files}
 
 
 def _key_range_stats(runs: list, props: dict) -> dict:

@@ -208,3 +208,33 @@ def test_sink_is_a_first_class_encoded_table(spark, tmp_path):
     assert third.current().properties["runs"][-1]["n_parts"] == \
         run["n_parts"]
     df.unpersist()
+
+
+def test_cas_loser_orphans_are_gc_reclaimable(spark, tmp_path):
+    """VERDICT r7 #7: the losing follower's staged files are documented
+    as 'orphans for gc' — prove remove_orphan_files actually reclaims
+    them and the sink stays healthy and row-exact afterwards."""
+    from eel_sdk_spark.checkpoint import fsck, fsck_summary
+
+    df, src = _mk_src(spark, tmp_path, n=1000)
+    sink = ManifestTable(str(tmp_path), "sinkgc")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    _append(spark, src, _fresh(spark, 40, "inc"))
+
+    def racing(d):
+        sink.commit([], "", {"cdc.follow": src.current().snapshot_id})
+        return d
+
+    with pytest.raises(CommitConflict):
+        follow_once(spark, src, sink, SCHEMA_DDL, transform=racing)
+
+    # the loser's encode landed real bytes under the sink's data dir
+    # that NO snapshot references
+    removed = sink.remove_orphan_files(older_than_s=0.0)
+    assert removed, "CAS loser's staged files were not found as orphans"
+    # and gc touched nothing live: reads + integrity are intact
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 1000
+    assert fsck_summary(fsck(spark, sink))["healthy"]
+    # idempotent: a second sweep finds nothing
+    assert sink.remove_orphan_files(older_than_s=0.0) == []
+    df.unpersist()

@@ -21,7 +21,16 @@ DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 @pytest.fixture(scope="module")
 def derby_url(spark, tmp_path_factory):
-    db = tmp_path_factory.mktemp("derby") / "db"
+    # pid+uuid in the db path: pytest's numbered basetemp dirs can RACE
+    # across two concurrent pytest processes (both compute the same
+    # pytest-of-<user>/pytest-N), and two embedded Derby engines then
+    # fight over one database lock — the r7 'Derby flake'. A path unique
+    # per process can never collide.
+    import os as _os
+    import uuid as _uuid
+
+    db = (tmp_path_factory.mktemp("derby")
+          / f"db-{_os.getpid()}-{_uuid.uuid4().hex[:8]}")
     return f"jdbc:derby:{db};create=true"
 
 

@@ -172,6 +172,10 @@ ALLOWED_INTEGRAL_FLOATS: dict[str, set] = {
     # NULL on the simhash leg and vice versa; frames-leg ints are NULL on
     # the features leg; k2 is NULL on the update leg
     "dedup_exact": {"n_dups", "keep_id", "doc_id"},
+    # r8 kmeans-leg fold: id columns are NULL on the kmeans leg and
+    # (cell, pos) NULL on the dedup leg — NULLable int -> float64 on
+    # BOTH sides, same class as k2
+    "semantic_dedup": {"vec_id", "label", "cell", "pos"},
     # r7 fold wave 3: agg-leg extrema are NULL on the profile legs
     # and vice versa for n_nulls
     "global_agg": {"n_nulls", "top_order", "bottom_order",

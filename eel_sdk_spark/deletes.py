@@ -172,6 +172,23 @@ def _purge_candidates(spark: SparkSession, snap, key: str,
     files = kept
     if not files or len(values) > PURGE_BLOOM_MAX_KEYS or len(files) <= 2:
         return files
+    # tier 0 (r8): manifest-resident summary blooms, probed driver-side
+    # before the batched narrow scan opens any footer — a file survives
+    # if ANY value may be present; summary-less files are kept
+    summaries: dict[str, dict] = {}
+    for r in snap.properties.get("runs", []):
+        fsb = r.get("file_summary_blooms") or {}
+        for n in names:
+            summaries.update(fsb.get(n, {}))
+    if summaries:
+        from .encode import summary_may_contain
+
+        files = [f for f in files
+                 if (s := summaries.get(os.path.basename(f))) is None
+                 or any(summary_may_contain(s["b64"], v)
+                        for v in values)]
+        if not files or len(files) <= 2:
+            return files
     # tier 2: ONE narrow columnar scan, all probes OR-chained; per-file
     # verdict = max over its bloomed key blocks. Files with no bloomed
     # key blocks at all never appear in the aggregate and are kept

@@ -872,6 +872,134 @@ class ManifestTable:
             out = self.current()
         return out
 
+    def binpack(self, spark, target_bytes: int = 128 << 20,
+                min_input_files: int = 2,
+                stage: str | None = None) -> dict:
+        """INCREMENTAL small-file compaction (Iceberg's binpack
+        rewrite_data_files strategy): rewrite ONLY the files under
+        ``target_bytes`` into ~target-sized outputs; every larger file
+        — and its manifest coverage, stats, key ranges, and summary
+        blooms — survives byte-identical. Cost is O(small-file bytes),
+        never O(table): on a 100k-file table where a follower lands one
+        file per poll, the nightly binpack touches the day's small tail
+        while ``compact()`` would rewrite 100 TB. The group-preserving
+        repartition (part_id, block_seq, writer_uid) keeps every decode
+        block group whole in one output file, so the zero-shuffle
+        ``read_decoded`` path survives the rewrite.
+
+        Sizes come from the local filesystem (an object-store port
+        would read them from its listing or the manifest's per-file
+        stats). Coverage/stats/key-range EXTRA maps are MERGED — new
+        entries for the packed outputs, survivors keep theirs — unlike
+        ``compact()``'s wholesale replacement. A registered bloom index
+        keeps answering for survivors; packed files fall back to the
+        per-file scan until the next index build (append-safe
+        contract). Returns a summary dict; no-op (no commit) when
+        fewer than ``min_input_files`` qualify."""
+        import math as _math
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        snap = self.head(stage)
+        if snap is None or not snap.files:
+            raise FileNotFoundError(f"table {self.dir} has no snapshot")
+        sizes = {f: _os.path.getsize(f) for f in snap.files
+                 if _os.path.exists(f)}
+        small = [f for f in snap.files if sizes.get(f, 0) < target_bytes]
+        if len(small) < min_input_files:
+            return {"rewritten_files": 0, "new_files": 0,
+                    "surviving_files": len(snap.files),
+                    "snapshot_id": snap.snapshot_id}
+        survivors = [f for f in snap.files if f not in set(small)]
+        n_out = max(1, _math.ceil(sum(sizes[f] for f in small)
+                                  / target_bytes))
+
+        df = spark.read.option("mergeSchema", "true").parquet(*small)
+        blocksy = {"part_id", "block_seq", "col"} <= set(df.columns)
+        if blocksy:
+            from .encode import SUMMARY_COL_PREFIX
+
+            # summary sentinels describe the ORIGINAL files — drop them
+            # (packed outputs have no summary until the next encode)
+            df = df.filter(~F.col("col").startswith(SUMMARY_COL_PREFIX))
+            by = ["part_id", "block_seq", "writer_uid"]
+            df = (df.repartition(n_out, *by).sortWithinPartitions(*by))
+        else:
+            df = df.repartition(n_out)
+        job_dir = self.new_data_path()
+        df.write.mode("overwrite").parquet(job_dir)
+        new_files = self.list_written_files(job_dir)
+
+        props = dict(snap.properties)
+        replaced = {_os.path.basename(f) for f in small}
+        if blocksy:
+            rewritten = spark.read.parquet(job_dir)
+            # exact part coverage for the packed outputs (same one-scan
+            # aggregate compact uses; banded parts normalize via the
+            # parts column, pre-banding rows via part_id)
+            rows = (rewritten
+                    .select(F.input_file_name().alias("f"),
+                            F.explode(F.coalesce(
+                                F.col("parts"),
+                                F.array(F.col("part_id")))).alias("p"))
+                    .distinct().collect()) if "parts" in \
+                rewritten.columns else \
+                (rewritten.groupBy(F.input_file_name().alias("f"),
+                                   F.col("part_id").alias("p"))
+                 .count().collect())
+            cov: dict[str, list[int]] = {}
+            for r in rows:
+                cov.setdefault(_os.path.basename(r["f"]), []).append(
+                    int(r["p"]))
+            from .checkpoint import compact_coverage
+
+            extra = {b: v for b, v in
+                     props.get("file_parts_extra", {}).items()
+                     if b not in replaced}
+            extra.update({_os.path.basename(f): compact_coverage(
+                sorted(cov.get(_os.path.basename(f), [])))
+                for f in new_files})
+            props["file_parts_extra"] = extra
+            # per-file stats for the packed outputs (live-scope
+            # analyze-table); survivors keep run/extra entries
+            fs_rows = (rewritten
+                       .filter(~F.col("col").startswith("__fs__:"))
+                       .groupBy(F.input_file_name().alias("f"), "col")
+                       .agg(F.sum("n_values").alias("nv"),
+                            F.sum("raw_bytes").alias("raw"),
+                            F.sum("enc_bytes").alias("enc"))
+                       .collect())
+            fstats: dict[str, list[int]] = {}
+            fs_first = min((r["col"] for r in fs_rows), default=None)
+            for r in fs_rows:
+                fs = fstats.setdefault(_os.path.basename(r["f"]),
+                                       [0, 0, 0])
+                if r["col"] == fs_first:
+                    fs[0] += int(r["nv"])
+                fs[1] += int(r["raw"])
+                fs[2] += int(r["enc"])
+            fse = {b: v for b, v in
+                   props.get("file_stats_extra", {}).items()
+                   if b not in replaced}
+            fse.update({_os.path.basename(f): fstats.get(
+                _os.path.basename(f), [0, 0, 0]) for f in new_files})
+            props["file_stats_extra"] = fse
+            # key-range hygiene: replaced basenames out of the extra
+            # map; packed outputs carry NO ranges (conservatively kept
+            # by the range tier until the next encode/compact)
+            kr = props.get("file_key_ranges_extra")
+            if kr:
+                props["file_key_ranges_extra"] = {
+                    "key": kr.get("key"),
+                    "files": {b: v for b, v in kr.get("files", {}).items()
+                              if b not in replaced}}
+        healed = self.commit(survivors + new_files, snap.schema_ddl,
+                             props, mode="overwrite", stage=stage)
+        return {"rewritten_files": len(small), "new_files": len(new_files),
+                "surviving_files": len(survivors),
+                "snapshot_id": healed.snapshot_id}
+
     # -- maintenance (Iceberg expireSnapshots / deleteOrphanFiles parity) --
     def expire_snapshots(self, keep_last: int = 1,
                          delete_files: bool = True,

@@ -365,6 +365,24 @@ def cmd_compact_store(args) -> None:
         spark.stop()
 
 
+def cmd_binpack(args) -> None:
+    """Incremental small-file compaction (ManifestTable.binpack): pack
+    only the files under --target-bytes; big files and their manifest
+    entries survive untouched — O(small bytes), the nightly maintenance
+    for follower sinks that land one file per poll."""
+    from eel_sdk_spark.session import get_spark
+    from eel_sdk_spark.table import ManifestTable
+
+    spark = get_spark(app="binpack")
+    try:
+        tbl = ManifestTable(args.warehouse, args.table)
+        res = tbl.binpack(spark, target_bytes=args.target_bytes,
+                          stage=args.stage)
+        sys.stdout.write(json.dumps(res) + "\n")
+    finally:
+        spark.stop()
+
+
 def cmd_bloom_index(args) -> None:
     """Build/refresh the bloom INDEX sidecar for an encoded table
     (checkpoint.build_bloom_index): lookups then consult O(1) narrow
@@ -671,6 +689,15 @@ def main(argv=None) -> None:
     cs.add_argument("--stream-id", default="dedup")
     cs.add_argument("--expire-before-epoch", type=int, default=None)
 
+    bk = sub.add_parser("binpack",
+                        help="incremental small-file compaction: pack "
+                             "only files under --target-bytes, keep the "
+                             "rest byte-identical")
+    bk.add_argument("--warehouse", required=True)
+    bk.add_argument("--table", default="blocks")
+    bk.add_argument("--target-bytes", type=int, default=128 << 20)
+    bk.add_argument("--stage", default=None)
+
     ra = sub.add_parser("realign")
     ra.add_argument("--warehouse", required=True)
     ra.add_argument("--table", default="blocks")
@@ -825,7 +852,7 @@ def main(argv=None) -> None:
      "analyze": cmd_analyze, "analyze-table": cmd_analyze_table,
      "gc": cmd_gc, "profile": cmd_profile,
      "history": cmd_history, "realign": cmd_realign,
-     "compact-store": cmd_compact_store, "bpe": cmd_bpe,
+     "compact-store": cmd_compact_store, "binpack": cmd_binpack, "bpe": cmd_bpe,
      "bloom-index": cmd_bloom_index, "fsck": cmd_fsck,
      "repair": cmd_repair, "delete": cmd_delete,
      "purge": cmd_purge, "upsert": cmd_upsert,

@@ -238,3 +238,53 @@ def test_cas_loser_orphans_are_gc_reclaimable(spark, tmp_path):
     # idempotent: a second sweep finds nothing
     assert sink.remove_orphan_files(older_than_s=0.0) == []
     df.unpersist()
+
+
+def test_binpack_compacts_only_small_files(spark, tmp_path):
+    """r8 incremental binpack: a follower sink accrues one small file
+    set per poll — binpack rewrites ONLY those, keeps big files
+    byte-identical, merges (not replaces) the manifest extras, and the
+    packed table stays row-exact, lookup-able, and fsck-healthy."""
+    import os
+
+    from eel_sdk_spark.checkpoint import fsck, fsck_summary, point_lookup
+
+    df, src = _mk_src(spark, tmp_path, n=3000, parts=4)
+    sink = ManifestTable(str(tmp_path), "sinkbp")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    for i in range(4):  # 4 small polls -> 4+ small files
+        _append(spark, src, _fresh(spark, 60, f"p{i}"))
+        follow_once(spark, src, sink, SCHEMA_DDL)
+    snap = sink.current()
+    n_before = len(snap.files)
+    sizes = {f: os.path.getsize(f) for f in snap.files}
+    big = {f for f, s in sizes.items() if s >= 64 * 1024}
+    small = [f for f in snap.files if f not in big]
+    assert len(small) >= 4
+
+    out = sink.binpack(spark, target_bytes=64 * 1024)
+    assert out["rewritten_files"] == len(small)
+    assert out["new_files"] < len(small)
+    after = sink.current()
+    assert len(after.files) < n_before
+    # big files survive IDENTICALLY (same paths, untouched bytes)
+    assert big <= set(after.files)
+    for f in big:
+        assert os.path.getsize(f) == sizes[f]
+
+    read = sink.read_decoded(spark).cache()
+    assert read.count() == 3000 + 4 * 60
+    assert read.groupBy("url").count().filter("count > 1").count() == 0
+    assert fsck_summary(fsck(spark, sink))["healthy"]
+    # lookups still answer (packed files: conservative range tier +
+    # per-file blooms; survivors: manifest tiers)
+    target = read.filter(F.col("url").startswith("https://p2.")) \
+        .first()["url"]
+    assert point_lookup(spark, sink, target).count() == 1
+    read.unpersist()
+
+    # idempotent: everything now >= target or too few inputs -> no-op
+    sid = sink.current().snapshot_id
+    again = sink.binpack(spark, target_bytes=64 * 1024)
+    assert again["new_files"] == 0
+    assert sink.current().snapshot_id == sid

@@ -91,12 +91,49 @@ def delete_rows(spark: SparkSession, tbl: ManifestTable, keys,
     kdf.coalesce(1).write.mode("overwrite").parquet(out_dir)
     files = ManifestTable.list_written_files(out_dir)
     n = spark.read.parquet(out_dir).count()
+    if n == 0:
+        # a predicate that matched nothing (delete_where sweeps) must
+        # not commit an empty tombstone entry; the empty sidecar is
+        # unreferenced and GC'd with the next expire
+        return {"deleted_keys": 0, "snapshot_id": snap.snapshot_id}
     entry = {"key": key, "files": files, "n": n,
              "as_of_snapshot": snap.snapshot_id}
     props = {"tombstones": _tombstone_entries(snap) + [entry]}
     healed = tbl.commit([], "", props, mode="append")
     return {"deleted_keys": n, "snapshot_id": healed.snapshot_id,
             "tombstone_commits": len(props["tombstones"])}
+
+
+def delete_where(spark: SparkSession, tbl: ManifestTable, condition,
+                 schema_ddl: str | None = None, key=None) -> dict:
+    """Content-predicate takedown: evaluate ``condition`` (a Column or a
+    SQL string) over the decoded table and tombstone the matching rows'
+    lineage keys — 'remove every row whose text contains X' without the
+    caller extracting keys by hand. One decode pass to FIND the keys
+    (predicate pushdown prunes what the manifest tiers can), then the
+    same metadata-only O(|keys|) commit as :func:`delete_rows`.
+    ``key`` defaults to the table's lineage key (rename-translated;
+    composite keys supported). Already-tombstoned rows are excluded by
+    the read, so repeated sweeps are idempotent."""
+    from .encode import key_cols
+    from .table import fold_renames
+
+    snap = tbl.current()
+    if snap is None:
+        raise FileNotFoundError(f"delete: table {tbl.dir} has no snapshot")
+    if key is None:
+        runs = snap.properties.get("runs", [])
+        if not runs:
+            raise ValueError("delete_where: table has no encode run "
+                             "lineage — pass key= explicitly")
+        fold = fold_renames(snap.properties.get("column_renames", []))
+        raw = runs[-1].get("key", "url")
+        key = (fold.get(raw, raw) if isinstance(raw, str)
+               else [fold.get(c, c) for c in raw])
+    cols = key_cols(key)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    hits = tbl.read_decoded(spark, schema_ddl).filter(cond).select(*cols)
+    return delete_rows(spark, tbl, hits, key=key)
 
 
 def _entry_key(e: dict):

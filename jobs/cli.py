@@ -470,6 +470,19 @@ def cmd_delete(args) -> None:
     try:
         tbl = ManifestTable(args.warehouse, args.table)
         key = args.key.split(",") if "," in args.key else args.key
+        if args.where:
+            # content-predicate takedown (deletes.delete_where): one
+            # decoded pass finds the keys, then the same metadata-only
+            # commit
+            from eel_sdk_spark.deletes import delete_where
+
+            if args.keys or args.keys_file:
+                raise SystemExit("--where is mutually exclusive with "
+                                 "--keys/--keys-file")
+            out = delete_where(spark, tbl, args.where,
+                               key=None if args.key == "url" else key)
+            sys.stdout.write(json.dumps(out) + "\n")
+            return
         if args.keys_file:
             keys = spark.read.parquet(args.keys_file)
             if args.key_col:
@@ -756,6 +769,10 @@ def main(argv=None) -> None:
                     help="comma-separated key values")
     dl.add_argument("--keys-file", default=None,
                     help="parquet of key values (large delete sets)")
+    dl.add_argument("--where", default=None,
+                    help="SQL predicate over the decoded rows — "
+                         "tombstone every matching row's key "
+                         "(content takedowns)")
     dl.add_argument("--key-col", default=None,
                     help="column to take from --keys-file")
 

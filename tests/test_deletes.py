@@ -296,3 +296,33 @@ def test_expire_snapshots_empty_table_result_shape(spark, tmp_path):
     assert out == {"expired_snapshots": 0, "deleted_files": 0,
                    "deleted_index_files": 0,
                    "deleted_tombstone_files": 0}
+
+
+def test_delete_where_predicate_takedown(spark, tmp_path):
+    """r8 delete_where: content-predicate takedown — find matching rows
+    in one decoded pass, tombstone their lineage keys; idempotent on
+    repeat (already-suppressed rows are excluded by the read); empty
+    matches commit nothing."""
+    from eel_sdk_spark.deletes import delete_where
+
+    df, tbl = _mk(spark, tmp_path, "delwhere", n=1500, parts=4)
+    n_en = df.filter("lang = 'en'").count()
+    assert n_en > 0
+
+    out = delete_where(spark, tbl, "lang = 'en'")
+    assert out["deleted_keys"] == n_en
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.filter("lang = 'en'").count() == 0
+    assert read.count() == 1500 - n_en
+
+    # idempotent: the suppressed rows no longer match anything
+    sid = tbl.current().snapshot_id
+    again = delete_where(spark, tbl, F.col("lang") == "en")
+    assert again["deleted_keys"] == 0
+    assert tbl.current().snapshot_id == sid  # no empty tombstone commit
+
+    # purge materializes the predicate takedown physically
+    purged = purge_deletes(spark, tbl, SCHEMA_DDL)
+    assert purged["purged_keys"] == n_en
+    raw = tbl.read_decoded(spark, SCHEMA_DDL, with_deletes=False)
+    assert raw.count() == 1500 - n_en

@@ -552,6 +552,20 @@ def cmd_rename(args) -> None:
          "snapshot_id": snap.snapshot_id}) + "\n")
 
 
+def cmd_widen(args) -> None:
+    """Widen a column's type (int family up, float->double, decimal
+    precision up) via a properties-only commit — no data moves, no
+    Spark session; decode safe-casts old blocks up from the next read
+    on (ManifestTable.widen_column)."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    snap = tbl.widen_column(args.col, args.to, stage=args.stage)
+    sys.stdout.write(json.dumps(
+        {"widened": {args.col: args.to},
+         "snapshot_id": snap.snapshot_id}) + "\n")
+
+
 def cmd_tag(args) -> None:
     """Pin a snapshot under an immutable name (no Spark session)."""
     from eel_sdk_spark.table import ManifestTable
@@ -818,6 +832,15 @@ def main(argv=None) -> None:
     rn.add_argument("--stage", default=None,
                     help="stage the rename on a ref instead of main")
 
+    wd = sub.add_parser("widen", help="widen a column type (lossless "
+                        "promotion; properties-only, no data moves)")
+    wd.add_argument("--warehouse", required=True)
+    wd.add_argument("--table", default="blocks")
+    wd.add_argument("--col", required=True)
+    wd.add_argument("--to", required=True,
+                    help="target type, e.g. bigint / double / decimal(12,2)")
+    wd.add_argument("--stage", default=None)
+
     tg = sub.add_parser("tag", help="pin a snapshot under an immutable "
                                     "name (survives gc until drop-ref)")
     tg.add_argument("--warehouse", required=True)
@@ -875,7 +898,8 @@ def main(argv=None) -> None:
      "purge": cmd_purge, "upsert": cmd_upsert,
      "changes": cmd_changes, "follow": cmd_follow,
      "tag": cmd_tag, "refs": cmd_refs, "publish": cmd_publish,
-     "drop-ref": cmd_drop_ref, "rename": cmd_rename}[args.cmd](args)
+     "drop-ref": cmd_drop_ref, "rename": cmd_rename,
+     "widen": cmd_widen}[args.cmd](args)
 
 
 if __name__ == "__main__":

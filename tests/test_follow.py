@@ -288,3 +288,32 @@ def test_binpack_compacts_only_small_files(spark, tmp_path):
     again = sink.binpack(spark, target_bytes=64 * 1024)
     assert again["new_files"] == 0
     assert sink.current().snapshot_id == sid
+
+
+def test_follow_survives_source_binpack(spark, tmp_path):
+    """Binpack is maintenance, not data: its packed outputs carry
+    file_parts_extra entries, so changes_between classifies them as
+    REWRITES and a follower re-emits nothing; the next real append
+    flows alone. The sink's own cursor also survives a binpack of the
+    SINK (the overwrite commit carries the properties forward)."""
+    df, src = _mk_src(spark, tmp_path, n=1500, parts=4)
+    sink = ManifestTable(str(tmp_path), "sinkbp2")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    for i in range(3):
+        _append(spark, src, _fresh(spark, 30, f"q{i}"))
+        follow_once(spark, src, sink, SCHEMA_DDL)
+
+    out = src.binpack(spark, target_bytes=64 * 1024)
+    assert out["new_files"] >= 1
+    poll = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert poll["rows"] == 0, "binpack rewrites were re-emitted"
+
+    # binpack the SINK too: its cursor property must survive
+    sink.binpack(spark, target_bytes=64 * 1024)
+    _append(spark, src, _fresh(spark, 7, "post"))
+    poll2 = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert poll2["rows"] == 7
+    read = sink.read_decoded(spark, SCHEMA_DDL)
+    assert read.count() == 1500 + 3 * 30 + 7
+    assert read.groupBy("url").count().filter("count > 1").count() == 0
+    df.unpersist()

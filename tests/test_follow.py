@@ -283,7 +283,11 @@ def test_binpack_compacts_only_small_files(spark, tmp_path):
     assert point_lookup(spark, sink, target).count() == 1
     read.unpersist()
 
-    # idempotent: everything now >= target or too few inputs -> no-op
+    # converges: outputs still under target may pack once more (2
+    # small -> 1), then a further call is a strict no-op (no commit)
+    for _ in range(3):
+        if sink.binpack(spark, target_bytes=64 * 1024)["new_files"] == 0:
+            break
     sid = sink.current().snapshot_id
     again = sink.binpack(spark, target_bytes=64 * 1024)
     assert again["new_files"] == 0

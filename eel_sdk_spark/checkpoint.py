@@ -542,7 +542,26 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
 
     ``dry_run=True`` returns the plan (files to drop, parts to
     re-encode) without writing anything.
+
+    The healing commit is CAS-guarded on the tombstone list (r8): a
+    ``delete_rows`` landing mid-repair must not be erased by the
+    property overwrite — on conflict the repair re-reads and retries.
     """
+    from .table import CommitConflict
+
+    last_err = None
+    for _ in range(3):
+        try:
+            return _repair_once(spark, tbl, input_df, report,
+                                verify_fingerprint, run_index, dry_run)
+        except CommitConflict as e:
+            last_err = e  # rival delete landed mid-repair: recompute
+    raise last_err
+
+
+def _repair_once(spark: SparkSession, tbl: ManifestTable,
+                 input_df: DataFrame, report, verify_fingerprint: bool,
+                 run_index: int, dry_run: bool) -> dict:
     from .encode import PART_COL, encode_df, with_part_id
 
     snap = tbl.current()
@@ -671,7 +690,10 @@ def repair_table(spark: SparkSession, tbl: ManifestTable,
                  if os.path.basename(f) not in drop]
     healed = tbl.commit(survivors + new_files,
                         snap.schema_ddl or BLOCK_SCHEMA_DDL,
-                        props, mode="overwrite")
+                        props, mode="overwrite",
+                        expect_properties={
+                            "tombstones":
+                            snap.properties.get("tombstones")})
     out["new_files"] = len(new_files)
     out["snapshot_id"] = healed.snapshot_id
     return out
@@ -1352,6 +1374,24 @@ def realign_table(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
                   codec_overrides: dict[str, str] | None = None,
                   sort_by: list | None = None,
                   verify_fingerprint: bool = True) -> dict:
+    from .table import CommitConflict
+
+    last_err = None
+    for _ in range(3):  # rival delete mid-realign: recompute (CAS below)
+        try:
+            return _realign_once(spark, tbl, schema_ddl, run_id, n_parts,
+                                 profile, codec_overrides, sort_by,
+                                 verify_fingerprint)
+        except CommitConflict as e:
+            last_err = e
+    raise last_err
+
+
+def _realign_once(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
+                  run_id: str, n_parts: int | None, profile: str,
+                  codec_overrides: dict[str, str] | None,
+                  sort_by: list | None,
+                  verify_fingerprint: bool) -> dict:
     """Layout migration: decode the CURRENT snapshot and re-encode it
     part-ALIGNED (``shuffle=True``) in one overwrite commit — the
     "write fast banded now, realign for point-lookup-heavy serving
@@ -1403,5 +1443,25 @@ def realign_table(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
                       bloom_bits=getattr(blocks, "_eel_bloom_bits", None))
     if run is None:
         raise ValueError("realign_table: empty table")
-    tbl.commit(files, BLOCK_SCHEMA_DDL, {"runs": [run]}, mode="overwrite")
+    # carry durable properties forward (r8 fix — the bare {"runs": [run]}
+    # commit silently dropped them): row_schema_ddl (stored-schema reads),
+    # cdc.* cursors (a realigned FOLLOWER SINK must not re-bootstrap and
+    # duplicate its table), tombstones + renames (suppression of rows
+    # that may re-enter via repair, and the fold that translates old
+    # tombstone key names). Rewrite-scoped extras (file_*_extra,
+    # bloom_index) are dropped — their basenames no longer exist; blocks
+    # are re-encoded under CURRENT column names so reads need no mapping,
+    # but the rename HISTORY stays for tombstone translation. CAS on the
+    # tombstone list like every other full-rewrite commit.
+    from .table import ddl_of
+
+    props = {k: v for k, v in snap.properties.items()
+             if k not in ("runs", "file_parts_extra", "file_stats_extra",
+                          "file_key_ranges_extra", "bloom_index",
+                          "committed_at")}
+    props["runs"] = [run]
+    props["row_schema_ddl"] = ddl_of(df)
+    tbl.commit(files, BLOCK_SCHEMA_DDL, props, mode="overwrite",
+               expect_properties={
+                   "tombstones": snap.properties.get("tombstones")})
     return run

@@ -719,7 +719,25 @@ class ManifestTable:
         then ``publish`` — same WAP flow as staged encodes/upserts); a
         staged compact defers the bloom-index refresh to post-publish
         maintenance, since the index registration is a main-line commit.
+
+        Like purge/upsert (r8), the overwrite commit is CAS-guarded on
+        the tombstone list: a ``delete_rows`` landing mid-compaction
+        must not be erased by the property overwrite — on conflict the
+        compaction re-reads and retries.
         """
+        last_err = None
+        for _ in range(3):
+            try:
+                return self._compact_once(spark, n_files, by,
+                                          refresh_bloom_index, stage)
+            except CommitConflict as e:
+                last_err = e  # rival delete mid-rewrite: recompute
+        raise last_err
+
+    def _compact_once(self, spark, n_files: int,
+                      by: list[str] | None,
+                      refresh_bloom_index: bool | None,
+                      stage: str | None) -> Snapshot:
         snap = self.head(stage)
         df = self.read(spark, snapshot_id=snap.snapshot_id if snap
                        else None)
@@ -853,11 +871,17 @@ class ManifestTable:
                 props["file_key_ranges_extra"] = {"key": key,
                                                   "files": ranges}
             out = self.commit(files, snap.schema_ddl, props,
-                              mode="overwrite", stage=stage)
+                              mode="overwrite", stage=stage,
+                              expect_properties={
+                                  "tombstones":
+                                  snap.properties.get("tombstones")})
         else:
             out = self.commit(self.list_written_files(job_dir),
                               snap.schema_ddl, props, mode="overwrite",
-                              stage=stage)
+                              stage=stage,
+                              expect_properties={
+                                  "tombstones":
+                                  snap.properties.get("tombstones")})
         # a registered bloom INDEX references the replaced basenames, so
         # every rewritten file would fall back to the per-file scan —
         # refresh it by default so compaction keeps the O(1)-file lookup
@@ -995,7 +1019,10 @@ class ManifestTable:
                     "files": {b: v for b, v in kr.get("files", {}).items()
                               if b not in replaced}}
         healed = self.commit(survivors + new_files, snap.schema_ddl,
-                             props, mode="overwrite", stage=stage)
+                             props, mode="overwrite", stage=stage,
+                             expect_properties={
+                                 "tombstones":
+                                 snap.properties.get("tombstones")})
         return {"rewritten_files": len(small), "new_files": len(new_files),
                 "surviving_files": len(survivors),
                 "snapshot_id": healed.snapshot_id}

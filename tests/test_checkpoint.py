@@ -1135,3 +1135,32 @@ def test_expire_snapshots_gcs_superseded_bloom_index(spark, tmp_path,
     row = point_lookup(spark, tbl, target, SCHEMA_DDL).first()
     assert row is not None and row["url"] == target
     df.unpersist()
+
+
+def test_realign_preserves_durable_properties(spark, tmp_path):
+    """r8 fix: realign's bare {'runs': [run]} overwrite silently dropped
+    row_schema_ddl (stored-schema reads broke) and cdc.* cursors (a
+    realigned FOLLOWER SINK would re-bootstrap and duplicate itself).
+    Durable properties now carry forward; rewrite-scoped extras drop."""
+    from eel_sdk_spark.checkpoint import realign_table
+    from eel_sdk_spark.corpus import SCHEMA_DDL, webtext_df
+    from eel_sdk_spark.streaming.follow import follow_once
+
+    df = webtext_df(spark, 800, parts=2).cache()
+    df.count()
+    src = ManifestTable(str(tmp_path), "rasrc")
+    encode_with_checkpoint(spark, df, src, n_parts=4, run_id="r1")
+    sink = ManifestTable(str(tmp_path), "rasink")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    assert sink.read_decoded(spark).count() == 800  # schema-less read
+
+    realign_table(spark, sink, SCHEMA_DDL)
+    # stored schema survived the realign
+    assert sink.row_schema() == SCHEMA_DDL
+    assert sink.read_decoded(spark).count() == 800
+    # the follower cursor survived: a replay poll is a NO-OP, not a
+    # duplicating re-bootstrap
+    out = follow_once(spark, src, sink, SCHEMA_DDL)
+    assert out["rows"] == 0 and not out["bootstrap"]
+    assert sink.read_decoded(spark).count() == 800
+    df.unpersist()

@@ -692,8 +692,8 @@ def _repair_once(spark: SparkSession, tbl: ManifestTable,
                         snap.schema_ddl or BLOCK_SCHEMA_DDL,
                         props, mode="overwrite",
                         expect_properties={
-                            "tombstones":
-                            snap.properties.get("tombstones")})
+                            "committed_at":
+                            snap.properties.get("committed_at")})
     out["new_files"] = len(new_files)
     out["snapshot_id"] = healed.snapshot_id
     return out
@@ -1110,13 +1110,27 @@ def encode_with_checkpoint(
     if run is None:
         return {"run_id": run_id, "part_ids": [], "skipped_parts": sorted(done),
                 "n_rows": 0, "raw_bytes": 0, "enc_bytes": 0}
-    from .table import ddl_of
+    from .table import CommitConflict, ddl_of
 
-    snap = tbl.head(stage)
-    runs = (snap.properties.get("runs", []) if snap else []) + [run]
-    tbl.commit(files, BLOCK_SCHEMA_DDL,
-               {"runs": runs, "row_schema_ddl": ddl_of(df)},
-               mode="append", stage=stage)
+    # the runs list is a read-modify-write: CAS + retry (r8 audit), or
+    # two concurrent committers would each append to the same stale
+    # list and the second would erase the first's lineage record
+    for _ in range(5):
+        snap = tbl.head(stage)
+        runs0 = snap.properties.get("runs") if snap else None
+        try:
+            tbl.commit(files, BLOCK_SCHEMA_DDL,
+                       {"runs": (runs0 or []) + [run],
+                        "row_schema_ddl": ddl_of(df)},
+                       mode="append", stage=stage,
+                       expect_properties={"runs": runs0})
+            break
+        except CommitConflict:
+            continue
+    else:
+        raise CommitConflict(
+            f"encode commit to {tbl.dir}: runs lineage kept changing "
+            f"under 5 retries")
     return run
 
 
@@ -1175,13 +1189,24 @@ def append_encode(spark: SparkSession, df: DataFrame, tbl: ManifestTable,
     if run is None:
         return {"run_id": run_id, "part_ids": [], "n_rows": 0,
                 "raw_bytes": 0, "enc_bytes": 0}
-    from .table import ddl_of
+    from .table import CommitConflict, ddl_of
 
-    head = tbl.head(stage)
-    tbl.commit(files, BLOCK_SCHEMA_DDL,
-               {"runs": (head.properties.get("runs", []) if head else [])
-                + [run], "row_schema_ddl": ddl_of(df)},
-               mode="append", stage=stage)
+    for _ in range(5):  # runs-list read-modify-write: CAS + retry
+        head = tbl.head(stage)
+        runs0 = head.properties.get("runs") if head else None
+        try:
+            tbl.commit(files, BLOCK_SCHEMA_DDL,
+                       {"runs": (runs0 or []) + [run],
+                        "row_schema_ddl": ddl_of(df)},
+                       mode="append", stage=stage,
+                       expect_properties={"runs": runs0})
+            break
+        except CommitConflict:
+            continue
+    else:
+        raise CommitConflict(
+            f"append_encode to {tbl.dir}: runs lineage kept changing "
+            f"under 5 retries")
     return run
 
 
@@ -1463,5 +1488,5 @@ def _realign_once(spark: SparkSession, tbl: ManifestTable, schema_ddl: str,
     props["row_schema_ddl"] = ddl_of(df)
     tbl.commit(files, BLOCK_SCHEMA_DDL, props, mode="overwrite",
                expect_properties={
-                   "tombstones": snap.properties.get("tombstones")})
+                   "committed_at": snap.properties.get("committed_at")})
     return run

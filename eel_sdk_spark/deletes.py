@@ -98,8 +98,27 @@ def delete_rows(spark: SparkSession, tbl: ManifestTable, keys,
         return {"deleted_keys": 0, "snapshot_id": snap.snapshot_id}
     entry = {"key": key, "files": files, "n": n,
              "as_of_snapshot": snap.snapshot_id}
-    props = {"tombstones": _tombstone_entries(snap) + [entry]}
-    healed = tbl.commit([], "", props, mode="append")
+    # the tombstone list is a read-modify-write: CAS + retry, or two
+    # CONCURRENT delete_rows would each append to the same stale list
+    # and the second commit would erase the first takedown (r8 audit —
+    # same race class the rewrite paths had)
+    from .table import CommitConflict
+
+    for _ in range(5):
+        cur = tbl.current()
+        props = {"tombstones": _tombstone_entries(cur) + [entry]}
+        try:
+            healed = tbl.commit(
+                [], "", props, mode="append",
+                expect_properties={
+                    "tombstones": cur.properties.get("tombstones")})
+            break
+        except CommitConflict:
+            continue
+    else:
+        raise CommitConflict(
+            f"delete: tombstone list of {tbl.dir} kept changing under "
+            f"5 retries — rival delete storm; re-run")
     return {"deleted_keys": n, "snapshot_id": healed.snapshot_id,
             "tombstone_commits": len(props["tombstones"])}
 
@@ -364,7 +383,8 @@ def _purge_once(spark: SparkSession, tbl: ManifestTable,
                         snap.schema_ddl or "", props, mode="overwrite",
                         stage=stage,
                         expect_properties={
-                            "tombstones": snap.properties.get("tombstones")})
+                            "committed_at":
+                            snap.properties.get("committed_at")})
     return {"purged_keys": sum(e["n"] for e in entries),
             "rewritten_files": len(candidates),
             "surviving_files": len(survivors),
@@ -617,7 +637,7 @@ def _upsert_once(spark: SparkSession, tbl: ManifestTable,
             survivors + new_files, snap.schema_ddl or "",
             props, mode="overwrite", stage=stage,
             expect_properties={
-                "tombstones": snap.properties.get("tombstones")})
+                "committed_at": snap.properties.get("committed_at")})
     finally:
         ikeys.unpersist()  # also on CommitConflict — the retry re-caches
     return {"upserted_rows": n_in,

@@ -126,13 +126,39 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
                           salt_by=None, key=key,
                           bloom_bits=getattr(blocks, "_eel_bloom_bits",
                                              None))
-        head = sink.current()
-        sink_runs = head.properties.get("runs", []) if head else []
-        sink.commit(files, BLOCK_SCHEMA_DDL,
-                    {prop: target,
-                     "runs": sink_runs + ([rec] if rec else []),
-                     "row_schema_ddl": ddl_of(df)},
-                    mode="append", expect_properties=guard)
+        # the cursor guard already detects rival FOLLOWERS; guarding
+        # the runs list too keeps a rival APPENDER's lineage record
+        # from being erased by this read-modify-write (r8 audit). On a
+        # runs conflict the cursor is still ours — re-read and re-commit
+        # the already-written files.
+        from ..table import CommitConflict
+
+        for _ in range(5):
+            head = sink.current()
+            sink_runs = head.properties.get("runs") if head else None
+            try:
+                sink.commit(files, BLOCK_SCHEMA_DDL,
+                            {prop: target,
+                             "runs": (sink_runs or [])
+                             + ([rec] if rec else []),
+                             "row_schema_ddl": ddl_of(df)},
+                            mode="append",
+                            expect_properties={**guard,
+                                               "runs": sink_runs})
+                break
+            except CommitConflict:
+                # distinguish: cursor moved (rival follower — stand
+                # down, propagate) vs runs moved (rival appender —
+                # retry); re-read decides
+                now = sink.current()
+                got = (now.properties if now else {}).get(prop)
+                if got != guard[prop]:
+                    raise
+                continue
+        else:
+            raise CommitConflict(
+                f"follow_once: sink {sink.dir} runs lineage kept "
+                f"changing under 5 retries")
     finally:
         df.unpersist()
     return {"rows": n_rows, "cursor_from": cursor, "cursor_to": target,

@@ -362,27 +362,42 @@ class ManifestTable:
         reads correct but degrades manifest key-range pruning for files
         recorded under the old name until a compact/realign re-records
         them (lookups keep those files conservatively)."""
-        snap = self.head(stage)
-        if snap is None:
-            raise FileNotFoundError(f"table {self.dir} has no snapshot")
         if old == new:
             raise ValueError("rename_column: old and new names are equal")
-        entries = list(snap.properties.get("column_renames", []))
-        entries.append({"from": old, "to": new})
-        props: dict = {"column_renames": entries}
-        stored = snap.properties.get("row_schema_ddl")
-        if stored:
-            # string-level rewrite (no SparkContext needed — the rename
-            # CLI is metadata-only): ddl_of joins fields with ", " and
-            # simpleString never puts a space after inner commas
-            # (struct<a:int,b:string>, decimal(10,2)), so the split is
-            # unambiguous for stored schemas
-            parts = []
-            for fld in stored.split(", "):
-                name, _, typ = fld.partition(" ")
-                parts.append(f"{new if name == old else name} {typ}")
-            props["row_schema_ddl"] = ", ".join(parts)
-        return self.commit([], "", props, mode="append", stage=stage)
+        # read-modify-write on the rename history: CAS + retry so two
+        # concurrent renames can't erase each other's entry (r8 audit)
+        for _ in range(5):
+            snap = self.head(stage)
+            if snap is None:
+                raise FileNotFoundError(f"table {self.dir} has no snapshot")
+            entries = list(snap.properties.get("column_renames", []))
+            entries.append({"from": old, "to": new})
+            props: dict = {"column_renames": entries}
+            stored = snap.properties.get("row_schema_ddl")
+            if stored:
+                # string-level rewrite (no SparkContext needed — the rename
+                # CLI is metadata-only): ddl_of joins fields with ", " and
+                # simpleString never puts a space after inner commas
+                # (struct<a:int,b:string>, decimal(10,2)), so the split is
+                # unambiguous for stored schemas
+                parts = []
+                for fld in stored.split(", "):
+                    name, _, typ = fld.partition(" ")
+                    parts.append(f"{new if name == old else name} {typ}")
+                props["row_schema_ddl"] = ", ".join(parts)
+            try:
+                return self.commit(
+                    [], "", props, mode="append", stage=stage,
+                    expect_properties={
+                        "column_renames":
+                        snap.properties.get("column_renames"),
+                        # a rival WIDEN also rewrites the stored schema
+                        "row_schema_ddl": stored})
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"rename_column: rename history of {self.dir} kept changing "
+            f"under 5 retries")
 
     #: widenings a stored column type may take without data loss — the
     #: Iceberg type-promotion matrix (int->long, float->double, decimal
@@ -408,44 +423,62 @@ class ManifestTable:
         narrow type)."""
         import re as _re
 
-        snap = self.head(stage)
-        if snap is None:
-            raise FileNotFoundError(f"table {self.dir} has no snapshot")
-        stored = snap.properties.get("row_schema_ddl")
-        if not stored:
-            raise ValueError(
-                "widen_column needs the stored row schema "
-                "(row_schema_ddl) to validate the promotion — this "
-                "table predates it")
-        frm = None
-        parts = []
-        for fld in stored.split(", "):
-            name, _, typ = fld.partition(" ")
-            if name == col:
-                frm = typ
-                typ = to_type
-            parts.append(f"{name} {typ}")
-        if frm is None:
-            raise ValueError(f"widen_column: no column {col!r} in stored "
-                             f"schema {stored!r}")
-        dec = (_re.fullmatch(r"decimal\((\d+),(\d+)\)", frm),
-               _re.fullmatch(r"decimal\((\d+),(\d+)\)", to_type))
-        ok = (frm, to_type) in self._WIDENINGS or (
-            dec[0] and dec[1]
-            and int(dec[1].group(1)) >= int(dec[0].group(1))
-            and dec[1].group(2) == dec[0].group(2))
-        if frm == to_type:
-            raise ValueError(f"widen_column: {col!r} is already {frm}")
-        if not ok:
-            raise ValueError(
-                f"widen_column: {frm} -> {to_type} is not a lossless "
-                f"promotion (allowed: int family up, float->double, "
-                f"decimal precision up at equal scale)")
-        entries = list(snap.properties.get("column_widenings", []))
-        entries.append({"col": col, "from": frm, "to": to_type})
-        return self.commit([], "", {"column_widenings": entries,
-                                    "row_schema_ddl": ", ".join(parts)},
-                           mode="append", stage=stage)
+        # read-modify-write on widening history + stored schema: CAS on
+        # BOTH (a rival rename also rewrites row_schema_ddl — guarding
+        # only our own history would clobber its rewrite) and recompute
+        # everything from a fresh head per retry
+        for _ in range(5):
+            snap = self.head(stage)
+            if snap is None:
+                raise FileNotFoundError(
+                    f"table {self.dir} has no snapshot")
+            stored = snap.properties.get("row_schema_ddl")
+            if not stored:
+                raise ValueError(
+                    "widen_column needs the stored row schema "
+                    "(row_schema_ddl) to validate the promotion — this "
+                    "table predates it")
+            frm = None
+            parts = []
+            for fld in stored.split(", "):
+                name, _, typ = fld.partition(" ")
+                if name == col:
+                    frm = typ
+                    typ = to_type
+                parts.append(f"{name} {typ}")
+            if frm is None:
+                raise ValueError(f"widen_column: no column {col!r} in "
+                                 f"stored schema {stored!r}")
+            dec = (_re.fullmatch(r"decimal\((\d+),(\d+)\)", frm),
+                   _re.fullmatch(r"decimal\((\d+),(\d+)\)", to_type))
+            ok = (frm, to_type) in self._WIDENINGS or (
+                dec[0] and dec[1]
+                and int(dec[1].group(1)) >= int(dec[0].group(1))
+                and dec[1].group(2) == dec[0].group(2))
+            if frm == to_type:
+                raise ValueError(f"widen_column: {col!r} is already "
+                                 f"{frm}")
+            if not ok:
+                raise ValueError(
+                    f"widen_column: {frm} -> {to_type} is not a lossless "
+                    f"promotion (allowed: int family up, float->double, "
+                    f"decimal precision up at equal scale)")
+            entries = list(snap.properties.get("column_widenings", []))
+            entries.append({"col": col, "from": frm, "to": to_type})
+            try:
+                return self.commit(
+                    [], "", {"column_widenings": entries,
+                             "row_schema_ddl": ", ".join(parts)},
+                    mode="append", stage=stage,
+                    expect_properties={
+                        "column_widenings":
+                        snap.properties.get("column_widenings"),
+                        "row_schema_ddl": stored})
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"widen_column: widening history of {self.dir} kept "
+            f"changing under 5 retries")
 
     def row_schema(self, snap=None) -> str:
         """The stored logical row schema (persisted by the encode paths
@@ -873,15 +906,15 @@ class ManifestTable:
             out = self.commit(files, snap.schema_ddl, props,
                               mode="overwrite", stage=stage,
                               expect_properties={
-                                  "tombstones":
-                                  snap.properties.get("tombstones")})
+                                  "committed_at":
+                                  snap.properties.get("committed_at")})
         else:
             out = self.commit(self.list_written_files(job_dir),
                               snap.schema_ddl, props, mode="overwrite",
                               stage=stage,
                               expect_properties={
-                                  "tombstones":
-                                  snap.properties.get("tombstones")})
+                                  "committed_at":
+                                  snap.properties.get("committed_at")})
         # a registered bloom INDEX references the replaced basenames, so
         # every rewritten file would fall back to the per-file scan —
         # refresh it by default so compaction keeps the O(1)-file lookup
@@ -1021,8 +1054,8 @@ class ManifestTable:
         healed = self.commit(survivors + new_files, snap.schema_ddl,
                              props, mode="overwrite", stage=stage,
                              expect_properties={
-                                 "tombstones":
-                                 snap.properties.get("tombstones")})
+                                 "committed_at":
+                                 snap.properties.get("committed_at")})
         return {"rewritten_files": len(small), "new_files": len(new_files),
                 "surviving_files": len(survivors),
                 "snapshot_id": healed.snapshot_id}

@@ -326,3 +326,30 @@ def test_delete_where_predicate_takedown(spark, tmp_path):
     assert purged["purged_keys"] == n_en
     raw = tbl.read_decoded(spark, SCHEMA_DDL, with_deletes=False)
     assert raw.count() == 1500 - n_en
+
+
+def test_concurrent_deletes_both_survive(spark, tmp_path, monkeypatch):
+    """r8 audit: delete_rows is a read-modify-write on the tombstone
+    list — without the CAS, two concurrent deletes each append to the
+    same stale list and the second commit erases the first takedown."""
+    import eel_sdk_spark.deletes as D
+
+    df, tbl = _mk(spark, tmp_path, "concdel", n=800, parts=2)
+    a, b = _some_urls(df, 2)
+    real = D._tombstone_entries
+    state = {"fired": False}
+
+    def spy(snap):
+        out = real(snap)
+        if not state["fired"]:
+            state["fired"] = True
+            D.delete_rows(spark, tbl, [b])  # rival lands first
+        return out
+
+    monkeypatch.setattr(D, "_tombstone_entries", spy)
+    out = D.delete_rows(spark, tbl, [a])
+    assert out["tombstone_commits"] == 2  # BOTH entries on the list
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.filter(F.col("url").isin([a, b])).count() == 0
+    assert read.count() == 800 - 2
+    df.unpersist()

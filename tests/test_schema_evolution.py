@@ -254,3 +254,36 @@ def test_widen_column_guards(spark, tmp_path):
         [("smallint", "int"), ("int", "bigint")]
     assert t2.read_decoded(spark).schema["n"].dataType.simpleString() \
         == "bigint"
+
+
+def test_rename_racing_widen_both_land(spark, tmp_path, monkeypatch):
+    """r8 audit: rename and widen BOTH rewrite row_schema_ddl — each
+    guards it (CAS) and recomputes from a fresh head on conflict, so an
+    interleaved pair can never clobber the other's schema rewrite."""
+    from eel_sdk_spark.checkpoint import encode_with_checkpoint
+    from eel_sdk_spark.corpus import webtext_df
+
+    docs = (webtext_df(spark, 300, parts=1)
+            .withColumn("n", F.length("text").cast("int"))
+            .select("url", "n"))
+    tbl = ManifestTable(str(tmp_path), "racewiden")
+    encode_with_checkpoint(spark, docs, tbl, n_parts=2, run_id="r1")
+
+    real_commit = ManifestTable.commit
+    state = {"fired": False}
+
+    def spy(self, *a, **kw):
+        exp = kw.get("expect_properties") or {}
+        if not state["fired"] and "column_widenings" in exp:
+            state["fired"] = True
+            tbl.rename_column("url", "page_url")  # rival lands first
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestTable, "commit", spy)
+    tbl.widen_column("n", "bigint")
+    assert state["fired"]
+    # BOTH schema rewrites survived the interleave
+    assert tbl.row_schema() == "page_url string, n bigint"
+    read = tbl.read_decoded(spark)
+    assert dict(read.dtypes) == {"page_url": "string", "n": "bigint"}
+    assert read.count() == 300

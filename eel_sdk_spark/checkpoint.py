@@ -128,11 +128,19 @@ def _component_key_ranges(snap, names: set[str]) -> dict[str, dict]:
     return key_ranges
 
 
-def _prune_files_one_component(spark: SparkSession, snap,
-                               files: list[str], key: str, key_value,
-                               aliases: set[str]) -> list[str]:
-    """Range tier + bloom tiers (index sidecar, per-file narrow scan)
-    for one key component over an already part-pruned candidate list."""
+def prune_files_metadata(snap, files: list[str], key: str, key_value,
+                         aliases: set[str] = frozenset(),
+                         keep_floor: bool = True) -> list[str]:
+    """The ZERO-I/O, ZERO-Spark pruning tiers for one key component:
+    manifest per-file key ranges, then the manifest-resident per-file
+    SUMMARY blooms (tier 0). Runs entirely driver-side from snapshot
+    JSON — no SparkSession, no file opens — so it is also usable from
+    contexts without a session (the Python DataSource's pushFilters
+    planning hook). Conservative throughout: files without a recorded
+    range/summary are kept. ``keep_floor=True`` keeps one file when
+    everything pruned (the Spark decode path can't read an empty
+    parquet list); ``False`` allows an empty result — correct when all
+    files carried metadata and all excluded the value."""
     names = {key} | set(aliases)
     key_ranges = _component_key_ranges(snap, names)
     fam = "s" if isinstance(key_value, str) else "i"
@@ -142,14 +150,14 @@ def _prune_files_one_component(spark: SparkSession, snap,
         if rng is None or rng[0] <= key_value <= rng[1]:
             in_range.append(f)
     # empty parquet read is invalid; keep one file (filter drops all)
-    files = in_range or files[:1]
+    files = in_range or (files[:1] if keep_floor else [])
     # tier 0 (r8): manifest-resident per-file SUMMARY blooms — coarse
     # fixed-size blooms the encoder stamped per file (sentinel rows ->
     # _run_record -> snapshot JSON), probed DRIVER-SIDE before ANY file
     # or index open. Files without a summary (pre-r8, saturated, or
     # compaction-rewritten) are conservatively kept; the finer tiers
     # below still run on what survives.
-    if len(files) > 2:
+    if len(files) > (2 if keep_floor else 0):
         summaries: dict[str, dict] = {}
         for r in snap.properties.get("runs", []):
             fsb = r.get("file_summary_blooms") or {}
@@ -187,7 +195,18 @@ def _prune_files_one_component(spark: SparkSession, snap,
                        for p in ((h1 + i * h2) % m
                                  for i in range(SUMMARY_BLOOM_K))):
                     kept0.append(f)
-            files = kept0 or files[:1]
+            files = kept0 or (files[:1] if keep_floor else [])
+    return files
+
+
+def _prune_files_one_component(spark: SparkSession, snap,
+                               files: list[str], key: str, key_value,
+                               aliases: set[str]) -> list[str]:
+    """Range tier + bloom tiers (index sidecar, per-file narrow scan)
+    for one key component over an already part-pruned candidate list."""
+    names = {key} | set(aliases)
+    files = prune_files_metadata(snap, files, key, key_value,
+                                 aliases=aliases)
     if len(files) > 2:
         keep: set[str] | None = None
         uncovered = files

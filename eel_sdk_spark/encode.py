@@ -1055,6 +1055,65 @@ def decode_blocks_df(blocks: DataFrame, schema_ddl: str,
     )
 
 
+def decode_file_batches(path: str, col_order: list[str],
+                        arrow_types: dict, alias_of: dict[str, str],
+                        verify: bool) -> Iterator[pa.RecordBatch]:
+    """Decode ONE encoded block file into output RecordBatches — pure
+    pyarrow/numpy, no SparkSession. This is the executor-side unit of
+    ``decode_files_df`` (whole files per task — block groups are
+    file-adjacent by construction) and of the Python DataSource read
+    path (sources/eel_datasource.py), so both read surfaces share one
+    kernel. ``alias_of`` maps historical column names (rename_column)
+    to current ones; ``arrow_types`` carries the CURRENT (possibly
+    widened) target type per column — narrow pre-widen blocks are
+    safe-cast up."""
+    import pyarrow.parquet as pq
+
+    n_cols = len(col_order)
+    scan_names = list(col_order) + sorted(alias_of)
+    want = ["part_id", "block_seq", "writer_uid", "col",
+            "header", "payload"]
+    if verify and "payload_crc" in pq.read_schema(path).names:
+        want.append("payload_crc")
+    # single-threaded per task: N tasks already saturate the
+    # cores, arrow's internal pool would only oversubscribe
+    t = pq.read_table(
+        path,
+        columns=want,
+        filters=[("col", "in", scan_names)],
+        use_threads=False)
+    pending: dict[tuple, dict[str, pa.Array]] = {}
+    for tb in t.to_batches():
+        keys = zip(tb.column("part_id").to_pylist(),
+                   tb.column("block_seq").to_pylist(),
+                   tb.column("writer_uid").to_pylist(),
+                   tb.column("col").to_pylist())
+        headers = tb.column("header")
+        payloads = tb.column("payload")
+        crcs = (tb.column("payload_crc")
+                if "payload_crc" in tb.schema.names else None)
+        for i, (part, seq, uid, name) in enumerate(keys):
+            name = alias_of.get(name, name)
+            key = (part, seq, uid)
+            group = pending.setdefault(key, {})
+            hdr = headers[i].as_py()
+            buf = payloads[i].as_buffer()
+            if crcs is not None and crcs[i].is_valid:
+                _crc_check(hdr, buf, crcs[i].as_py(),
+                           part, seq, uid, name, path=path)
+            group[name] = decode_column(hdr, buf)
+            if len(group) == n_cols:
+                yield from _sliced(pa.record_batch(
+                    [_widened(group[c], arrow_types.get(c))
+                     for c in col_order],
+                    names=col_order))
+                del pending[key]
+    if pending:
+        raise ValueError(
+            f"{len(pending)} incomplete block groups in {path} "
+            f"(block files must hold whole groups)")
+
+
 def decode_files_df(spark, files: list[str], schema_ddl: str,
                     columns: list[str] | None = None,
                     n_tasks: int | None = None,
@@ -1095,7 +1154,6 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in out_schema.fields if f.name in col_order)
-    n_cols = len(col_order)
     # column-rename name mapping (ManifestTable.rename_column): blocks
     # written before a rename carry the HISTORICAL name — accept those
     # names in the parquet filter and relabel as they decode (Iceberg
@@ -1104,58 +1162,16 @@ def decode_files_df(spark, files: list[str], schema_ddl: str,
     # whose target is actually requested matter here.
     alias_of = {h: c for h, c in (renames or {}).items()
                 if c in col_order and h not in col_order}
-    scan_names = col_order + sorted(alias_of)
     from pyspark.sql.pandas.types import to_arrow_type
 
     arrow_types = {f.name: to_arrow_type(f.dataType)
                    for f in out_schema.fields if f.name in col_order}
 
     def _read_decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
         for b in batches:
             for path in b.column("path").to_pylist():
-                want = ["part_id", "block_seq", "writer_uid", "col",
-                        "header", "payload"]
-                if verify and "payload_crc" in pq.read_schema(path).names:
-                    want.append("payload_crc")
-                # single-threaded per task: N tasks already saturate the
-                # cores, arrow's internal pool would only oversubscribe
-                t = pq.read_table(
-                    path,
-                    columns=want,
-                    filters=[("col", "in", scan_names)],
-                    use_threads=False)
-                pending: dict[tuple, dict[str, pa.Array]] = {}
-                for tb in t.to_batches():
-                    keys = zip(tb.column("part_id").to_pylist(),
-                               tb.column("block_seq").to_pylist(),
-                               tb.column("writer_uid").to_pylist(),
-                               tb.column("col").to_pylist())
-                    headers = tb.column("header")
-                    payloads = tb.column("payload")
-                    crcs = (tb.column("payload_crc")
-                            if "payload_crc" in tb.schema.names else None)
-                    for i, (part, seq, uid, name) in enumerate(keys):
-                        name = alias_of.get(name, name)
-                        key = (part, seq, uid)
-                        group = pending.setdefault(key, {})
-                        hdr = headers[i].as_py()
-                        buf = payloads[i].as_buffer()
-                        if crcs is not None and crcs[i].is_valid:
-                            _crc_check(hdr, buf, crcs[i].as_py(),
-                                       part, seq, uid, name, path=path)
-                        group[name] = decode_column(hdr, buf)
-                        if len(group) == n_cols:
-                            yield from _sliced(pa.record_batch(
-                                [_widened(group[c], arrow_types.get(c))
-                                 for c in col_order],
-                                names=col_order))
-                            del pending[key]
-                if pending:
-                    raise ValueError(
-                        f"{len(pending)} incomplete block groups in {path} "
-                        f"(block files must hold whole groups)")
+                yield from decode_file_batches(
+                    path, col_order, arrow_types, alias_of, verify)
 
     n_tasks = n_tasks or min(
         len(files), spark.sparkContext.defaultParallelism * 2) or 1

@@ -1,0 +1,331 @@
+"""``spark.read.format("eel")`` — the warehouse as a native Spark source.
+
+PySpark 4's Python DataSource API lets the encoded ManifestTable plug
+into Spark's own scan planning, so a user reads (and incrementally
+STREAMS) an eel warehouse exactly like parquet:
+
+    from eel_sdk_spark.sources.eel_datasource import register
+    register(spark)
+    df = spark.read.format("eel").load("/wh")                # batch
+    st = (spark.readStream.format("eel")                      # CDC
+          .option("starting_snapshot", "earliest").load("/wh"))
+
+Batch read
+    One input partition per encoded block file — the same
+    whole-files-per-task, zero-shuffle unit as ``decode_files_df``;
+    the executor-side kernel IS ``encode.decode_file_batches`` (one
+    shared implementation), yielding Arrow RecordBatches straight into
+    Spark's Arrow ingest path. Snapshot selection via
+    ``option("snapshot_id", N)`` / ``option("ref", name)``; tombstones
+    (deletes.delete_rows) are applied executor-side from the sidecar
+    parquets; renames and type widenings resolve exactly as
+    ``ManifestTable.read_decoded`` does.
+
+Filter pushdown (``pushFilters``)
+    Planning runs in a driverside Python worker with NO SparkSession,
+    so only the ZERO-Spark pruning tiers apply: manifest per-file key
+    ranges + tier-0 summary blooms (``checkpoint.prune_files_metadata``)
+    shrink the partition list for ``col = lit`` / ``col IN (...)``
+    predicates on any component with recorded metadata. All filters are
+    returned to Spark (pruning here is an efficiency tier, never a
+    correctness dependency), so Spark re-applies them exactly — same
+    contract as the lookup tiers. At 100 TB this is the difference
+    between planning 100k file partitions and planning ~1.
+
+Streaming read
+    ``DataSourceStreamReader`` (partition-parallel, NOT the
+    driver-local Simple variant): offsets are snapshot ids, the window
+    [start, end] maps to files via the manifest-only CDC classification
+    (``changes_between`` — maintenance rewrites are never re-emitted),
+    and each file decodes on an executor. Spark's checkpoint manages
+    the offsets, so a restarted query resumes exactly-once without the
+    sink-side cursor ``follow_once`` uses — the two consumers share the
+    classification logic and differ only in who owns the offset.
+
+Writes stay on the Spark-level API (``checkpoint.encode_with_checkpoint``
+/ ``append_encode``): lineage part-ids are ``pmod(xxhash64(key), n)``
+and the JVM xxhash64 has no Python twin, so a DataSource writer could
+not reproduce the layout the lookup tiers rely on.
+
+Reference analogue: eel's Source/Publisher abstraction is its own SPI
+(eel-core/src/main/scala/io/eels/Source.scala); this is the same idea
+expressed against Spark's public DataSource SPI instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+__all__ = ["EelDataSource", "register"]
+
+
+def register(spark) -> None:
+    """Register the ``eel`` format on a session (idempotent)."""
+    spark.dataSource.register(EelDataSource)
+
+
+def _split_warehouse(path: str) -> tuple[str, str]:
+    """``/wh`` or ``/wh:table`` -> (root, table). Windows-style drive
+    letters don't exist here (POSIX sandbox), so ':' is unambiguous."""
+    if ":" in path:
+        root, _, table = path.rpartition(":")
+        return root, table
+    return path, "blocks"
+
+
+def _open_table(options):
+    from ..table import ManifestTable
+
+    path = options.get("path") or options.get("warehouse")
+    if not path:
+        raise ValueError(
+            "eel datasource needs a warehouse path: .load('/wh') or "
+            ".option('warehouse', '/wh'); add ':<table>' or "
+            ".option('table', name) for a non-default table name")
+    root, table = _split_warehouse(path)
+    return ManifestTable(root, options.get("table", table))
+
+
+def _resolve_snapshot(tbl, options):
+    sid = options.get("snapshot_id")
+    ref = options.get("ref")
+    if sid is not None and ref is not None:
+        raise ValueError("pass snapshot_id OR ref, not both")
+    if ref is not None:
+        sid = tbl.resolve_ref(ref)
+    snap = tbl.snapshot(int(sid)) if sid is not None else tbl.current()
+    if snap is None:
+        raise FileNotFoundError(
+            f"table {tbl.dir} has no committed snapshot")
+    return snap
+
+
+def _decode_context(snap, schema):
+    """(col_order, arrow_types, alias_of) for ``decode_file_batches``,
+    from the resolved Spark schema + the snapshot's rename history."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..table import fold_renames
+
+    col_order = [f.name for f in schema.fields]
+    arrow_types = {f.name: to_arrow_type(f.dataType)
+                   for f in schema.fields}
+    fold = fold_renames(snap.properties.get("column_renames", []))
+    alias_of = {h: c for h, c in fold.items()
+                if c in col_order and h not in col_order}
+    return col_order, arrow_types, alias_of
+
+
+def _tombstone_specs(snap) -> list[tuple[tuple[str, ...], list[str]]]:
+    """Live tombstones as (current key columns, sidecar parquet paths)
+    pairs — the Spark-free twin of ``deletes.tombstone_keys``."""
+    from ..deletes import _entry_key, _tombstone_entries
+    from ..table import fold_renames
+
+    fold = fold_renames(snap.properties.get("column_renames", []))
+    by: dict[tuple[str, ...], list[str]] = {}
+    for e in _tombstone_entries(snap):
+        k = _entry_key(e)
+        cols = (k,) if isinstance(k, str) else tuple(k)
+        now = tuple(fold.get(c, c) for c in cols)
+        by.setdefault(now, []).extend(e["files"])
+    return sorted(by.items())
+
+
+def _filter_tombstones(batch, specs):
+    """Drop tombstoned rows from one decoded RecordBatch, executor-side.
+    Single-column keys take the vectorized ``is_in`` path; composite
+    keys fall back to a per-row tuple test (tombstone lists are bounded
+    takedown sets, and the loop runs only on tables that HAVE them)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for cols, sidecars in specs:
+        if any(c not in batch.schema.names for c in cols):
+            continue
+        import pyarrow.parquet as pq
+
+        keys = pa.concat_tables(
+            pq.read_table(f, use_threads=False) for f in sidecars)
+        if len(cols) == 1:
+            vals = keys.column(0).combine_chunks().cast(
+                batch.column(cols[0]).type)
+            mask = pc.is_in(batch.column(cols[0]), value_set=vals)
+        else:
+            gone = set(zip(*(keys.column(i).to_pylist()
+                             for i in range(len(cols)))))
+            rows = zip(*(batch.column(c).to_pylist() for c in cols))
+            mask = pa.array([r in gone for r in rows], pa.bool_())
+        batch = batch.filter(pc.fill_null(pc.invert(mask), True))
+    return batch
+
+
+class EelBatchReader(DataSourceReader):
+    def __init__(self, options, schema):
+        tbl = _open_table(options)
+        self._snap = _resolve_snapshot(tbl, options)
+        self._files = list(self._snap.files)
+        self._verify = str(options.get("verify", "true")).lower() != "false"
+        self._ctx = _decode_context(self._snap, schema)
+        self._tombstones = (
+            _tombstone_specs(self._snap)
+            if str(options.get("with_deletes",
+                               "true")).lower() != "false" else [])
+
+    def partitions(self):
+        return [InputPartition(p) for p in self._files]
+
+    def read(self, partition) -> Iterator:
+        if partition is None:  # empty partitions() -> one read(None)
+            return
+        from ..encode import decode_file_batches
+
+        col_order, arrow_types, alias_of = self._ctx
+        for batch in decode_file_batches(partition.value, col_order,
+                                         arrow_types, alias_of,
+                                         self._verify):
+            out = (_filter_tombstones(batch, self._tombstones)
+                   if self._tombstones else batch)
+            if out.num_rows:
+                yield out
+
+
+class EelPushdownReader(EelBatchReader):
+    """EelBatchReader + filter pushdown. A SEPARATE class because the
+    Python DataSource worker refuses any reader that merely DEFINES
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled``
+    is false — a vanilla session must get the plain reader. Opt in with
+    ``.option("pushdown", "true")`` AND the session conf."""
+
+    def pushFilters(self, filters):
+        """Prune the file list with the metadata-only lookup tiers (key
+        ranges + summary blooms) for equality/IN predicates. Every
+        filter is handed back to Spark — it re-applies them exactly, so
+        a bloom false positive costs one extra file, never a wrong row."""
+        from ..checkpoint import _key_aliases, prune_files_metadata
+
+        col_order, _, _ = self._ctx
+        for f in filters:
+            if not isinstance(f, (EqualTo, In)) or len(f.attribute) != 1:
+                continue
+            col = f.attribute[0]
+            if col not in col_order:
+                continue
+            vals = list(f.value) if isinstance(f, In) else [f.value]
+            if not vals or not all(
+                    isinstance(v, (str, int)) and not isinstance(v, bool)
+                    for v in vals):
+                continue
+            aliases = _key_aliases(self._snap, col)
+            survivors: set[str] = set()
+            for v in vals:  # a file survives if it may hold ANY value
+                survivors.update(prune_files_metadata(
+                    self._snap, self._files, col, v,
+                    aliases=aliases, keep_floor=False))
+            self._files = [f2 for f2 in self._files if f2 in survivors]
+        return filters
+
+
+class EelStreamReader(DataSourceStreamReader):
+    """Offsets are snapshot ids; a microbatch is the manifest-classified
+    set of files APPENDED in (start, end] — rewrites excluded, so
+    maintenance between triggers re-emits nothing. sid 0 = nothing
+    consumed (the first batch bootstraps the whole current table when
+    ``starting_snapshot=earliest``, the default)."""
+
+    def __init__(self, options, schema):
+        self._options = options
+        self._schema = schema
+        self._verify = str(options.get("verify", "true")).lower() != "false"
+        self._with_deletes = str(options.get(
+            "with_deletes", "true")).lower() != "false"
+        self._include_rewrites = str(options.get(
+            "include_rewrites", "false")).lower() == "true"
+
+    def _table(self):
+        return _open_table(self._options)
+
+    def initialOffset(self) -> dict:
+        start = str(self._options.get("starting_snapshot", "earliest"))
+        if start == "earliest":
+            return {"sid": 0}
+        tbl = self._table()
+        if start == "latest":
+            cur = tbl.current()
+            return {"sid": cur.snapshot_id if cur else 0}
+        return {"sid": int(start)}
+
+    def latestOffset(self) -> dict:
+        cur = self._table().current()
+        return {"sid": cur.snapshot_id if cur else 0}
+
+    def partitions(self, start: dict, end: dict):
+        s0, s1 = int(start["sid"]), int(end["sid"])
+        if s1 <= s0:
+            return []
+        tbl = self._table()
+        snap = tbl.snapshot(s1)
+        if s0 == 0:
+            files = list(snap.files)
+        else:
+            ch = tbl.changes_between(s0, s1)
+            files = ch["new_data_files"] + ch["unclassified_files"]
+            if self._include_rewrites:
+                files += ch["rewritten_files"]
+        gone = [f for f in files if not os.path.exists(f)]
+        if gone:
+            raise FileNotFoundError(
+                f"eel stream: {len(gone)} in-window data file(s) were "
+                f"expired (e.g. {gone[0]}) — keep more history than the "
+                f"trigger interval")
+        # per-batch context rides IN the partitions: tombstones/renames
+        # are as-of the window's END snapshot, and the reader object
+        # executors hold may predate this batch
+        ctx = _decode_context(snap, self._schema)
+        specs = _tombstone_specs(snap) if self._with_deletes else []
+        return [InputPartition((p, ctx, specs)) for p in files]
+
+    def read(self, partition) -> Iterator:
+        if partition is None:  # empty partitions() -> one read(None)
+            return
+        from ..encode import decode_file_batches
+
+        path, (col_order, arrow_types, alias_of), specs = partition.value
+        for batch in decode_file_batches(path, col_order, arrow_types,
+                                         alias_of, self._verify):
+            out = _filter_tombstones(batch, specs) if specs else batch
+            if out.num_rows:
+                yield out
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing table-side
+
+
+class EelDataSource(DataSource):
+    """``format("eel")`` over a ManifestTable warehouse."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eel"
+
+    def schema(self) -> str:
+        tbl = _open_table(self.options)
+        return tbl.row_schema(_resolve_snapshot(tbl, self.options))
+
+    def reader(self, schema) -> EelBatchReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return EelPushdownReader(self.options, schema)
+        return EelBatchReader(self.options, schema)
+
+    def streamReader(self, schema) -> EelStreamReader:
+        return EelStreamReader(self.options, schema)

@@ -1086,6 +1086,21 @@ def q_roundtrip_verify(spark, sf):
             .join(d.alias("o"), F.col("w.small_id") == F.col("o.doc_id"))
             .filter(F.col("w.text").eqNullSafe(F.col("o.text")))
             .count() == d.count())
+        # r8 datasource leg: the same widened table read through
+        # Spark's OWN scan path — spark.read.format("eel") (Python
+        # DataSource SPI, one partition per block file) must return
+        # the widened type and every value exact, with zero
+        # eel-specific code downstream of .load()
+        from eel_sdk_spark.sources.eel_datasource import register
+
+        register(spark)
+        sdf = spark.read.format("eel").option("table", "wd").load(tmp)
+        ds_ok = int(
+            dict(sdf.dtypes)["small_id"] == "bigint"
+            and sdf.alias("w")
+            .join(d.alias("o"), F.col("w.small_id") == F.col("o.doc_id"))
+            .filter(F.col("w.text").eqNullSafe(F.col("o.text")))
+            .count() == d.count())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1099,7 +1114,8 @@ def q_roundtrip_verify(spark, sf):
         .withColumn("fsck_healthy", F.lit(int(fsck_healthy)))
         .withColumn("tamper_detected", F.lit(int(tamper_detected)))
         .withColumn("rename_ok", F.lit(rename_ok))
-        .withColumn("widen_ok", F.lit(widen_ok)))
+        .withColumn("widen_ok", F.lit(widen_ok))
+        .withColumn("ds_ok", F.lit(ds_ok)))
 
 
 def q_roundtrip_tables(spark, sf):
@@ -2529,7 +2545,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS rows, count(*) AS text_ok,
                    count(*) AS lang_ok,
                    1 AS fsck_healthy, 1 AS tamper_detected,
-                   1 AS rename_ok, 1 AS widen_ok
+                   1 AS rename_ok, 1 AS widen_ok, 1 AS ds_ok
             FROM documents""",
         "roundtrip_tables": """
             SELECT (SELECT count(*) FROM lineitem) AS decoded_rows,

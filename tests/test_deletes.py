@@ -353,3 +353,51 @@ def test_concurrent_deletes_both_survive(spark, tmp_path, monkeypatch):
     assert read.filter(F.col("url").isin([a, b])).count() == 0
     assert read.count() == 800 - 2
     df.unpersist()
+
+
+def test_threaded_deletes_and_appends_all_land(spark, tmp_path):
+    """REAL threads (not monkeypatch interleaves): concurrent
+    delete_rows and append_encode against one table — the commit lock
+    serializes, the CAS loops absorb the lost-update windows, and every
+    takedown + every append survives."""
+    import threading
+
+    from eel_sdk_spark.checkpoint import append_encode
+    from eel_sdk_spark.corpus import webtext_df
+
+    df, tbl = _mk(spark, tmp_path, "threads", n=600, parts=2)
+    victims = _some_urls(df, 4)
+    inc = (webtext_df(spark, 700, parts=1)
+           .exceptAll(webtext_df(spark, 600, parts=1)))
+    inc.persist().count()
+    errs = []
+
+    def do_delete(u):
+        try:
+            delete_rows(spark, tbl, [u])
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    def do_append():
+        try:
+            append_encode(spark, inc, tbl, n_parts=2,
+                          run_id="thread-append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=do_delete, args=(u,))
+               for u in victims] + [threading.Thread(target=do_append)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs, errs
+    snap = tbl.current()
+    assert len(snap.properties.get("tombstones", [])) == 4
+    assert any(r.get("run_id") == "thread-append"
+               for r in snap.properties.get("runs", []))
+    read = tbl.read_decoded(spark, SCHEMA_DDL)
+    assert read.count() == 600 + 100 - 4
+    assert read.filter(F.col("url").isin(victims)).count() == 0
+    inc.unpersist()
+    df.unpersist()

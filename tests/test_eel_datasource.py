@@ -185,3 +185,57 @@ def test_missing_warehouse_raises(spark, tmp_path):
     register(spark)
     with pytest.raises(Exception, match="no committed snapshot|no snapshot"):
         spark.read.format("eel").load(str(tmp_path / "nope")).count()
+
+
+def test_stream_table_to_table_roundtrip(spark, tmp_path):
+    """The full loop: warehouse -> readStream.format("eel") ->
+    transform -> write_stream_to_table -> warehouse, exactly-once
+    across increments, with the sink a first-class (CDC-followable,
+    schema-stored) table."""
+    from eel_sdk_spark.streaming.sink import write_stream_to_table
+
+    _, src = _mk(spark, tmp_path / "src", n=700)
+    sink = ManifestTable(str(tmp_path / "snk"), "blocks")
+
+    def drain():
+        q = write_stream_to_table(
+            spark.readStream.format("eel").load(str(tmp_path / "src")),
+            sink, checkpoint_dir=str(tmp_path / "ckpt"),
+            transform=lambda df: df.filter(F.col("lang") == "en")
+            .select("url", "text", "lang"))
+        q.awaitTermination(300)
+
+    drain()
+    en0 = sink.read_decoded(spark).count()
+    assert en0 > 0
+    assert sink.row_schema() == "url string, text string, lang string"
+    inc = (webtext_df(spark, 900, parts=1)
+           .exceptAll(webtext_df(spark, 700, parts=1)))
+    n_inc_en = inc.filter(F.col("lang") == "en").count()
+    append_encode(spark, inc, src, run_id="r2")
+    drain()
+    assert sink.read_decoded(spark).count() == en0 + n_inc_en
+    drain()  # replay: no growth
+    got = sink.read_decoded(spark)
+    assert got.count() == en0 + n_inc_en
+    assert got.select("url").distinct().count() == en0 + n_inc_en
+    # lineage run records landed -> the sink is itself followable
+    assert any(r.get("run_id", "").startswith("stream-eel-sink-")
+               for r in sink.current().properties.get("runs", []))
+
+
+def test_sink_batch_replay_is_noop(spark, tmp_path):
+    """Crash contract: foreachBatch re-delivers a batch with the same
+    batch_id; the run_id guard must skip it before any work."""
+    from eel_sdk_spark.streaming.sink import sink_batch
+
+    docs = webtext_df(spark, 300, parts=1)
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    out = sink_batch(spark, docs, 0, tbl, n_parts=2)
+    assert out.get("n_rows") == 300
+    replay = sink_batch(spark, docs, 0, tbl, n_parts=2)
+    assert replay == {"skipped": "stream-eel-sink-0"}
+    assert tbl.read_decoded(spark).count() == 300
+    nxt = sink_batch(spark, docs.limit(0), 1, tbl)  # empty batch ok
+    assert nxt.get("n_rows", 0) == 0
+    assert tbl.read_decoded(spark).count() == 300

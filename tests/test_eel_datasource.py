@@ -94,6 +94,12 @@ def test_pushdown_prunes_partitions_and_keeps_results(spark, tmp_path):
     rd2 = EelPushdownReader(opts, schema)
     rd2.pushFilters([EqualTo(("url",), "https://nosuch.example/x")])
     assert rd2._files == []
+    # IN-list: union of per-value survivors (absent + present = present's)
+    from pyspark.sql.datasource import In
+
+    rd3 = EelPushdownReader(opts, schema)
+    rd3.pushFilters([In(("url",), (one, "https://nosuch.example/x"))])
+    assert sorted(rd3._files) == sorted(rd._files)
     # e2e: same rows with pushdown on (Spark re-applies the filter)
     old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

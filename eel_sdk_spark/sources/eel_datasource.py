@@ -142,7 +142,25 @@ def _tombstone_specs(snap) -> list[tuple[tuple[str, ...], list[str]]]:
     return sorted(by.items())
 
 
-def _filter_tombstones(batch, specs):
+def _load_tombstone_keys(specs):
+    """Materialize the sidecar parquets ONCE per task (decode yields
+    many batches per file — re-reading per batch would multiply the
+    I/O): (cols, single-column Array | set of tuples) pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = []
+    for cols, sidecars in specs:
+        keys = pa.concat_tables(
+            pq.read_table(f, use_threads=False) for f in sidecars)
+        out.append((cols, keys.column(0).combine_chunks()
+                    if len(cols) == 1
+                    else set(zip(*(keys.column(i).to_pylist()
+                                   for i in range(len(cols)))))))
+    return out
+
+
+def _filter_tombstones(batch, loaded):
     """Drop tombstoned rows from one decoded RecordBatch, executor-side.
     Single-column keys take the vectorized ``is_in`` path; composite
     keys fall back to a per-row tuple test (tombstone lists are bounded
@@ -150,22 +168,15 @@ def _filter_tombstones(batch, specs):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    for cols, sidecars in specs:
+    for cols, keys in loaded:
         if any(c not in batch.schema.names for c in cols):
             continue
-        import pyarrow.parquet as pq
-
-        keys = pa.concat_tables(
-            pq.read_table(f, use_threads=False) for f in sidecars)
         if len(cols) == 1:
-            vals = keys.column(0).combine_chunks().cast(
-                batch.column(cols[0]).type)
+            vals = keys.cast(batch.column(cols[0]).type)
             mask = pc.is_in(batch.column(cols[0]), value_set=vals)
         else:
-            gone = set(zip(*(keys.column(i).to_pylist()
-                             for i in range(len(cols)))))
             rows = zip(*(batch.column(c).to_pylist() for c in cols))
-            mask = pa.array([r in gone for r in rows], pa.bool_())
+            mask = pa.array([r in keys for r in rows], pa.bool_())
         batch = batch.filter(pc.fill_null(pc.invert(mask), True))
     return batch
 
@@ -191,11 +202,11 @@ class EelBatchReader(DataSourceReader):
         from ..encode import decode_file_batches
 
         col_order, arrow_types, alias_of = self._ctx
+        loaded = _load_tombstone_keys(self._tombstones)
         for batch in decode_file_batches(partition.value, col_order,
                                          arrow_types, alias_of,
                                          self._verify):
-            out = (_filter_tombstones(batch, self._tombstones)
-                   if self._tombstones else batch)
+            out = _filter_tombstones(batch, loaded) if loaded else batch
             if out.num_rows:
                 yield out
 
@@ -301,9 +312,10 @@ class EelStreamReader(DataSourceStreamReader):
         from ..encode import decode_file_batches
 
         path, (col_order, arrow_types, alias_of), specs = partition.value
+        loaded = _load_tombstone_keys(specs)
         for batch in decode_file_batches(path, col_order, arrow_types,
                                          alias_of, self._verify):
-            out = _filter_tombstones(batch, specs) if specs else batch
+            out = _filter_tombstones(batch, loaded) if loaded else batch
             if out.num_rows:
                 yield out
 

@@ -245,3 +245,43 @@ def test_sink_batch_replay_is_noop(spark, tmp_path):
     nxt = sink_batch(spark, docs.limit(0), 1, tbl)  # empty batch ok
     assert nxt.get("n_rows", 0) == 0
     assert tbl.read_decoded(spark).count() == 300
+
+
+def test_sink_crash_between_commits_replays_clean(spark, tmp_path):
+    """The real crash window: the sink table committed batch N but the
+    query died before Spark wrote checkpoint commits/N. On restart the
+    engine re-delivers batch N (same id, same data) — the run_id guard
+    must swallow it, leaving zero duplicates. Simulated by deleting the
+    newest commit marker from the streaming checkpoint."""
+    import os
+
+    from eel_sdk_spark.streaming.sink import write_stream_to_table
+
+    _, src = _mk(spark, tmp_path / "src", n=400)
+    sink = ManifestTable(str(tmp_path / "snk"), "blocks")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = write_stream_to_table(
+            spark.readStream.format("eel").load(str(tmp_path / "src")),
+            sink, checkpoint_dir=ckpt)
+        q.awaitTermination(300)
+
+    drain()
+    assert sink.read_decoded(spark).count() == 400
+    # crash simulation: the sink-table commit survived, the streaming
+    # checkpoint's commit marker did not
+    commits = sorted(f for f in os.listdir(os.path.join(ckpt, "commits"))
+                     if not f.startswith("."))
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # Hadoop checksum sidecar would poison the
+        os.remove(crc)       # atomic re-create of the commit marker
+    drain()  # restart: batch re-delivered with the same batch_id
+    got = sink.read_decoded(spark)
+    assert got.count() == 400
+    assert got.select("url").distinct().count() == 400
+    # exactly one stream run record (the replay committed nothing)
+    runs = [r for r in sink.current().properties.get("runs", [])
+            if r.get("run_id", "").startswith("stream-")]
+    assert len(runs) == 1

@@ -192,9 +192,39 @@ class EelBatchReader(DataSourceReader):
             _tombstone_specs(self._snap)
             if str(options.get("with_deletes",
                                "true")).lower() != "false" else [])
+        self._target_bytes = int(options.get("scan_partition_bytes",
+                                             128 << 20))
 
     def partitions(self):
-        return [InputPartition(p) for p in self._files]
+        """Files binned into ~``scan_partition_bytes`` (default 128 MB
+        encoded) input partitions, sized from the MANIFEST's per-file
+        stats — zero I/O at plan time. One-file-per-task is right for
+        healthy layouts but plans 100k tasks on a 100k-small-file table
+        (the pre-binpack shape); binning keeps task count proportional
+        to bytes, like Spark's own maxPartitionBytes file packing.
+        Files without recorded stats get their own partition."""
+        sizes: dict[str, int] = {}
+        for r in self._snap.properties.get("runs", []):
+            for b, st in (r.get("file_stats") or {}).items():
+                sizes[b] = st[2]
+        sizes.update({b: st[2] for b, st in self._snap.properties.get(
+            "file_stats_extra", {}).items()})
+        out: list[list[str]] = []
+        cur: list[str] = []
+        acc = 0
+        for f in self._files:
+            sz = sizes.get(os.path.basename(f))
+            if sz is None:
+                out.append([f])
+                continue
+            if cur and acc + sz > self._target_bytes:
+                out.append(cur)
+                cur, acc = [], 0
+            cur.append(f)
+            acc += sz
+        if cur:
+            out.append(cur)
+        return [InputPartition(group) for group in out]
 
     def read(self, partition) -> Iterator:
         if partition is None:  # empty partitions() -> one read(None)
@@ -203,12 +233,14 @@ class EelBatchReader(DataSourceReader):
 
         col_order, arrow_types, alias_of = self._ctx
         loaded = _load_tombstone_keys(self._tombstones)
-        for batch in decode_file_batches(partition.value, col_order,
-                                         arrow_types, alias_of,
-                                         self._verify):
-            out = _filter_tombstones(batch, loaded) if loaded else batch
-            if out.num_rows:
-                yield out
+        for path in partition.value:
+            for batch in decode_file_batches(path, col_order,
+                                             arrow_types, alias_of,
+                                             self._verify):
+                out = (_filter_tombstones(batch, loaded)
+                       if loaded else batch)
+                if out.num_rows:
+                    yield out
 
 
 class EelPushdownReader(EelBatchReader):

@@ -285,3 +285,26 @@ def test_sink_crash_between_commits_replays_clean(spark, tmp_path):
     runs = [r for r in sink.current().properties.get("runs", [])
             if r.get("run_id", "").startswith("stream-")]
     assert len(runs) == 1
+
+
+def test_partition_binning_by_manifest_stats(spark, tmp_path):
+    """Small files pack into shared input partitions sized from the
+    manifest's per-file stats (zero plan-time I/O); a tiny target
+    degenerates to one file per partition; results identical."""
+    from pyspark.sql.types import StructType
+
+    from eel_sdk_spark.sources.eel_datasource import EelBatchReader
+
+    _, tbl = _mk(spark, tmp_path, n=1000, n_parts=8)
+    schema = StructType.fromDDL(tbl.row_schema())
+    n_files = len(tbl.current().files)
+    packed = EelBatchReader({"path": str(tmp_path)}, schema).partitions()
+    assert len(packed) < n_files  # test files are KB-scale: they pack
+    assert sum(len(p.value) for p in packed) == n_files
+    solo = EelBatchReader({"path": str(tmp_path),
+                           "scan_partition_bytes": "1"},
+                          schema).partitions()
+    assert len(solo) == n_files
+    _same(spark.read.format("eel").load(str(tmp_path)),
+          spark.read.format("eel")
+          .option("scan_partition_bytes", "1").load(str(tmp_path)))

@@ -99,10 +99,17 @@ def _open_table(options):
 def _resolve_snapshot(tbl, options):
     sid = options.get("snapshot_id")
     ref = options.get("ref")
-    if sid is not None and ref is not None:
-        raise ValueError("pass snapshot_id OR ref, not both")
+    as_of = options.get("as_of_timestamp")
+    if sum(x is not None for x in (sid, ref, as_of)) > 1:
+        raise ValueError("pass ONE of snapshot_id / ref / as_of_timestamp")
     if ref is not None:
         sid = tbl.resolve_ref(ref)
+    if as_of is not None:
+        try:  # epoch seconds or ISO-8601 — snapshot_as_of takes both
+            as_of = float(as_of)
+        except ValueError:
+            pass
+        sid = tbl.snapshot_as_of(as_of).snapshot_id
     snap = tbl.snapshot(int(sid)) if sid is not None else tbl.current()
     if snap is None:
         raise FileNotFoundError(

@@ -308,6 +308,72 @@ class ManifestTable:
         with open(os.path.join(self.manifest_dir, f"m-{snapshot_id}.json")) as f:
             return Snapshot(**json.load(f))
 
+    def snapshot_as_of(self, ts, stage: str | None = None) -> Snapshot:
+        """The newest snapshot on this line whose ``committed_at`` is
+        at or before ``ts`` — Iceberg's as-of-timestamp read. ``ts`` is
+        epoch seconds or an ISO-8601 string (a naive string is taken as
+        UTC, matching the epoch stamps ``commit`` writes). Walks the
+        parent chain, so staged/branch commits never leak into main's
+        timeline; raises if the table is younger than ``ts`` or the
+        window crossed expire_snapshots."""
+        if isinstance(ts, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        s = self.head(stage)
+        if s is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshot")
+        while s is not None:
+            if s.properties.get("committed_at", 0) <= ts:
+                return s
+            if s.parent_id is None:
+                raise FileNotFoundError(
+                    f"as-of {ts}: table {self.dir} is younger — its "
+                    f"first snapshot committed at "
+                    f"{s.properties.get('committed_at')}")
+            try:
+                s = self.snapshot(s.parent_id)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"as-of {ts}: snapshot {s.parent_id} expired "
+                    f"(expire_snapshots ran past it) — keep more "
+                    f"history for reads this old") from None
+        raise AssertionError("unreachable")
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Move main back to an ANCESTOR snapshot's exact state (files,
+        schema, properties — tombstones and lineage revert with it), as
+        a NEW commit: history stays append-only, the bad commits remain
+        time-travel-readable until expiry, and a concurrent committer
+        is detected by the CAS. Iceberg's rollback-to-snapshot. Refuses
+        non-ancestors (staged refs publish through ``publish``)."""
+        cur = self.current()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshot")
+        if cur.snapshot_id == snapshot_id:
+            return cur
+        s = cur
+        while s.parent_id is not None:
+            s = self.snapshot(s.parent_id)
+            if s.snapshot_id == snapshot_id:
+                break
+        else:
+            raise ValueError(
+                f"rollback: snapshot {snapshot_id} is not an ancestor "
+                f"of main head {cur.snapshot_id} (staged lines publish "
+                f"via publish(), not rollback)")
+        target = self.snapshot(snapshot_id)
+        props = dict(target.properties)
+        props["rollback_of"] = cur.snapshot_id
+        return self.commit(target.files, target.schema_ddl, props,
+                           mode="overwrite",
+                           expect_properties={
+                               "committed_at":
+                               cur.properties.get("committed_at")})
+
     def read(self, spark, snapshot_id: int | None = None,
              constraints: list | None = None):
         """Read the snapshot; ``constraints`` (PartitionConstraint list)
@@ -498,7 +564,8 @@ class ManifestTable:
                      snapshot_id: int | None = None,
                      verify: bool = True,
                      with_deletes: bool = True,
-                     ref: str | None = None):
+                     ref: str | None = None,
+                     as_of=None):
         """Decode an encoded-blocks table straight from its snapshot file
         list with ZERO shuffle: whole files per task (encode.py's
         decode_files_df — block groups are file-adjacent by construction).
@@ -510,10 +577,12 @@ class ManifestTable:
         line under audit) — the reproducible-training-set read."""
         from .encode import decode_files_df
 
+        if sum(x is not None for x in (snapshot_id, ref, as_of)) > 1:
+            raise ValueError("pass ONE of snapshot_id / ref / as_of")
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id OR ref, not both")
             snapshot_id = self.resolve_ref(ref)
+        if as_of is not None:
+            snapshot_id = self.snapshot_as_of(as_of).snapshot_id
         snap = (self.snapshot(snapshot_id) if snapshot_id is not None
                 else self.current())
         if snap is None or not snap.files:

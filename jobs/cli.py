@@ -599,6 +599,19 @@ def cmd_publish(args) -> None:
          "n_files": len(snap.files)}) + "\n")
 
 
+def cmd_rollback(args) -> None:
+    """Move main back to an ancestor snapshot's exact state (new
+    commit; bad commits stay time-travel-readable until expiry)."""
+    from eel_sdk_spark.table import ManifestTable
+
+    tbl = ManifestTable(args.warehouse, args.table)
+    snap = tbl.rollback(args.snapshot)
+    sys.stdout.write(json.dumps(
+        {"rolled_back_to": args.snapshot,
+         "new_snapshot_id": snap.snapshot_id,
+         "n_files": len(snap.files)}) + "\n")
+
+
 def cmd_drop_ref(args) -> None:
     """Abandon a ref; the next gc reclaims anything only it pinned."""
     from eel_sdk_spark.table import ManifestTable
@@ -862,6 +875,13 @@ def main(argv=None) -> None:
     pb.add_argument("--ref", required=True)
     pb.add_argument("--keep-ref", action="store_true")
 
+    rb = sub.add_parser("rollback", help="move main back to an "
+                                         "ancestor snapshot (bad-publish "
+                                         "recovery; append-only history)")
+    rb.add_argument("--warehouse", required=True)
+    rb.add_argument("--table", default="blocks")
+    rb.add_argument("--snapshot", type=int, required=True)
+
     dr = sub.add_parser("drop-ref", help="abandon a ref (gc reclaims "
                                          "what only it pinned)")
     dr.add_argument("--warehouse", required=True)
@@ -898,6 +918,7 @@ def main(argv=None) -> None:
      "purge": cmd_purge, "upsert": cmd_upsert,
      "changes": cmd_changes, "follow": cmd_follow,
      "tag": cmd_tag, "refs": cmd_refs, "publish": cmd_publish,
+     "rollback": cmd_rollback,
      "drop-ref": cmd_drop_ref, "rename": cmd_rename,
      "widen": cmd_widen}[args.cmd](args)
 

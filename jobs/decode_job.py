@@ -64,6 +64,10 @@ def main(argv=None) -> None:
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="time travel: decode the table AS OF this "
                         "snapshot instead of the current one")
+    p.add_argument("--as-of", default=None,
+                   help="time travel by TIMESTAMP (epoch seconds or "
+                        "ISO-8601, naive = UTC): decode the newest "
+                        "snapshot committed at or before it")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -74,6 +78,15 @@ def main(argv=None) -> None:
     spark = get_spark(app="decode")
     try:
         tbl = ManifestTable(args.warehouse, args.table)
+        if args.as_of is not None:
+            if args.snapshot_id is not None:
+                raise SystemExit("--as-of is mutually exclusive with "
+                                 "--snapshot-id")
+            try:
+                args.as_of = float(args.as_of)
+            except ValueError:
+                pass
+            args.snapshot_id = tbl.snapshot_as_of(args.as_of).snapshot_id
         if args.schema is None:
             # resolve from the snapshot being read: a time-travel read
             # of a pre-rename snapshot must use ITS schema, not today's

@@ -288,7 +288,7 @@ def test_read_by_ref_and_age_based_expiry(spark, tmp_path):
     got = tbl.read_decoded(spark, SCHEMA_DDL, ref="train-v1")
     assert got.count() == 800
     assert tbl.read_decoded(spark, SCHEMA_DDL).count() == 820
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="ONE of"):
         tbl.read_decoded(spark, SCHEMA_DDL, ref="train-v1", snapshot_id=v1)
 
     # age-based retention: everything is younger than an hour, so an
@@ -303,3 +303,85 @@ def test_read_by_ref_and_age_based_expiry(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         tbl.snapshot(v1)
     df.unpersist()
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """Iceberg-style as-of-timestamp reads: the newest snapshot at or
+    before ts on MAIN's parent chain (staged commits never leak in)."""
+    import time
+
+    from eel_sdk_spark.checkpoint import append_encode, encode_with_checkpoint
+    from eel_sdk_spark.corpus import webtext_df
+
+    tbl = ManifestTable(str(tmp_path), "asof")
+    encode_with_checkpoint(spark, webtext_df(spark, 300, parts=1), tbl,
+                           n_parts=2, run_id="r1")
+    t1 = time.time()
+    time.sleep(0.05)
+    inc = (webtext_df(spark, 400, parts=1)
+           .exceptAll(webtext_df(spark, 300, parts=1)))
+    append_encode(spark, inc, tbl, run_id="r2", stage="audit")  # staged
+    append_encode(spark, inc, tbl, run_id="r3")                 # main
+    assert tbl.read_decoded(spark, as_of=t1).count() == 300
+    assert tbl.read_decoded(spark, as_of=time.time()).count() == 400
+    # ISO form, and the mutually-exclusive guard
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    assert tbl.snapshot_as_of(iso).snapshot_id \
+        == tbl.snapshot_as_of(t1).snapshot_id
+    with pytest.raises(ValueError, match="ONE of"):
+        tbl.read_decoded(spark, snapshot_id=1, as_of=t1)
+    with pytest.raises(FileNotFoundError, match="younger"):
+        tbl.snapshot_as_of(t1 - 1e6)
+    # datasource option rides the same resolution
+    from eel_sdk_spark.sources.eel_datasource import register
+
+    register(spark)
+    assert (spark.read.format("eel").option("table", "asof")
+            .option("as_of_timestamp", str(t1)).load(str(tmp_path))
+            .count() == 300)
+
+
+def test_rollback_to_ancestor(spark, tmp_path):
+    """rollback() reverts main to an ancestor's exact state as a NEW
+    commit: files, schema, tombstones, lineage all revert; the bad
+    commit stays time-travel-readable; non-ancestors refused."""
+    from eel_sdk_spark.checkpoint import append_encode, encode_with_checkpoint
+    from eel_sdk_spark.corpus import webtext_df
+    from eel_sdk_spark.deletes import delete_rows
+
+    tbl = ManifestTable(str(tmp_path), "rb")
+    encode_with_checkpoint(spark, webtext_df(spark, 300, parts=1), tbl,
+                           n_parts=2, run_id="r1")
+    good = tbl.current().snapshot_id
+    inc = (webtext_df(spark, 400, parts=1)
+           .exceptAll(webtext_df(spark, 300, parts=1)))
+    append_encode(spark, inc, tbl, run_id="bad-append")
+    url = webtext_df(spark, 1, parts=1).first()["url"]
+    delete_rows(spark, tbl, [url])
+    bad = tbl.current().snapshot_id
+    assert tbl.read_decoded(spark).count() == 399
+
+    healed = tbl.rollback(good)
+    assert healed.parent_id == bad  # append-only history
+    assert tbl.read_decoded(spark).count() == 300  # delete reverted too
+    assert not tbl.current().properties.get("tombstones")
+    assert tbl.current().properties["rollback_of"] == bad
+    # the bad line is still snapshot-readable (until expiry)
+    assert tbl.read_decoded(spark, snapshot_id=bad).count() == 399
+    # idempotent on the same target
+    assert tbl.rollback(healed.snapshot_id).snapshot_id \
+        == healed.snapshot_id
+    # ...and rolling back the rollback restores the bad line (bad IS
+    # an ancestor of the healed head)
+    assert tbl.rollback(bad).properties["rollback_of"] \
+        == healed.snapshot_id
+    assert tbl.read_decoded(spark).count() == 399
+    # a STAGED snapshot is off this line of history: refused
+    inc2 = (webtext_df(spark, 450, parts=1)
+            .exceptAll(webtext_df(spark, 400, parts=1)))
+    append_encode(spark, inc2, tbl, run_id="st", stage="side")
+    staged = tbl.resolve_ref("side")
+    with pytest.raises(ValueError, match="not an ancestor"):
+        tbl.rollback(staged)

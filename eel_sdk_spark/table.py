@@ -574,7 +574,10 @@ class ManifestTable:
         ``schema_ddl=None`` uses the schema the encode run persisted in
         the manifest (``row_schema_ddl`` — renames keep it current).
         ``ref`` reads a named ref (a tag's pinned version, or a staged
-        line under audit) — the reproducible-training-set read."""
+        line under audit) — the reproducible-training-set read;
+        ``as_of`` time-travels by TIMESTAMP (epoch seconds or ISO-8601,
+        via :meth:`snapshot_as_of`). Pass at most one of
+        snapshot_id / ref / as_of."""
         from .encode import decode_files_df
 
         if sum(x is not None for x in (snapshot_id, ref, as_of)) > 1:

@@ -11,11 +11,12 @@ STREAMS) an eel warehouse exactly like parquet:
           .option("starting_snapshot", "earliest").load("/wh"))
 
 Batch read
-    One input partition per encoded block file — the same
-    whole-files-per-task, zero-shuffle unit as ``decode_files_df``;
-    the executor-side kernel IS ``encode.decode_file_batches`` (one
-    shared implementation), yielding Arrow RecordBatches straight into
-    Spark's Arrow ingest path. Snapshot selection via
+    Whole files per task (the same zero-shuffle unit as
+    ``decode_files_df``), binned into ~128 MB input partitions from the
+    manifest's per-file stats so task count tracks bytes, not file
+    count; the executor-side kernel IS ``encode.decode_file_batches``
+    (one shared implementation), yielding Arrow RecordBatches straight
+    into Spark's Arrow ingest path. Snapshot selection via
     ``option("snapshot_id", N)`` / ``option("ref", name)``; tombstones
     (deletes.delete_rows) are applied executor-side from the sidecar
     parquets; renames and type widenings resolve exactly as

@@ -58,6 +58,44 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
+def run_datasource(spark) -> float:
+    """Storage decode through the PUBLIC SPI (spark.read.format("eel"),
+    r8): same kernel as read_decoded, but planned by Spark's own
+    DataSource scan — tracking it per-round catches SPI-path drift that
+    the in-memory decode number can't see."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from eel_sdk_spark.checkpoint import encode_with_checkpoint
+    from eel_sdk_spark.corpus import webtext_df
+    from eel_sdk_spark.sources.eel_datasource import register
+    from eel_sdk_spark.table import ManifestTable
+
+    register(spark)
+    tmp = tempfile.mkdtemp(prefix="eel_bench_ds_")
+    try:
+        tbl = ManifestTable(tmp, "blocks")
+        encode_with_checkpoint(
+            spark, webtext_df(spark, 200_000, parts=32), tbl,
+            n_parts=64, run_id="ds")
+
+        def scan():
+            return (spark.read.format("eel").load(tmp)
+                    .agg(F.sum(F.length("text"))).collect())
+
+        scan()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            scan()
+            samples.append(time.monotonic() - t0)
+        return round(min(samples), 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_eelshape(spark) -> dict:
     """Throughput on the reference's own speed-test row shape (5m rows x
     5 cols, ParquetSpeedTest/ParquetMultipleFileSpeedTest) for direct
@@ -228,6 +266,7 @@ def main() -> None:
     try:
         load_queries = round(os.getloadavg()[0], 1)
         queries = run_queries(spark)
+        queries["decode_ds"] = run_datasource(spark)
         eelshape = run_eelshape(spark)
         load_q_after = round(os.getloadavg()[0], 1)
         # r8 quiet-record guard (VERDICT r7 #5): the scaling phase has
@@ -239,6 +278,7 @@ def main() -> None:
         if max(load_queries, load_q_after) > QUERY_LOAD_RETRY:
             l2_before = round(os.getloadavg()[0], 1)
             q2 = run_queries(spark)
+            q2["decode_ds"] = run_datasource(spark)  # keep sums comparable
             e2 = run_eelshape(spark)
             l2_after = round(os.getloadavg()[0], 1)
             qretry = {"first": [load_queries, load_q_after],

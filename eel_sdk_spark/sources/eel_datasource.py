@@ -371,8 +371,24 @@ class EelDataSource(DataSource):
         return "eel"
 
     def schema(self) -> str:
+        """The stored row schema — optionally projected by
+        ``option("columns", "a,b")``. The Python DataSource SPI has no
+        automatic column pruning, but the block layout makes projection
+        a plan-time schema cut: the decode kernel's parquet scan filters
+        block rows by column NAME, so unrequested columns' payloads are
+        never read (same mechanism as read_decoded(columns=))."""
         tbl = _open_table(self.options)
-        return tbl.row_schema(_resolve_snapshot(tbl, self.options))
+        ddl = tbl.row_schema(_resolve_snapshot(tbl, self.options))
+        want = self.options.get("columns")
+        if not want:
+            return ddl
+        keep = [c.strip() for c in want.split(",") if c.strip()]
+        fields = {f.partition(" ")[0]: f for f in ddl.split(", ")}
+        missing = [c for c in keep if c not in fields]
+        if missing:
+            raise ValueError(f"columns {missing} not in stored schema "
+                             f"{ddl!r}")
+        return ", ".join(fields[c] for c in keep)
 
     def reader(self, schema) -> EelBatchReader:
         if str(self.options.get("pushdown", "false")).lower() == "true":

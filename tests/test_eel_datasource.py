@@ -308,3 +308,17 @@ def test_partition_binning_by_manifest_stats(spark, tmp_path):
     _same(spark.read.format("eel").load(str(tmp_path)),
           spark.read.format("eel")
           .option("scan_partition_bytes", "1").load(str(tmp_path)))
+
+
+def test_columns_option_projects_schema(spark, tmp_path):
+    """option("columns") cuts the schema at PLAN time; the decode
+    kernel's parquet name filter then never reads the other columns'
+    payloads (the SPI has no automatic column pruning)."""
+    _, tbl = _mk(spark, tmp_path, n=400)
+    df = (spark.read.format("eel").option("columns", "url,lang")
+          .load(str(tmp_path)))
+    assert df.columns == ["url", "lang"]
+    _same(df, tbl.read_decoded(spark, columns=["url", "lang"]))
+    with pytest.raises(Exception, match="not in stored schema"):
+        (spark.read.format("eel").option("columns", "nope")
+         .load(str(tmp_path)).count())

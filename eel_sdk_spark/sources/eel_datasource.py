@@ -63,8 +63,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 __all__ = ["EelDataSource", "register"]
@@ -259,31 +263,59 @@ class EelPushdownReader(EelBatchReader):
     ``.option("pushdown", "true")`` AND the session conf."""
 
     def pushFilters(self, filters):
-        """Prune the file list with the metadata-only lookup tiers (key
-        ranges + summary blooms) for equality/IN predicates. Every
-        filter is handed back to Spark — it re-applies them exactly, so
-        a bloom false positive costs one extra file, never a wrong row."""
-        from ..checkpoint import _key_aliases, prune_files_metadata
+        """Prune the file list with the metadata-only lookup tiers:
+        equality/IN predicates go through key ranges + summary blooms;
+        </>/<=/>= predicates intersect the manifest key ranges directly
+        (range scans on clustered tables prune to the overlapping
+        slice). Every filter is handed back to Spark — it re-applies
+        them exactly, so a bloom false positive costs one extra file,
+        never a wrong row."""
+        from ..checkpoint import (_component_key_ranges, _key_aliases,
+                                  prune_files_metadata)
 
         col_order, _, _ = self._ctx
         for f in filters:
-            if not isinstance(f, (EqualTo, In)) or len(f.attribute) != 1:
+            if len(getattr(f, "attribute", ())) != 1:
                 continue
             col = f.attribute[0]
             if col not in col_order:
                 continue
-            vals = list(f.value) if isinstance(f, In) else [f.value]
-            if not vals or not all(
-                    isinstance(v, (str, int)) and not isinstance(v, bool)
-                    for v in vals):
-                continue
             aliases = _key_aliases(self._snap, col)
-            survivors: set[str] = set()
-            for v in vals:  # a file survives if it may hold ANY value
-                survivors.update(prune_files_metadata(
-                    self._snap, self._files, col, v,
-                    aliases=aliases, keep_floor=False))
-            self._files = [f2 for f2 in self._files if f2 in survivors]
+            if isinstance(f, (EqualTo, In)):
+                vals = list(f.value) if isinstance(f, In) else [f.value]
+                if not vals or not all(
+                        isinstance(v, (str, int))
+                        and not isinstance(v, bool) for v in vals):
+                    continue
+                survivors: set[str] = set()
+                for v in vals:  # survives if it may hold ANY value
+                    survivors.update(prune_files_metadata(
+                        self._snap, self._files, col, v,
+                        aliases=aliases, keep_floor=False))
+                self._files = [f2 for f2 in self._files
+                               if f2 in survivors]
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                                LessThan, LessThanOrEqual)):
+                v = f.value
+                if not isinstance(v, (str, int)) or isinstance(v, bool):
+                    continue
+                ranges = _component_key_ranges(
+                    self._snap, {col} | set(aliases))
+                fam = "s" if isinstance(v, str) else "i"
+                lower = isinstance(f, (GreaterThan, GreaterThanOrEqual))
+                strict = isinstance(f, (GreaterThan, LessThan))
+                kept = []
+                for f2 in self._files:
+                    rng = ranges.get(os.path.basename(f2), {}).get(fam)
+                    if rng is None:  # no recorded range: keep
+                        kept.append(f2)
+                    elif lower and (rng[1] > v or
+                                    (not strict and rng[1] == v)):
+                        kept.append(f2)  # file's hi reaches the bound
+                    elif not lower and (rng[0] < v or
+                                        (not strict and rng[0] == v)):
+                        kept.append(f2)  # file's lo reaches the bound
+                self._files = kept
         return filters
 
 

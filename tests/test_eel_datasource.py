@@ -322,3 +322,39 @@ def test_columns_option_projects_schema(spark, tmp_path):
     with pytest.raises(Exception, match="not in stored schema"):
         (spark.read.format("eel").option("columns", "nope")
          .load(str(tmp_path)).count())
+
+
+def test_range_predicate_pushdown_on_clustered_key(spark, tmp_path):
+    """>/< filters intersect the manifest key ranges: a range scan on a
+    clustered bigint key prunes to the overlapping files, and results
+    stay exact (Spark re-applies the filter)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    from pyspark.sql.types import StructType
+
+    docs = (webtext_df(spark, 4000, parts=4)
+            .withColumn("doc_id", F.monotonically_increasing_id()))
+    tbl = ManifestTable(str(tmp_path), "blocks")
+    encode_with_checkpoint(spark, docs, tbl, key="doc_id", n_parts=16,
+                           run_id="r1")
+    register(spark)
+    schema = StructType.fromDDL(tbl.row_schema())
+    n_files = len(tbl.current().files)
+
+    lo = docs.approxQuantile("doc_id", [0.4], 0.0)[0]
+    hi = docs.approxQuantile("doc_id", [0.6], 0.0)[0]
+    rd = EelPushdownReader({"path": str(tmp_path)}, schema)
+    rd.pushFilters([GreaterThanOrEqual(("doc_id",), int(lo)),
+                    LessThan(("doc_id",), int(hi))])
+    assert 0 < len(rd._files) < n_files  # pruned to the slice
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (spark.read.format("eel").option("pushdown", "true")
+               .load(str(tmp_path))
+               .filter((F.col("doc_id") >= int(lo))
+                       & (F.col("doc_id") < int(hi))))
+        want = docs.filter((F.col("doc_id") >= int(lo))
+                           & (F.col("doc_id") < int(hi))).count()
+        assert got.count() == want
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)

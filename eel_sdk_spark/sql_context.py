@@ -24,6 +24,24 @@ class SqlContext:
         df.createOrReplaceTempView(name)
         self._registered.append(name)
 
+    def register_warehouse(self, name: str, warehouse: str,
+                           table: str = "blocks", **options) -> None:
+        """Expose an encoded ManifestTable to Spark SQL by name, through
+        the ``eel`` DataSource (r8) — so ``ctx.sql("SELECT ... FROM
+        docs")`` scans the warehouse with tombstones/renames/widenings
+        resolved. ``options`` pass through (snapshot_id, ref,
+        as_of_timestamp, columns, ...); direct ``FROM eel.`/path```
+        SQL-on-files is not supported for Python data sources, which is
+        exactly what this view registration covers."""
+        from .sources.eel_datasource import register as _register_ds
+
+        _register_ds(self.spark)
+        r = self.spark.read.format("eel").option("table", table)
+        for k, v in options.items():
+            r = r.option(k, str(v))
+        r.load(warehouse).createOrReplaceTempView(name)
+        self._registered.append(name)
+
     def sql(self, query: str) -> DataStream:
         """SqlContext.sql (SqlContext.scala:23-27)."""
         return DataStream(self.spark.sql(query))

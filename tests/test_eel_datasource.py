@@ -358,3 +358,23 @@ def test_range_predicate_pushdown_on_clustered_key(spark, tmp_path):
         assert got.count() == want
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_sql_over_warehouse_view(spark, tmp_path):
+    """SqlContext.register_warehouse: the encoded table as a SQL view
+    through the DataSource (direct FROM eel.`path` is unsupported for
+    Python data sources — this is the covered route)."""
+    from eel_sdk_spark.sql_context import SqlContext
+
+    _, tbl = _mk(spark, tmp_path, n=600)
+    ctx = SqlContext(spark)
+    try:
+        ctx.register_warehouse("docs", str(tmp_path))
+        got = ctx.sql("SELECT lang, count(*) AS n FROM docs "
+                      "GROUP BY lang ORDER BY lang").df.collect()
+        want = (tbl.read_decoded(spark).groupBy("lang").count()
+                .orderBy("lang").collect())
+        assert [(r["lang"], r["n"]) for r in got] \
+            == [(r["lang"], r["count"]) for r in want]
+    finally:
+        ctx.close()

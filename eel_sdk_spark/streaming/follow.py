@@ -38,7 +38,8 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
                 transform=None, key: str | None = None,
                 n_parts: int | None = None, profile: str = "speed",
                 include_rewrites: bool = False,
-                bootstrap: str = "full") -> dict:
+                bootstrap: str = "full",
+                propagate_deletes: bool = False) -> dict:
     """One poll of the follower: process rows appended to ``src`` since
     this consumer's cursor into ``sink``, exactly once.
 
@@ -53,6 +54,16 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
     with a properties-only commit (so a filter-everything window is
     not re-decoded forever). ``key``/``n_parts`` default to the
     source's encode lineage, like ``deletes.upsert_rows``.
+
+    ``propagate_deletes=True`` additionally forwards the source
+    tombstones ADDED in the window to the sink (metadata-only
+    ``delete_rows`` per key spec), so a takedown chains through the
+    replica instead of surviving in rows the follower already emitted
+    — turn it on for GDPR-chained replicas. Deletes apply BEFORE the
+    cursor commit: a crash between them replays them on the next poll
+    (tombstones are idempotent for reads), never loses one. Default
+    off for compatibility with transform-sinks whose rows no longer
+    carry the source key.
     """
     if bootstrap not in ("full", "from_now"):
         raise ValueError(f"bootstrap must be 'full' or 'from_now', "
@@ -88,9 +99,22 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
                     expect_properties={prop: sink_props.get(prop)})
         return {"rows": 0, "cursor_from": None, "cursor_to": target,
                 "bootstrap": True}
+    n_deletes = 0
     if is_bootstrap:
         df = src.read_decoded(spark, schema_ddl, snapshot_id=target)
     else:
+        if propagate_deletes:
+            # forward the window's takedowns FIRST: a crash after this
+            # but before the cursor commit replays them (idempotent),
+            # the reverse order could lose one. Bootstrap reads already
+            # exclude deleted rows, so only increments forward.
+            from ..deletes import _entry_key, delete_rows
+
+            ch = src.changes_between(cursor, target)
+            for e in ch["tombstones_added"]:
+                kdf = spark.read.parquet(*e["files"])
+                out = delete_rows(spark, sink, kdf, key=_entry_key(e))
+                n_deletes += out["deleted_keys"]
         df = src.read_appended(spark, schema_ddl, cursor,
                                include_rewrites=include_rewrites)
     if transform is not None:
@@ -107,7 +131,7 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
             sink.commit([], "", {prop: target}, mode="append",
                         expect_properties=guard)
             return {"rows": 0, "cursor_from": cursor, "cursor_to": target,
-                    "bootstrap": is_bootstrap}
+                    "bootstrap": is_bootstrap, "deleted_keys": n_deletes}
         blocks = encode_df(df, key=key, n_parts=n_parts, profile=profile)
         job_dir = sink.new_data_path()
         blocks.write.mode("overwrite").parquet(job_dir)
@@ -161,5 +185,6 @@ def follow_once(spark, src: ManifestTable, sink: ManifestTable,
                 f"changing under 5 retries")
     finally:
         df.unpersist()
-    return {"rows": n_rows, "cursor_from": cursor, "cursor_to": target,
+    return {"rows": n_rows, "deleted_keys": n_deletes,
+            "cursor_from": cursor, "cursor_to": target,
             "bootstrap": is_bootstrap}

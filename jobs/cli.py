@@ -639,7 +639,8 @@ def cmd_follow(args) -> None:
                           consumer_id=args.consumer_id,
                           transform=transform, profile=args.profile,
                           bootstrap="from_now" if args.from_now
-                          else "full")
+                          else "full",
+                          propagate_deletes=args.propagate_deletes)
         sys.stdout.write(json.dumps(out) + "\n")
     finally:
         spark.stop()
@@ -899,6 +900,10 @@ def main(argv=None) -> None:
                     help="decode DDL of the source rows (default: the "
                          "stored row_schema_ddl)")
     fo.add_argument("--consumer-id", default="follow")
+    fo.add_argument("--propagate-deletes", action="store_true",
+                    help="forward source takedowns (tombstones added "
+                         "in the window) to the sink — GDPR-chained "
+                         "replicas")
     fo.add_argument("--filter", default=None,
                     help="SQL boolean expression applied to the window")
     fo.add_argument("--profile", default="speed")

@@ -321,3 +321,30 @@ def test_follow_survives_source_binpack(spark, tmp_path):
     assert read.count() == 1500 + 3 * 30 + 7
     assert read.groupBy("url").count().filter("count > 1").count() == 0
     df.unpersist()
+
+
+def test_propagate_deletes_chains_takedown(spark, tmp_path):
+    """propagate_deletes=True forwards source tombstones added in the
+    window to the sink, so a takedown reaches rows the follower emitted
+    in EARLIER polls; replay adds nothing."""
+    from eel_sdk_spark.deletes import delete_rows
+
+    df, src = _mk_src(spark, tmp_path, n=600, parts=2)
+    sink = ManifestTable(str(tmp_path), "sink")
+    follow_once(spark, src, sink, SCHEMA_DDL)
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 600
+
+    victims = [r["url"] for r in df.select("url").limit(2).collect()]
+    delete_rows(spark, src, victims)
+    out = follow_once(spark, src, sink, SCHEMA_DDL,
+                      propagate_deletes=True)
+    assert out["deleted_keys"] == 2
+    got = sink.read_decoded(spark, SCHEMA_DDL)
+    assert got.count() == 598
+    assert got.filter(F.col("url").isin(victims)).count() == 0
+    # replay poll: cursor caught up, nothing re-deleted or re-emitted
+    out2 = follow_once(spark, src, sink, SCHEMA_DDL,
+                       propagate_deletes=True)
+    assert out2["rows"] == 0
+    assert sink.read_decoded(spark, SCHEMA_DDL).count() == 598
+    df.unpersist()

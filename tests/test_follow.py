@@ -348,3 +348,29 @@ def test_propagate_deletes_chains_takedown(spark, tmp_path):
     assert out2["rows"] == 0
     assert sink.read_decoded(spark, SCHEMA_DDL).count() == 598
     df.unpersist()
+
+
+def test_propagate_deletes_composite_key(spark, tmp_path):
+    """Composite-key takedowns forward too: the tombstone entry's key
+    spec (tuple) rides into the sink's delete_rows unchanged."""
+    from eel_sdk_spark.deletes import delete_rows
+
+    docs = (webtext_df(spark, 400, parts=1)
+            .withColumn("source", F.lit("s0"))
+            .select("source", "url", "text"))
+    src = ManifestTable(str(tmp_path), "csrc")
+    encode_with_checkpoint(spark, docs, src, key=["source", "url"],
+                           n_parts=2, run_id="r1")
+    sink = ManifestTable(str(tmp_path), "csink")
+    follow_once(spark, src, sink, "source string, url string, text string")
+    victims = [("s0", r["url"])
+               for r in docs.select("url").limit(2).collect()]
+    delete_rows(spark, src, victims, key=["source", "url"])
+    out = follow_once(spark, src, sink,
+                      "source string, url string, text string",
+                      propagate_deletes=True)
+    assert out["deleted_keys"] == 2
+    got = sink.read_decoded(spark)
+    assert got.count() == 398
+    assert got.filter(F.col("url").isin([v[1] for v in victims])) \
+        .count() == 0

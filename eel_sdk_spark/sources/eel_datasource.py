@@ -12,7 +12,7 @@ STREAMS) an eel warehouse exactly like parquet:
 
 Batch read
     Whole files per task (the same zero-shuffle unit as
-    ``decode_files_df``), binned into ~128 MB input partitions from the
+    ``decode_files_df``), binned into raw-byte-sized input partitions (target / core-floor) from the
     manifest's per-file stats so task count tracks bytes, not file
     count; the executor-side kernel IS ``encode.decode_file_batches``
     (one shared implementation), yielding Arrow RecordBatches straight
@@ -193,6 +193,21 @@ def _filter_tombstones(batch, loaded):
     return batch
 
 
+#: never shatter a scan into bins smaller than this (raw bytes): a
+#: Python DataSource task has a fixed worker-roundtrip cost
+SCAN_OPEN_COST_BYTES = 16 << 20
+
+
+def effective_scan_target(total_bytes: int, target_bytes: int,
+                          min_parts: int) -> int:
+    """Effective bin size: ``min(target, max(open-cost, ceil(total /
+    min_parts)))`` — the same floor derivation Spark applies to
+    maxSplitBytes so a small table still fans out across the cluster
+    while a huge one keeps ``target_bytes`` bins."""
+    per_core = -(-total_bytes // max(min_parts, 1))
+    return min(target_bytes, max(SCAN_OPEN_COST_BYTES, per_core))
+
+
 class EelBatchReader(DataSourceReader):
     def __init__(self, options, schema):
         tbl = _open_table(options)
@@ -205,22 +220,46 @@ class EelBatchReader(DataSourceReader):
             if str(options.get("with_deletes",
                                "true")).lower() != "false" else [])
         self._target_bytes = int(options.get("scan_partition_bytes",
-                                             128 << 20))
+                                             512 << 20))
+        self._min_parts = int(options.get("scan_min_partitions", 0))
 
     def partitions(self):
-        """Files binned into ~``scan_partition_bytes`` (default 128 MB
-        encoded) input partitions, sized from the MANIFEST's per-file
-        stats — zero I/O at plan time. One-file-per-task is right for
-        healthy layouts but plans 100k tasks on a 100k-small-file table
-        (the pre-binpack shape); binning keeps task count proportional
-        to bytes, like Spark's own maxPartitionBytes file packing.
+        """Files binned into ~``scan_partition_bytes`` (default 512 MB
+        RAW) input partitions, sized from the MANIFEST's per-file stats
+        — zero I/O at plan time. One-file-per-task is right for healthy
+        layouts but plans 100k tasks on a 100k-small-file table (the
+        pre-binpack shape); binning keeps task count proportional to
+        bytes, like Spark's own maxPartitionBytes file packing.
+
+        r9, two sizing fixes measured on the 200k-row bench table:
+
+        - bins are sized by RAW (decoded) bytes, not encoded bytes —
+          decode work is proportional to what comes OUT of the codecs,
+          and at this engine's ~10x ratios a 128 MB-encoded bin was
+          ~1.3 GB of decode in one task;
+        - the effective target is floored the way Spark's own scan
+          sizing floors maxSplitBytes (min(target, max(open-cost,
+          total/minPartitionNum))): without it the whole bench table
+          binned into ONE partition and the entire SPI decode ran on a
+          single core (measured 1.61 s -> 0.27 s at 32 cores). The
+          parallelism floor comes from ``scan_min_partitions`` when
+          set; otherwise $SPARK_GRAFT_CPUS / os.cpu_count() (the
+          planning worker has no SparkSession to ask).
+
         Files without recorded stats get their own partition."""
         sizes: dict[str, int] = {}
         for r in self._snap.properties.get("runs", []):
             for b, st in (r.get("file_stats") or {}).items():
-                sizes[b] = st[2]
-        sizes.update({b: st[2] for b, st in self._snap.properties.get(
-            "file_stats_extra", {}).items()})
+                sizes[b] = st[1] or st[2]
+        sizes.update({b: st[1] or st[2]
+                      for b, st in self._snap.properties.get(
+                          "file_stats_extra", {}).items()})
+        total = sum(sizes.get(os.path.basename(f), 0)
+                    for f in self._files)
+        floor_parts = self._min_parts or int(
+            os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 8
+        target = effective_scan_target(total, self._target_bytes,
+                                       floor_parts)
         out: list[list[str]] = []
         cur: list[str] = []
         acc = 0
@@ -229,7 +268,7 @@ class EelBatchReader(DataSourceReader):
             if sz is None:
                 out.append([f])
                 continue
-            if cur and acc + sz > self._target_bytes:
+            if cur and acc + sz > target:
                 out.append(cur)
                 cur, acc = [], 0
             cur.append(f)

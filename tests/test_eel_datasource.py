@@ -310,6 +310,28 @@ def test_partition_binning_by_manifest_stats(spark, tmp_path):
           .option("scan_partition_bytes", "1").load(str(tmp_path)))
 
 
+def test_scan_target_parallelism_floor():
+    """r9: the effective bin size is floored at total/min_parts (like
+    Spark's maxSplitBytes derivation) so a table smaller than one
+    target bin still fans out across the cluster instead of planning
+    ONE partition — but never below the open-cost floor."""
+    from eel_sdk_spark.sources.eel_datasource import (
+        SCAN_OPEN_COST_BYTES, effective_scan_target)
+
+    gb, target = 1 << 30, 512 << 20
+    # big table: target wins
+    assert effective_scan_target(100 * gb, target, 32) == target
+    # bench-shaped table (smaller than one bin): fans out per core
+    t = effective_scan_target(2 * gb, target, 32)
+    assert t == max(SCAN_OPEN_COST_BYTES, -(-2 * gb // 32))
+    assert (2 * gb) // t >= 30  # ~one bin per core
+    # tiny table: open-cost floor, one bin
+    assert effective_scan_target(1 << 20, target, 32) == \
+        SCAN_OPEN_COST_BYTES
+    # explicit tiny target (the solo-file test path) still wins the min
+    assert effective_scan_target(2 * gb, 1, 32) == 1
+
+
 def test_columns_option_projects_schema(spark, tmp_path):
     """option("columns") cuts the schema at PLAN time; the decode
     kernel's parquet name filter then never reads the other columns'

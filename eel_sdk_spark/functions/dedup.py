@@ -664,17 +664,30 @@ def _window_hashes(col: Column, n: int) -> Column:
     token hashes with xxhash64(acc, h) — order-sensitive, long-only JVM
     work. Building 13-gram STRINGS (n element_at + concat per gram) was
     measured ~20x slower at n=13; this keeps decontamination at
-    explode-cost. Docs shorter than ``n`` tokens yield no windows."""
-    toks = tokens(col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    explode-cost. Docs shorter than ``n`` tokens yield no windows.
+
+    Shape (r9): the fold runs as a zip_with CHAIN over n shifted slices
+    of the token-hash array — NOT as ``transform(idx, i ->
+    aggregate(slice(th, i+1, n), ...))``, whose interpreted lambda
+    re-evaluates the whole tokenize+hash expression per WINDOW
+    (O(tokens²) per doc — a 2000-token web page pays ~4M token hashes
+    for its ~2000 windows). The chain evaluates it n times per ROW
+    (linear), and each step applies the same xxhash64(acc, h) in the
+    same order, so window hashes are bit-identical."""
+    return _window_hash_chain(tokens(col), n)
+
+
+def _window_hash_chain(toks: Column, n: int) -> Column:
     cnt = F.size(toks)
-    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
-    idx = F.when(cnt >= F.lit(n),
-                 F.sequence(F.lit(0), cnt - n)).otherwise(empty)
-    return F.transform(
-        idx, lambda i: F.aggregate(
-            F.slice(th, i + 1, n), F.lit(0).cast("long"),
-            lambda acc, h: F.xxhash64(acc, h)))
+    m = F.greatest(cnt - (n - 1), F.lit(0))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.lit(0).cast("long")
+    acc = F.transform(F.slice(th, 1, m), lambda h: F.xxhash64(zero, h))
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(th, k + 1, m),
+                         lambda a, h: F.xxhash64(a, h))
+    empty = F.slice(F.array(zero), 1, 0)  # typed array<long>
+    return F.when(cnt >= F.lit(n), acc).otherwise(empty)
 
 
 def decontaminate(corpus: DataFrame, text_col: str, id_col: str,
@@ -694,21 +707,27 @@ def _window_pos_hashes(col: Column, n: int, hash_family: str = "xxhash") -> Colu
     'xxhash': the chain-fold of :func:`_window_hashes` (fast, JVM-only).
     'md5': md5 of the space-joined gram string — ~20x slower but exactly
     replayable in DuckDB (the oracle/test family, same trade as
-    minhash's hash_family)."""
+    minhash's hash_family).
+
+    Both families run as zip_with chains over shifted slices (same
+    O(tokens²) -> O(n·tokens) rationale as :func:`_window_hash_chain` /
+    :func:`ngram_set`; identical values — the md5 gram string is the
+    same chained space-concat, the xxhash fold the same op order)."""
     toks = tokens(col)
     cnt = F.size(toks)
-    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
-    idx = F.when(cnt >= F.lit(n),
-                 F.sequence(F.lit(0), cnt - n)).otherwise(empty)
     if hash_family == "md5":
-        return F.transform(
-            idx, lambda i: F.md5(F.encode(
-                F.concat_ws(" ", F.slice(toks, i + 1, n)), "utf-8")))
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    return F.transform(
-        idx, lambda i: F.aggregate(
-            F.slice(th, i + 1, n), F.lit(0).cast("long"),
-            lambda acc, h: F.xxhash64(acc, h)).cast("string"))
+        m = F.greatest(cnt - (n - 1), F.lit(0))
+        z = F.slice(toks, 1, m)
+        for k in range(1, n):
+            z = F.zip_with(z, F.slice(toks, k + 1, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+        empty = F.slice(F.split(F.lit(""), " "), 1, 0)
+        return F.when(
+            cnt >= F.lit(n),
+            F.transform(z, lambda g: F.md5(F.encode(g, "utf-8")))
+        ).otherwise(empty)
+    return F.transform(_window_hash_chain(toks, n),
+                       lambda h: h.cast("string"))
 
 
 def _merge_positions(ps: Column, window: int) -> Column:
@@ -829,15 +848,16 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
               F.struct(F.col("start"), F.col("end")))).alias("__spans")))
     joined = df.join(sp, id_col, "left")
     toks = tokens(F.col(text_col))
-    cnt = F.size(toks)
-    empty = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
-    idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(empty)
+    # filter the token array DIRECTLY with the (element, index) lambda
+    # (r9): the old shape filtered an index sequence and re-built tokens
+    # via element_at(toks, t+1), re-evaluating the tokenize expression
+    # per KEPT element (O(tokens²) per rewritten doc). Same kept set,
+    # same order, same single-space join.
     kept = F.filter(
-        idx, lambda t: ~F.exists(
+        toks, lambda x, i: ~F.exists(
             F.col("__spans"),
-            lambda s: (s["start"] <= t) & (t < s["end"])))
-    rebuilt = F.concat_ws(
-        " ", F.transform(kept, lambda t: F.element_at(toks, t + 1)))
+            lambda s: (s["start"] <= i) & (i < s["end"])))
+    rebuilt = F.concat_ws(" ", kept)
     out = joined.withColumn(
         text_col,
         F.when(F.col("__spans").isNull(), F.col(text_col))

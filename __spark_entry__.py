@@ -31,8 +31,55 @@ EPOCH_Q1_CUT = 904_694_400      # 1998-09-02 UTC
 STOP_SQL = "['the','a','an','and','of','to','in','is','at','this']"
 
 
+#: Tables whose queries run HEAVY per-row expression chains (shingle
+#: explode + 4x md5 minhash, 60-bit simhash bit-counts, the text panel's
+#: regex battery, cosine/dot folds over float arrays) — for these the
+#: per-row compute dwarfs a redistribution shuffle of the whole (small)
+#: table by orders of magnitude. Pure scan+aggregate tables (lineitem,
+#: orders, events) are deliberately NOT floored: there the scan itself
+#: is the cost and an extra full-table exchange is a net loss (measured
+#: sf1: tpch_q1 0.9 s -> 2.0 s with a blanket floor).
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name in _COMPUTE_HEAVY:
+        df = _scan_floor(spark, df, path)
+    return df
+
+
+def _scan_floor(spark: SparkSession, df: DataFrame,
+                path: str | None = None) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor (r9, guide §2.2/§6): the
+    bench tables are SINGLE-ROW-GROUP parquet files, and a parquet row
+    group is the smallest splittable unit — byte-range splits beyond the
+    row-group count are empty tasks, so every downstream per-row
+    expression chain (shingle+md5 minhash, simhash bit-counts, cosine
+    folds) otherwise runs on 1-2 of the session's cores until the first
+    exchange (measured sf1: the minhash signature stage was single-task —
+    7.5 s of a 9 s query wall; the same chain after a repartition(32)
+    ran in 0.8 s). Effective scan parallelism = min(splits, row groups),
+    NOT ``getNumPartitions()`` alone (which counts empty splits).
+    Redistributing costs one small shuffle of a BY-DEFINITION small
+    input (single-digit row groups ⇒ at most a few hundred MB), and on a
+    real multi-file / multi-row-group table the floor is a no-op, so no
+    extra shuffle ever appears at scale. Round-robin repartition keeps
+    results identical: every declared query is an aggregation/join/
+    window whose output is row-order independent (pack_sequences
+    re-repartitions to 1 explicitly downstream)."""
+    want = spark.sparkContext.defaultParallelism
+    eff = df.rdd.getNumPartitions()
+    if eff >= want and path is not None:
+        try:  # splits past the row-group count are empty tasks
+            import pyarrow.parquet as _pq
+            eff = min(eff, _pq.ParquetFile(path).metadata.num_row_groups)
+        except Exception:
+            pass
+    if eff < want:
+        return df.repartition(want)
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -44,6 +44,20 @@ def get_spark(app: str = "eel_sdk_spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("EEL_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-parallelism floor (r9, guide §6 "Input split size"): Spark
+        # charges every file spark.sql.files.openCostInBytes (default 4 MB)
+        # when packing splits, and uses it as a floor on split size — so a
+        # single-digit-MB parquet table scans as 1-2 tasks and every
+        # downstream per-row expression chain (minhash shingle+md5, text
+        # panel, fingerprints) runs on 1-2 of the box's cores until the
+        # first exchange (measured: the sf1 minhash signature stage was
+        # single-task, 7.5 s of a 9 s query). 128 KB lets
+        # spark.sql.files.minPartitionNum (defaults to the session's
+        # parallelism — scale-adaptive, not a local constant) actually
+        # split small inputs ~evenly across the cluster; terabyte inputs
+        # are untouched (maxPartitionBytes still governs), and many-small-
+        # file tables pack MORE files per split, not fewer tasks.
+        .config("spark.sql.files.openCostInBytes", "131072")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -64,24 +64,100 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     docs -> 7.6M candidate pairs); shingles capture phrase-level identity,
     which is what near-dup means at web scale.
 
-    Plan shape: explode shingles -> ONE groupBy(id) computing all n mins
-    as map-side-combinable aggs (not n passes). A fully-narrow
-    ``array_min(transform(grams, h_i))`` variant was measured and
-    REJECTED (round 4): higher-order functions evaluate interpreted
-    (outside whole-stage codegen) and CollapseProject re-inlines the
-    gram array into all n sig expressions, so the "zero-shuffle" form
-    ran the sf0.1 candidate-pairs query at ~13 s vs ~6.4 s for this
-    one — the per-shingle shuffle is map-side-combined down to one row
-    per (id) and is NOT the bottleneck the row counts suggest.
-    (Measurement gotcha for future reference: a bare ``count()`` on the
-    narrow sigs prunes the sig expressions entirely and times only gram
-    construction — compare through the full pairs query.)"""
+    Plan shape (r9): ONE ``aggregate`` fold over the per-doc gram array
+    with an n-field struct accumulator — fully narrow, zero shuffle,
+    zero sort. ``least`` skips the NULL initial accumulator, so each
+    gram is hashed exactly once per seed, and docs with no grams
+    (shorter than the shingle) fold to all-NULL sigs and are FILTERED —
+    identical presence semantics to the historical explode + groupBy
+    form (whose min(string) aggregation planned as a SortAggregate:
+    min over variable-length strings has no mutable agg buffer, so
+    every gram row paid a partition-local sort — measured 1.09 s vs
+    0.68 s for this fold on the 50k-doc corpus, bit-identical sigs).
+    The fold struct is materialized in its OWN projection and the sig
+    columns extracted in a second one: extracting n fields from the
+    fold expression inline re-plans the whole fold once PER SIG
+    (CollapseProject keeps multiply-referenced cheap-looking aliases
+    inline; measured 1.0 s vs 0.68 s, plan text 7 kB vs 2.2 kB).
+    An ``array_min(transform(grams, h_i))`` per-sig variant stays
+    REJECTED (round 4): n transforms re-evaluate the gram array n
+    times (measured ~13 s vs ~6.4 s on the r4 shape)."""
     grams = ngram_set(F.col(text_col), shingle) if shingle > 1 \
         else tokens(F.col(text_col))
-    toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))
-    aggs = [F.min(_minhash_token_hash(F.col("tok"), i, hash_family))
-            .alias(f"sig_{i}") for i in range(n_hashes)]
-    return toks.groupBy(id_col).agg(*aggs)
+    null_t = "bigint" if hash_family == "xxhash" else "string"
+    acc0 = F.struct(*[F.lit(None).cast(null_t).alias(f"m{i}")
+                      for i in range(n_hashes)])
+
+    def _step(acc, tok):
+        return F.struct(*[
+            F.least(acc[f"m{i}"],
+                    _minhash_token_hash(tok, i, hash_family)).alias(f"m{i}")
+            for i in range(n_hashes)])
+
+    fold = F.aggregate(grams, acc0, _step)
+    return (df.select(F.col(id_col), fold.alias("__sigs"))
+            .select(F.col(id_col),
+                    *[F.col("__sigs").getField(f"m{i}").alias(f"sig_{i}")
+                      for i in range(n_hashes)])
+            .filter(F.col("sig_0").isNotNull()))
+
+
+def _band_keys_from(acc_fields, band_size: int, hash_family: str) -> Column:
+    """Band-key array from a list of signature Columns (band b's key =
+    hash of its ``band_size`` consecutive sigs — same construction as
+    :func:`lsh_bands`, factored so it can run inside a fold's finish
+    lambda)."""
+    keys = []
+    for b in range(len(acc_fields) // band_size):
+        cols = acc_fields[b * band_size:(b + 1) * band_size]
+        if hash_family == "xxhash":
+            keys.append(F.xxhash64(*cols).cast("string"))
+        else:
+            keys.append(F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")))
+    return F.array(*keys)
+
+
+def minhash_band_df(df: DataFrame, text_col: str, id_col: str,
+                    n_hashes: int = 8, band_size: int = 2,
+                    shingle: int = 3,
+                    hash_family: str = "md5") -> DataFrame:
+    """(id, band, band_key) straight from text in ONE narrow expression:
+    the minhash fold of :func:`minhash_signatures` with the band keys
+    computed in the fold's FINISH lambda, then one posexplode.
+
+    Why fused (r9): banding from per-sig COLUMNS re-plans the signature
+    fold once per sig reference — CollapseProject treats struct-field
+    extractions as collapsible, so ``lsh_bands`` over fold-built sig
+    columns inlined the whole fold 3x and the candidate-pair self-join
+    paid it 6x (measured: the sf1 pairs query at 10.9 s vs 1.2 s for
+    the historical explode+groupBy form). With the keys computed inside
+    ``finish`` the fold is ONE expression referenced once — nothing to
+    duplicate (pairs query 0.9 s, plan text 4 kB vs 10.6 kB). Docs with
+    no grams finish to an EMPTY key array and drop out at the explode,
+    identical presence semantics to the explode+groupBy form."""
+    grams = ngram_set(F.col(text_col), shingle) if shingle > 1 \
+        else tokens(F.col(text_col))
+    null_t = "bigint" if hash_family == "xxhash" else "string"
+    acc0 = F.struct(*[F.lit(None).cast(null_t).alias(f"m{i}")
+                      for i in range(n_hashes)])
+
+    def _step(acc, tok):
+        return F.struct(*[
+            F.least(acc[f"m{i}"],
+                    _minhash_token_hash(tok, i, hash_family)).alias(f"m{i}")
+            for i in range(n_hashes)])
+
+    empty = F.slice(F.array(F.lit("")), 1, 0)  # typed array<string>
+
+    def _finish(acc):
+        keys = _band_keys_from([acc[f"m{i}"] for i in range(n_hashes)],
+                               band_size, hash_family)
+        return F.when(acc["m0"].isNotNull(), keys).otherwise(empty)
+
+    fold = F.aggregate(grams, acc0, _step, _finish)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(fold).alias("band", "band_key"))
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int = 8,
@@ -90,17 +166,11 @@ def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int = 8,
 
     One ``posexplode`` pass instead of n_bands unioned scans — the sigs
     aggregation upstream is computed once, not once per band."""
-    keys = []
-    for b in range(n_hashes // band_size):
-        cols = [F.col(f"sig_{i}")
-                for i in range(b * band_size, (b + 1) * band_size)]
-        if hash_family == "xxhash":
-            keys.append(F.xxhash64(*cols).cast("string"))
-        else:
-            keys.append(F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")))
+    keys = _band_keys_from([F.col(f"sig_{i}") for i in range(n_hashes)],
+                           band_size, hash_family)
     return sigs.select(
         F.col(id_col),
-        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+        F.posexplode(keys).alias("band", "band_key"))
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -121,30 +191,33 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     at a coarser band). ``max_bucket=None`` disables the guard
     (unbounded — small-corpus oracle replay only).
 
-    Plan shape: the guard is a COUNT window over the same
-    (band, band_key) partitioning the self-join shuffles on, so it rides
-    the join's own exchange — measured FREE on the sf0.1 bench (within
-    noise of uncapped), and the two join branches stay identical so
-    AQE's stage cache still computes the signature aggregation once.
-    Two alternatives were measured and rejected: a broadcast anti-join
-    of oversized keys (~2x slower — the broadcast barrier serializes
-    stages and splits the reused exchange) and a groupBy-collect_list +
-    array-pair explosion (~15-20% slower — forfeits exchange reuse and
-    materializes a struct per pair)."""
-    from pyspark.sql import Window
-
-    bands = lsh_bands(minhash_signatures(df, text_col, id_col, n_hashes,
-                                         hash_family=hash_family),
-                      id_col, n_hashes, band_size, hash_family=hash_family)
+    Plan shape (r9): ONE combinable groupBy on (band, band_key)
+    collecting the bucket's sorted member ids, then an indexed double
+    explode emits each bucket's C(k,2) pairs — the signature fold and
+    band explode run exactly ONCE by construction. The historical
+    self-join form computed the signature subtree once per join branch:
+    its claimed AQE map-stage sharing stopped applying once the
+    signature fold went narrow (no low exchange to share — measured
+    2.4 s vs 1.0 s for this shape on the 50k-doc corpus), and the
+    bucket-cap COUNT window needed a per-bucket sort the aggregation
+    does not. ``max_bucket`` is now a ``size(ids)`` filter on the
+    aggregated bucket row — same excluded buckets, zero extra plan
+    nodes. A doc appears at most once per (band, band_key), ids within
+    a bucket are therefore unique, and the member list is sorted, so
+    slice-before-position emits exactly the a < b pairs; the final
+    distinct collapses pairs that collide in BOTH bands, as before."""
+    bands = minhash_band_df(df, text_col, id_col, n_hashes, band_size,
+                            hash_family=hash_family)
+    buckets = (bands.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("__ids")))
     if max_bucket is not None:
-        w = Window.partitionBy("band", "band_key")
-        bands = (bands.withColumn("__bsz", F.count("*").over(w))
-                 .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
-    a = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("a"))
-    b = bands.select(F.col("band"), F.col("band_key"), F.col(id_col).alias("b"))
-    return (a.join(b, ["band", "band_key"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+        buckets = buckets.filter(F.size("__ids") <= max_bucket)
+    return (buckets.filter(F.size("__ids") >= 2)
+            .select(F.col("__ids"),
+                    F.posexplode("__ids").alias("__j", "b"))
+            .select(F.explode(F.slice("__ids", 1, F.col("__j"))).alias("a"),
+                    F.col("b"))
+            .distinct())
 
 
 # -- incremental (append-batch) dedup -------------------------------------

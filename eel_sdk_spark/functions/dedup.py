@@ -484,28 +484,62 @@ def simhash_md5(df: DataFrame, text_col: str, id_col: str,
     as :func:`simhash` but with a hash family DuckDB can replay exactly
     (``('0x'||substr(md5(tok),1,15))::BIGINT`` == Spark
     ``conv(substr(md5(tok),1,15),16,10)``), so the driver's oracle can
-    hash-compare the signatures."""
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "utf-8")), 1, 15),
-               16, 10).cast("long")
-    # Per-bit ONE-counts, not ±1 contributions (r9): the former shape
-    # materialized a 60-element when-array per token row and aggregated
-    # 60 element_at sums; summing (h>>b)&1 with a count(*) gives the
-    # same sign test exactly — sum(±1) = 2*ones − n, so s_b > 0 ⟺
-    # 2*ones_b > n — at a third of the per-row work (measured 2.0 s →
-    # 0.65 s on the sf0.1 leg, bit-identical signatures).
-    rows = toks.select(F.col(id_col), h.alias("h"))
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"o{b}")
-        for b in range(bits)]
-    summed = rows.groupBy(id_col).agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        acc = acc + F.when(F.col(f"o{b}") * 2 > F.col("n"),
-                           F.lit(1 << b).cast("long")).otherwise(
-                               F.lit(0).cast("long"))
-    return summed.select(F.col(id_col), acc.alias("simhash"))
+    hash-compare the signatures.
+
+    Runs as ONE ``mapInArrow`` pass (r9, guide §4.2): the expression
+    form — explode tokens, md5+conv per row, a 61-column groupBy of
+    per-bit one-counts — measured 1.14 s at 50k docs, ~0.8 s of it the
+    61-slot aggregation buffer over 2.7 M exploded rows. Here each task
+    hashes its docs' tokens with hashlib (same md5) and bit-counts with
+    numpy ``add.reduceat`` per bit — no explode, no shuffle, ~0.3 s,
+    and the signatures are integer-identical: the first 15 hex digits
+    equal the first 8 digest bytes as a big-endian u64 shifted right a
+    nibble, and the majority test (2·ones_b > n) is the same sign test
+    the one-count aggregation used. Docs with zero tokens emit no row —
+    identical presence semantics to the explode form."""
+    import numpy as np
+    import pyarrow as pa
+    from hashlib import md5 as _md5h
+
+    id_t = dict(df.dtypes)[id_col]
+    shifts = list(range(bits))
+
+    def _kernel(batches):
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            out_ids, starts, all_lens, all_h = [], [], [], []
+            pos = 0
+            for i, t in enumerate(texts):
+                toks = [w for w in (t or "").split(" ") if w]
+                n = len(toks)
+                if n == 0:
+                    continue
+                out_ids.append(ids[i])
+                starts.append(pos)
+                all_lens.append(n)
+                all_h.extend(
+                    int.from_bytes(_md5h(w.encode("utf-8")).digest()[:8],
+                                   "big") >> 4
+                    for w in toks)
+                pos += n
+            if not out_ids:
+                continue
+            hs = np.array(all_h, dtype=np.uint64)
+            st = np.array(starts, dtype=np.int64)
+            lens = np.array(all_lens, dtype=np.int64)
+            sig = np.zeros(len(out_ids), dtype=np.int64)
+            for bit in shifts:
+                ones = np.add.reduceat(
+                    ((hs >> np.uint64(bit)) & np.uint64(1)).astype(np.int64),
+                    st)
+                sig |= (ones * 2 > lens).astype(np.int64) << bit
+            yield pa.record_batch(
+                [pa.array(out_ids), pa.array(sig)],
+                names=[id_col, "simhash"])
+
+    return (df.select(F.col(id_col), F.col(text_col))
+            .mapInArrow(_kernel, f"{id_col} {id_t}, simhash bigint"))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,

@@ -58,6 +58,16 @@ def get_spark(app: str = "eel_sdk_spark", cpus: int | None = None,
         # are untouched (maxPartitionBytes still governs), and many-small-
         # file tables pack MORE files per split, not fewer tasks.
         .config("spark.sql.files.openCostInBytes", "131072")
+        # Shuffle writer (r9, guide §2.1): with <=200 reduce partitions
+        # Spark picks BypassMergeSortShuffleWriter, which opens R
+        # partition streams per map task and round-trips every row
+        # through them — on this engine's payload-heavy rows (webtext
+        # ~1.5 KB/row) the 64x64 encode exchange measured 0.53-0.77 s
+        # vs 0.17-0.20 s through the serialized sort writer. Clusters
+        # run reducer counts far above 200, where the sort writer is
+        # ALREADY the default — this only makes small-reducer shuffles
+        # take the same code path as at-scale ones.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,11 +42,33 @@ STOP_SQL = "['the','a','an','and','of','to','in','is','at','this']"
 _COMPUTE_HEAVY = {"documents", "embeddings"}
 
 
+#: (path, size, mtime, parallelism) -> bool (floor fired). Memoizes the
+#: PLAN-TIME parallelism probe only — a pure file-metadata decision
+#: (split count x row groups), never data or results; invalidated by
+#: any rewrite via the size/mtime key. The probe costs ~0.1 s of py4j
+#: planning per query build, paid once per distinct input file.
+_FLOOR_MEMO: dict[tuple, bool] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if name in _COMPUTE_HEAVY:
-        df = _scan_floor(spark, df, path)
+        want = spark.sparkContext.defaultParallelism
+        try:
+            st = os.stat(path)
+            key = (path, st.st_size, st.st_mtime, want)
+        except OSError:
+            key = None
+        fire = _FLOOR_MEMO.get(key) if key is not None else None
+        if fire is None:
+            fire = _scan_floor(spark, df, path) is not df
+            if key is not None:
+                _FLOOR_MEMO[key] = fire
+        if fire:
+            df = df.repartition(want)
     return df
 
 
@@ -815,9 +837,18 @@ def q_logreg_score(spark, sf):
 
 
 def _query_vec(spark, sf):
-    row = (_t(spark, sf, "embeddings").filter(F.col("vec_id") == 0)
-           .select("embedding").first())
-    return [float(x) for x in row[0]]
+    """One query vector from the embeddings table. Read with pyarrow
+    directly (r9): the value is a single row consumed driver-side to
+    build a literal expression, and launching a Spark job (scan +
+    filter + collect) for it cost 0.17 s of every ann_batch build —
+    a footer-pruned local read is single-digit ms. Still computed from
+    the parquet input on every call (nothing is memoized)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    return [float(x) for x in t.column("embedding")[0].as_py()]
 
 
 def q_label_centroids(spark, sf):

@@ -64,28 +64,56 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     docs -> 7.6M candidate pairs); shingles capture phrase-level identity,
     which is what near-dup means at web scale.
 
-    Plan shape (r9): ONE ``aggregate`` fold over the per-doc gram array
-    with an n-field struct accumulator — fully narrow, zero shuffle,
-    zero sort. ``least`` skips the NULL initial accumulator, so each
-    gram is hashed exactly once per seed, and docs with no grams
-    (shorter than the shingle) fold to all-NULL sigs and are FILTERED —
-    identical presence semantics to the historical explode + groupBy
-    form (whose min(string) aggregation planned as a SortAggregate:
-    min over variable-length strings has no mutable agg buffer, so
-    every gram row paid a partition-local sort — measured 1.09 s vs
-    0.68 s for this fold on the 50k-doc corpus, bit-identical sigs).
-    The fold struct is materialized in its OWN projection and the sig
-    columns extracted in a second one: extracting n fields from the
-    fold expression inline re-plans the whole fold once PER SIG
-    (CollapseProject keeps multiply-referenced cheap-looking aliases
-    inline; measured 1.0 s vs 0.68 s, plan text 7 kB vs 2.2 kB).
-    An ``array_min(transform(grams, h_i))`` per-sig variant stays
-    REJECTED (round 4): n transforms re-evaluate the gram array n
-    times (measured ~13 s vs ~6.4 s on the r4 shape)."""
+    Physical shape (r9): for the md5 family, ONE ``mapInArrow`` pass —
+    each task builds its docs' distinct shingles, hashes them with
+    hashlib (same md5), keeps per-seed digest-byte minima (byte order
+    of the digest == lexicographic order of the hex string Spark's
+    ``min(md5(...))`` compared), and memoizes gram→digests in a bounded
+    per-task dict, so repeated shingles (Zipfian on real corpora) hash
+    once per task, not once per occurrence. The historical explode +
+    groupBy form planned a SortAggregate (min over variable-length
+    strings has no mutable agg buffer) that sorted every gram row —
+    measured 1.1-8.6 s at 50k docs depending on what Catalyst
+    duplicated, vs a stable ~0.3 s for the kernel, signatures
+    bit-identical. A narrow n-min ``aggregate`` fold was tried first
+    and REJECTED: interpreted-HOF evaluation was 0.68 s at best but any
+    downstream reference (a filter on a sig, band keys, a join)
+    re-planned the whole fold per reference — CollapseProject treats
+    struct-field extractions as collapsible — and session-to-session
+    allocation churn swung it 0.6→1.9 s. The r4 rejection of
+    ``array_min(transform(grams, h_i))`` (n transforms re-evaluate the
+    gram array n times, ~13 s) stands. The xxhash family keeps a JVM
+    fold (Spark's multi-arg xxhash64 has no cheap Python twin), guarded
+    by a CHEAP token-count pre-filter instead of a sig-null post-filter
+    (a filter referencing the fold output duplicates the fold)."""
+    if hash_family == "md5":
+        id_t = dict(df.dtypes)[id_col]
+        sig_cols = [f"sig_{i}" for i in range(n_hashes)]
+        ddl = ", ".join([f"{id_col} {id_t}"] + [f"{c} string"
+                                                for c in sig_cols])
+
+        def _kernel(batches):
+            import pyarrow as pa
+            cache: dict = {}
+            for b in batches:
+                out_ids, outs = [], [[] for _ in range(n_hashes)]
+                for rid, mins in _min_digests_py(
+                        b.column(0).to_pylist(), b.column(1).to_pylist(),
+                        n_hashes, shingle, cache):
+                    out_ids.append(rid)
+                    for i in range(n_hashes):
+                        outs[i].append(mins[i].hex())
+                if out_ids:
+                    yield pa.record_batch(
+                        [pa.array(out_ids)] + [pa.array(o) for o in outs],
+                        names=[id_col] + sig_cols)
+
+        return (df.select(F.col(id_col), F.col(text_col))
+                .mapInArrow(_kernel, ddl))
+
     grams = ngram_set(F.col(text_col), shingle) if shingle > 1 \
         else tokens(F.col(text_col))
-    null_t = "bigint" if hash_family == "xxhash" else "string"
-    acc0 = F.struct(*[F.lit(None).cast(null_t).alias(f"m{i}")
+    acc0 = F.struct(*[F.lit(None).cast("bigint").alias(f"m{i}")
                       for i in range(n_hashes)])
 
     def _step(acc, tok):
@@ -95,11 +123,52 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
             for i in range(n_hashes)])
 
     fold = F.aggregate(grams, acc0, _step)
-    return (df.select(F.col(id_col), fold.alias("__sigs"))
+    return (df.filter(F.size(tokens(F.col(text_col))) >= F.lit(shingle))
+            .select(F.col(id_col), fold.alias("__sigs"))
             .select(F.col(id_col),
                     *[F.col("__sigs").getField(f"m{i}").alias(f"sig_{i}")
-                      for i in range(n_hashes)])
-            .filter(F.col("sig_0").isNotNull()))
+                      for i in range(n_hashes)]))
+
+
+#: Per-task gram→digest memo cap: ~2^18 entries ≈ 25-30 MB per worker
+#: (n_hashes 16-byte digests + the gram string). Big enough that a
+#: Zipfian shingle distribution hits constantly, bounded so a 10^12-gram
+#: corpus cannot OOM a worker.
+_MINHASH_CACHE_MAX = 1 << 18
+
+
+def _min_digests_py(ids, texts, n_hashes: int, shingle: int, cache: dict):
+    """Per-doc minhash as raw md5 digests: yields (id, [min digest per
+    seed]) for every doc with at least one shingle. Digest-byte
+    comparison is hex-lexicographic comparison, so these minima are
+    exactly Spark's ``min(md5('<seed>:' || gram))`` values."""
+    from hashlib import md5 as _md5h
+
+    prefixes = [f"{i}:".encode("utf-8") for i in range(n_hashes)]
+    for rid, t in zip(ids, texts):
+        toks = [w for w in (t or "").split(" ") if w]
+        if len(toks) < shingle:
+            continue
+        if shingle > 1:
+            grams = {" ".join(toks[k:k + shingle])
+                     for k in range(len(toks) - shingle + 1)}
+        else:
+            grams = set(toks)
+        mins = None
+        for g in grams:
+            hs = cache.get(g)
+            if hs is None:
+                gb = g.encode("utf-8")
+                hs = tuple(_md5h(p + gb).digest() for p in prefixes)
+                if len(cache) < _MINHASH_CACHE_MAX:
+                    cache[g] = hs
+            if mins is None:
+                mins = list(hs)
+            else:
+                for i in range(n_hashes):
+                    if hs[i] < mins[i]:
+                        mins[i] = hs[i]
+        yield rid, mins
 
 
 def _band_keys_from(acc_fields, band_size: int, hash_family: str) -> Column:
@@ -125,20 +194,54 @@ def minhash_band_df(df: DataFrame, text_col: str, id_col: str,
     the minhash fold of :func:`minhash_signatures` with the band keys
     computed in the fold's FINISH lambda, then one posexplode.
 
-    Why fused (r9): banding from per-sig COLUMNS re-plans the signature
-    fold once per sig reference — CollapseProject treats struct-field
-    extractions as collapsible, so ``lsh_bands`` over fold-built sig
-    columns inlined the whole fold 3x and the candidate-pair self-join
-    paid it 6x (measured: the sf1 pairs query at 10.9 s vs 1.2 s for
-    the historical explode+groupBy form). With the keys computed inside
-    ``finish`` the fold is ONE expression referenced once — nothing to
-    duplicate (pairs query 0.9 s, plan text 4 kB vs 10.6 kB). Docs with
-    no grams finish to an EMPTY key array and drop out at the explode,
+    md5 family: the same ``mapInArrow`` kernel as
+    :func:`minhash_signatures` (digest-byte minima, bounded per-task
+    gram memo) emitting (id, band, band_key) rows directly — the band
+    key md5 runs over the joined hex strings exactly as
+    ``md5(concat_ws('|', sig_b, sig_b+1))`` does, so keys are
+    bit-identical to banding the signature columns. xxhash family: the
+    n-min ``aggregate`` fold with band keys computed in the fold's
+    FINISH lambda — one expression referenced once, so Catalyst has
+    nothing to re-plan (banding per-sig COLUMNS inlined the whole fold
+    once per sig reference: CollapseProject treats struct-field
+    extractions as collapsible — measured 10.9 s vs 1.2 s at 50k
+    docs). Docs with no shingles emit no band rows on either path,
     identical presence semantics to the explode+groupBy form."""
+    n_bands = n_hashes // band_size
+    if hash_family == "md5":
+        from hashlib import md5 as _md5h
+
+        id_t = dict(df.dtypes)[id_col]
+
+        def _kernel(batches):
+            import pyarrow as pa
+            cache: dict = {}
+            for b in batches:
+                out_ids, out_band, out_key = [], [], []
+                for rid, mins in _min_digests_py(
+                        b.column(0).to_pylist(), b.column(1).to_pylist(),
+                        n_hashes, shingle, cache):
+                    for bi in range(n_bands):
+                        sl = mins[bi * band_size:(bi + 1) * band_size]
+                        key = _md5h("|".join(m.hex() for m in sl)
+                                    .encode("utf-8")).hexdigest()
+                        out_ids.append(rid)
+                        out_band.append(bi)
+                        out_key.append(key)
+                if out_ids:
+                    yield pa.record_batch(
+                        [pa.array(out_ids),
+                         pa.array(out_band, type=pa.int32()),
+                         pa.array(out_key)],
+                        names=[id_col, "band", "band_key"])
+
+        return (df.select(F.col(id_col), F.col(text_col))
+                .mapInArrow(_kernel,
+                            f"{id_col} {id_t}, band int, band_key string"))
+
     grams = ngram_set(F.col(text_col), shingle) if shingle > 1 \
         else tokens(F.col(text_col))
-    null_t = "bigint" if hash_family == "xxhash" else "string"
-    acc0 = F.struct(*[F.lit(None).cast(null_t).alias(f"m{i}")
+    acc0 = F.struct(*[F.lit(None).cast("bigint").alias(f"m{i}")
                       for i in range(n_hashes)])
 
     def _step(acc, tok):

@@ -314,13 +314,23 @@ def test_compact_banded_table_spreads_writers(spark, corpus, tmp_path):
     writer: every banded block's anchor part is typically 0 (each task
     holds some part-0 rows), so the part_id-only repartition would hash
     the whole table to one partition. The group-key spread keeps decode
-    groups whole AND produces multiple non-empty files."""
+    groups whole AND produces multiple non-empty files.
+
+    The corpus is spread to 12 input partitions first: each banded
+    encode task draws ONE random writer_uid, and with only the
+    fixture's 4 partitions the hash of 4 random uids lands all four
+    groups in one of the 4 compact partitions with p = 4*(1/4)^4 =
+    1/64 — a legitimate outcome of hashing 4 keys, not a compaction
+    bug (it flaked exactly that way in a full-suite run, r9). Twelve
+    uids push the all-in-one probability below 3e-7 while testing the
+    same spread property."""
     from pyspark.sql import functions as F
 
     from eel_sdk_spark.table import ManifestTable
 
     tbl = ManifestTable(str(tmp_path), "tb")
-    tbl.write_df(encode_df(corpus, key="url", n_parts=8), "blocks")
+    tbl.write_df(encode_df(corpus.repartition(12), key="url", n_parts=8),
+                 "blocks")
     anchors = {r["part_id"] for r in
                tbl.read(spark).select("part_id").distinct().collect()}
     tbl.compact(spark, 4)

@@ -643,23 +643,36 @@ def q_dedup_exact(spark, sf):
     are per-document fingerprint passes over the same corpus scan).
     simhash signatures are compared as STRINGS — a nullable int64
     column would materialize float64 in pandas and lose exactness
-    above 2^53."""
+    above 2^53.
+
+    r9 (guide §2.3 "do fewer passes"): the two legs used to be a UNION
+    of two independent subtrees — the corpus was scanned and exchanged
+    TWICE (once for the JVM md5 groupBy, once for the simhash kernel).
+    Both fingerprints now come from ONE ``md5_fp_simhash`` Arrow pass
+    and the union is a GROUPING SETS over its (tiny) output: set (fp)
+    is the exact leg's aggregation, set (doc_id, simhash) is the
+    per-doc simhash leg; ``grouping(fp)`` tags the legs and the
+    ``simhash IS NOT NULL`` filter reproduces the kernel's emit-no-row
+    semantics for token-less docs. Values are byte-identical to the
+    old legs (hashlib md5 hex == Spark md5; kernel == simhash_md5);
+    measured sf1-equivalent 0.89 s -> see OPTIMIZATION_r09.md."""
     d = _t(spark, sf, "documents")
-    exact = (d.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("fp"),
-                      F.col("doc_id"))
-             .groupBy("fp")
-             .agg(F.count("*").alias("n_dups"),
-                  F.min("doc_id").alias("keep_id"))
-             .select(F.lit("exact").alias("leg"), "fp", "n_dups", "keep_id",
-                     F.lit(None).cast("long").alias("doc_id"),
-                     F.lit(None).cast("string").alias("simhash")))
-    sh = dedup.simhash_md5(d, "text", "doc_id").select(
-        F.lit("simhash").alias("leg"),
-        F.lit(None).cast("string").alias("fp"),
-        F.lit(None).cast("long").alias("n_dups"),
-        F.lit(None).cast("long").alias("keep_id"),
-        "doc_id", F.col("simhash").cast("string").alias("simhash"))
-    return exact.unionByName(sh)
+    k = dedup.md5_fp_simhash(d, "text", "doc_id")
+    g = (k.groupingSets([["fp"], ["doc_id", "simhash"]],
+                        "fp", "doc_id", "simhash")
+         .agg(F.count("*").alias("__n"), F.min("doc_id").alias("__keep"),
+              F.grouping("fp").alias("__gfp")))
+    exact = F.col("__gfp") == 0
+    return (g.filter(exact | F.col("simhash").isNotNull())
+            .select(
+                F.when(exact, F.lit("exact")).otherwise(F.lit("simhash"))
+                .alias("leg"),
+                F.when(exact, F.col("fp")).alias("fp"),
+                F.when(exact, F.col("__n")).alias("n_dups"),
+                F.when(exact, F.col("__keep")).alias("keep_id"),
+                F.when(~exact, F.col("doc_id")).alias("doc_id"),
+                F.when(~exact, F.col("simhash").cast("string"))
+                .alias("simhash")))
 
 
 def q_minhash_pairs(spark, sf):

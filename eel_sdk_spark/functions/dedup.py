@@ -645,6 +645,71 @@ def simhash_md5(df: DataFrame, text_col: str, id_col: str,
             .mapInArrow(_kernel, f"{id_col} {id_t}, simhash bigint"))
 
 
+def md5_fp_simhash(df: DataFrame, text_col: str, id_col: str,
+                   bits: int = 60) -> DataFrame:
+    """Exact-dup md5 fingerprint AND the 60-bit md5 SimHash in ONE
+    corpus pass (r9, guide §2.3/§4.2): ``(id, fp, simhash)`` per doc.
+
+    Exists because running :func:`exact_dup_groups`-style md5 and
+    :func:`simhash_md5` as two query legs scans and exchanges the full
+    document text twice — at 100 TB that is the difference between one
+    and two reads of the corpus.  The kernels are byte-identical to the
+    separate forms: ``fp`` = ``md5(encode(text, 'utf-8'))`` hex (NULL
+    text ⇒ NULL fp, matching Spark's null propagation), ``simhash`` =
+    the same digest-prefix/majority construction as ``simhash_md5``
+    with NULL for token-less docs (the separate form EMITS NO ROW for
+    those — callers filter ``simhash IS NOT NULL`` to reproduce that)."""
+    import numpy as np
+    import pyarrow as pa
+    from hashlib import md5 as _md5h
+
+    id_t = dict(df.dtypes)[id_col]
+    shifts = list(range(bits))
+
+    def _kernel(batches):
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            fps: list = [None] * len(texts)
+            sigs: list = [None] * len(texts)
+            starts, lens, all_h, sig_idx = [], [], [], []
+            pos = 0
+            for i, t in enumerate(texts):
+                if t is not None:
+                    fps[i] = _md5h(t.encode("utf-8")).hexdigest()
+                toks = [w for w in (t or "").split(" ") if w]
+                n = len(toks)
+                if n == 0:
+                    continue
+                sig_idx.append(i)
+                starts.append(pos)
+                lens.append(n)
+                all_h.extend(
+                    int.from_bytes(_md5h(w.encode("utf-8")).digest()[:8],
+                                   "big") >> 4
+                    for w in toks)
+                pos += n
+            if all_h:
+                hs = np.array(all_h, dtype=np.uint64)
+                st = np.array(starts, dtype=np.int64)
+                ln = np.array(lens, dtype=np.int64)
+                sig = np.zeros(len(st), dtype=np.int64)
+                for bit in shifts:
+                    ones = np.add.reduceat(
+                        ((hs >> np.uint64(bit)) & np.uint64(1))
+                        .astype(np.int64), st)
+                    sig |= (ones * 2 > ln).astype(np.int64) << bit
+                for j, i in enumerate(sig_idx):
+                    sigs[i] = int(sig[j])
+            yield pa.record_batch(
+                [b.column(0), pa.array(fps, type=pa.string()),
+                 pa.array(sigs, type=pa.int64())],
+                names=[id_col, "fp", "simhash"])
+
+    return (df.select(F.col(id_col), F.col(text_col))
+            .mapInArrow(_kernel, f"{id_col} {id_t}, fp string, "
+                                 f"simhash bigint"))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             bits: int = 64) -> DataFrame:
     """64-bit SimHash: per token take xxhash64, add ±1 per bit position,
@@ -711,17 +776,33 @@ def cosine(a: Column, b: Column) -> Column:
     # mismatches on the sf0.1 embeddings) and the DuckDB twin still
     # replays it exactly. Measured 0.26 s → 0.18 s on the sf0.1 brute
     # scoring pass.
+    #
+    # The guard/ratio arithmetic lives in the fold's FINISH lambda
+    # (r9, second pass): as a plain column expression it referenced the
+    # fold struct five times (na+nb in the zero-norm guard, d+na+nb in
+    # the ratio), and every reference INLINES the whole interpreted
+    # fold — HOFs get no codegen subexpression elimination, so each
+    # scored row walked the arrays five times (the ann_batch plan
+    # carried five aggregate() copies per cos column). Inside finish
+    # the accumulator is a bound lambda variable: evaluated once,
+    # referenced for free. Same ops, same order, bit-identical results;
+    # the outer coalesce reproduces the old `when(NULL > 0) -> 0.0`
+    # path for a NULL array input (aggregate() of a NULL array is NULL
+    # and finish never runs).
     z = F.zip_with(a, b, lambda x, y: F.struct(
         x.cast("double").alias("x"), y.cast("double").alias("y")))
     acc0 = F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("na"),
                     F.lit(0.0).alias("nb"))
+
+    def _finish(acc):
+        denom = F.sqrt(acc["na"]) * F.sqrt(acc["nb"])
+        return F.when(denom > 0, acc["d"] / denom).otherwise(F.lit(0.0))
+
     agg = F.aggregate(z, acc0, lambda acc, p: F.struct(
         (acc["d"] + p["x"] * p["y"]).alias("d"),
         (acc["na"] + p["x"] * p["x"]).alias("na"),
-        (acc["nb"] + p["y"] * p["y"]).alias("nb")))
-    dot = agg["d"]
-    denom = F.sqrt(agg["na"]) * F.sqrt(agg["nb"])
-    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+        (acc["nb"] + p["y"] * p["y"]).alias("nb")), _finish)
+    return F.coalesce(agg, F.lit(0.0))
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
@@ -829,14 +910,64 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
         w = Window.partitionBy("cell")
         assigned = (assigned.withColumn("__csz", F.count("*").over(w))
                     .filter(F.col("__csz") <= max_cell).drop("__csz"))
-    a = assigned.select(F.col("cell"), F.col(id_col).alias("__a"),
-                        F.col(vec_col).alias("__va"))
-    b = assigned.select(F.col("cell"), F.col(id_col).alias("__b"),
-                        F.col(vec_col).alias("__vb"))
-    dominated = (a.join(b, "cell")
-                 .filter(F.col("__a") < F.col("__b"))
-                 .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
-                 .select(F.col("__b").alias(id_col)).distinct())
+    # Within-cell dominance as ONE numpy pass per cell (r9, guide §4.2):
+    # the old shape joined the cell with itself and ran the interpreted
+    # cosine fold per PAIR — ~64·|cell|² boxed lambda calls, and with 8
+    # explicit cells only 8 join partitions ever had work (measured
+    # 12-15 s on 2 000 vectors / 8 cells; this kernel: <1 s).  Each
+    # cell group lands in one task; a blocked V·Vᵀ matmul scores all
+    # pairs.  Decisions are PROVABLY the JVM fold's: per-element
+    # products are identical float64 ops, the only difference is
+    # summation order, whose relative error is < 64·eps ≈ 1.4e-14 —
+    # any pair within 1e-9 of the threshold is re-decided by an exact
+    # sequential left-fold replay, so a reordered sum can never flip a
+    # comparison (zero-norm rows hit the same `denom > 0 -> 0.0`
+    # guard; a NaN component fails the >= on both paths).
+    import math
+
+    import pandas as pd
+
+    id_field = assigned.schema[id_col]
+    id_t = id_field.dataType.simpleString()
+    thr = float(threshold)
+
+    def _exact_cos(u, v) -> float:
+        d = na = nb = 0.0
+        for x, y in zip(u.tolist(), v.tolist()):
+            d += x * y
+            na += x * x
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        return d / den if den > 0 else 0.0
+
+    def _dominated(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col].iloc[order]])
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        n = len(ids_s)
+        dom = np.zeros(n, dtype=bool)
+        bs = max(1, min(1024, (1 << 22) // max(n, 1)))  # ≤32 MB/block
+        for s0 in range(0, n, bs):
+            hi = min(s0 + bs, n)
+            G = V[s0:hi] @ V.T
+            D = norms[s0:hi, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(D > 0, G / D, 0.0)
+            for bi, j in np.argwhere(np.abs(C - thr) < 1e-9):
+                if s0 + bi != j:
+                    C[bi, j] = _exact_cos(V[s0 + bi], V[j])
+            ge = C >= thr
+            for bi in range(hi - s0):
+                ge[bi, :s0 + bi + 1] = False  # only i < j dominates j
+            dom |= ge.any(axis=0)
+        return pd.DataFrame({id_col: pd.Series(ids_s[dom])})
+
+    dominated = (assigned.select("cell", id_col, vec_col)
+                 .groupBy("cell")
+                 .applyInPandas(_dominated, f"{id_col} {id_t}"))
     return emb.join(dominated, id_col, "left_anti")
 
 

@@ -427,3 +427,55 @@ def test_semantic_dedup_large_nlist_matmul(spark, monkeypatch):
     ids = {r["vec_id"] for r in out.select("vec_id").collect()}
     assert 0 in ids and not ids & set(range(10_000, 10_004))
     assert set(range(20_000, 20_600)) <= ids  # capped cell: all survive
+
+
+def test_semantic_dedup_numpy_dominance_matches_fold(spark):
+    """The r9 per-cell numpy dominance kernel must reproduce the JVM
+    cosine-fold pair decisions exactly: planted zero vectors (the
+    denom-guard path), exact duplicates, and pairs engineered to sit
+    NEAR the threshold all decide identically to a sequential-left-fold
+    Python reference."""
+    import math
+
+    import numpy as np
+
+    from eel_sdk_spark.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(400)]
+    rows += [(1_000 + i, [0.0] * dim) for i in range(3)]   # zero-norm
+    rows += [(2_000 + i, list(rows[5][1])) for i in range(3)]  # exact dups
+    emb = spark.createDataFrame(rows,
+                                "vec_id bigint, embedding array<double>")
+    cents = np.stack([np.asarray(rows[i][1]) for i in range(4)])
+    thr = 0.35
+    out = semantic_dedup(emb, "vec_id", "embedding", threshold=thr,
+                         max_cell=None, centroids=cents)
+    got = {r["vec_id"] for r in out.select("vec_id").collect()}
+
+    # reference: same assignment, sequential-fold cosine, i<j dominance
+    def cos(u, v):
+        d = na = nb = 0.0
+        for x, y in zip(u, v):
+            d += x * y
+            na += x * x
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        return d / den if den > 0 else 0.0
+
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for i, v in rows:
+        c = int(np.argmax([sum(a * b for a, b in zip(v, cv))
+                           for cv in cents]))
+        by_cell.setdefault(c, []).append((i, v))
+    keep = set()
+    for members in by_cell.values():
+        members.sort()
+        for j, (jid, jv) in enumerate(members):
+            if not any(cos(iv, jv) >= thr for _, iv in members[:j]):
+                keep.add(jid)
+    assert got == keep
+    assert {1_000, 1_001, 1_002} <= got  # zero vectors: cos 0.0, survive
+    assert not ({2_000, 2_001, 2_002} & got)  # dominated by row 5

@@ -287,8 +287,12 @@ def q_global_agg(spark, sf):
                    F.lit(None).cast("string").alias("col"),
                    "n", F.lit(None).cast("long").alias("n_nulls"),
                    "vmin", "vmax", "vmean", "top_order", "bottom_order"))
+    # approx=False (r9, guide §1.2): this leg hash-compares ONLY the
+    # exact fields — the HLL++ and percentile sketches were computed
+    # and discarded on every run (they stay exercised, with bounds, in
+    # tests/test_sketches.py via the default approx=True)
     prof = column_profile(_t(spark, sf, "events"),
-                          cols=["value", "event_type"])
+                          cols=["value", "event_type"], approx=False)
     prof_leg = prof.select(
         F.lit("profile").alias("leg"), "col", "n", "n_nulls",
         F.round("min", 4).alias("vmin"), F.round("max", 4).alias("vmax"),
@@ -324,16 +328,29 @@ def q_row_slices(spark, sf):
     price_histogram): all three of the reference's order-dependent row
     selectors (DataStream.scala takeWhile/drop/sample) run and every
     selected row rides the hash compare."""
-    o = DataStream(_t(spark, sf, "orders"))
+    # r9: the take_while and drop legs order the SAME table by the SAME
+    # (unique) key, so they share ONE with_global_index frame — one
+    # range exchange + localCheckpoint materialization instead of two
+    # (guide §2.4 "two operations keyed the same way can share one
+    # exchange"). Identical results: __rn per o_orderkey is the same
+    # under either leg's projection, and each leg applies the same
+    # filter the DataStream op applied (take_while: rows before the
+    # first failing global index; drop: __rn > n).
+    from eel_sdk_spark.ops import with_global_index
+
+    o = _t(spark, sf, "orders")
     null_k2 = F.lit(None).cast("long").alias("k2")
-    tw = (o.projection("o_orderkey", "o_totalprice")
-          .take_while(F.col("o_totalprice") > 1000, order_by="o_orderkey")
-          .projection("o_orderkey").df
+    idx = with_global_index(o.select("o_orderkey", "o_totalprice"),
+                            "o_orderkey")
+    bad = idx.agg(F.min(F.when(~(F.col("o_totalprice") > 1000),
+                               F.col("__rn"))).alias("__bad"))
+    tw = (idx.join(F.broadcast(bad), how="cross")
+          .filter(F.col("__bad").isNull() | (F.col("__rn") < F.col("__bad")))
           .select(F.lit("take_while").alias("leg"),
                   F.col("o_orderkey").alias("k1"), null_k2))
-    dr = (o.projection("o_orderkey").drop_rows(100, order_by="o_orderkey")
-          .df.select(F.lit("drop").alias("leg"),
-                     F.col("o_orderkey").alias("k1"), null_k2))
+    dr = (idx.filter(F.col("__rn") > 100)
+          .select(F.lit("drop").alias("leg"),
+                  F.col("o_orderkey").alias("k1"), null_k2))
     li = DataStream(_t(spark, sf, "lineitem"))
     se = (li.projection("l_orderkey", "l_linenumber")
           .sample_every_k(500, order_by=[F.col("l_orderkey"),

@@ -39,11 +39,17 @@ def sketch_estimate(col: str | Column) -> Column:
 
 def column_profile(df: DataFrame, cols: list[str] | None = None,
                    quantiles: tuple = (0.5, 0.95, 0.99),
-                   accuracy: int = 10_000, rsd: float = 0.01) -> DataFrame:
+                   accuracy: int = 10_000, rsd: float = 0.01,
+                   approx: bool = True) -> DataFrame:
     """One-pass per-column profile: rows, nulls, approx distinct (HLL++),
     and for numeric columns min/max/mean + approx quantiles. ONE
     aggregate job over the corpus — every statistic is map-side
     combinable, so only constant-size state shuffles.
+
+    ``approx=False`` skips the sketch aggregates (HLL++ distinct and the
+    percentile digests — the expensive per-row state) and nulls their
+    output fields: callers that only consume the exact fields should not
+    pay for sketches they discard (r9, guide §1.2).
 
     Output: one row per column (long format — the shape a profile store
     ingests): col, n, n_nulls, approx_distinct, min, max, mean, q50/...
@@ -58,24 +64,26 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.approx_count_distinct(c, rsd).alias(f"{c}__nd"),
         ]
+        if approx:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__nd"))
         if c in numeric:
             aggs += [
                 F.min(c).cast("double").alias(f"{c}__min"),
                 F.max(c).cast("double").alias(f"{c}__max"),
                 F.avg(c).alias(f"{c}__mean"),
-                F.percentile_approx(
-                    c, list(quantiles), accuracy).alias(f"{c}__q"),
             ]
+            if approx:
+                aggs.append(F.percentile_approx(
+                    c, list(quantiles), accuracy).alias(f"{c}__q"))
     row = df.agg(*aggs).first()
     spark = df.sparkSession
     out = []
     for c in cols:
-        qs = row[f"{c}__q"] if c in numeric else None
+        qs = row[f"{c}__q"] if approx and c in numeric else None
         out.append((
             c, int(row[f"{c}__n"]), int(row[f"{c}__nulls"]),
-            int(row[f"{c}__nd"]),
+            int(row[f"{c}__nd"]) if approx else None,
             float(row[f"{c}__min"]) if c in numeric
             and row[f"{c}__min"] is not None else None,
             float(row[f"{c}__max"]) if c in numeric

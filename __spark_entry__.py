@@ -50,18 +50,37 @@ _COMPUTE_HEAVY = {"documents", "embeddings"}
 _FLOOR_MEMO: dict[tuple, bool] = {}
 
 
+#: (app_id, path, size, mtime) -> lazy DataFrame HANDLE. Reuses the
+#: reader's logical plan across query builds in one session — this is
+#: what any normal program does (read a table once, reference it many
+#: times); `spark.read.parquet` costs ~70 ms of py4j + footer/file-
+#: index work per call and the bench's 12 queries build ~16 table
+#: references per pass. NO data and NO results are stored (a DataFrame
+#: is a query description; every execution still scans the parquet
+#: inputs), invalidation is by file size+mtime like _FLOOR_MEMO, and
+#: the key includes the Spark applicationId so a stopped session's
+#: handles are never reused.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    try:
+        st = os.stat(path)
+        skey = (path, st.st_size, st.st_mtime)
+    except OSError:
+        st, skey = None, None
+    dkey = ((spark.sparkContext.applicationId,) + skey) if skey else None
+    df = _DF_MEMO.get(dkey) if dkey is not None else None
+    if df is None:
+        df = spark.read.parquet(path)
+        if dkey is not None:
+            _DF_MEMO[dkey] = df
     if name in _COMPUTE_HEAVY:
         want = spark.sparkContext.defaultParallelism
-        try:
-            st = os.stat(path)
-            key = (path, st.st_size, st.st_mtime, want)
-        except OSError:
-            key = None
+        key = (skey + (want,)) if skey else None
         fire = _FLOOR_MEMO.get(key) if key is not None else None
         if fire is None:
             fire = _scan_floor(spark, df, path) is not df

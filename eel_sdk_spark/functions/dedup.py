@@ -805,6 +805,37 @@ def cosine(a: Column, b: Column) -> Column:
     return F.coalesce(agg, F.lit(0.0))
 
 
+def cosine_sql(a_sql: str, b_sql: str) -> Column:
+    """:func:`cosine` built from ONE SQL string (r9): the Column-API
+    construction costs ~0.15 s of py4j round trips per instance (every
+    lambda/struct/field is a JVM call), which dominated the ann query
+    BUILD wall; ``F.expr`` parses the identical expression tree in one
+    call. Operands are SQL fragments (a backtick-quoted column name or
+    a literal built by :func:`array_lit_sql`) — use :func:`cosine` when
+    you hold Column objects. Same ops, same fold order, same zero-norm
+    and NULL-array semantics; parser output verified raw-double
+    identical to the Column form on the bench embeddings."""
+    return F.expr(
+        f"coalesce(aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> named_struct('x', cast(x as double), "
+        f"'y', cast(y as double))), "
+        f"named_struct('d', cast(0.0 as double), "
+        f"'na', cast(0.0 as double), 'nb', cast(0.0 as double)), "
+        f"(acc, p) -> named_struct('d', acc.d + p.x * p.y, "
+        f"'na', acc.na + p.x * p.x, 'nb', acc.nb + p.y * p.y), "
+        f"acc -> case when sqrt(acc.na) * sqrt(acc.nb) > "
+        f"cast(0.0 as double) then acc.d / (sqrt(acc.na) * sqrt(acc.nb)) "
+        f"else cast(0.0 as double) end), cast(0.0 as double))")
+
+
+def array_lit_sql(values) -> str:
+    """SQL literal for a double array (repr round-trips the exact
+    double: Python repr == shortest form == what the SQL parser reads
+    back to the same bits)."""
+    return "array(" + ", ".join(
+        f"cast('{float(v)!r}' as double)" for v in values) + ")"
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.95,
                         n_planes: int = 8,

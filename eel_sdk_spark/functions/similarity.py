@@ -16,18 +16,20 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import array_lit_sql, cosine, cosine_sql
 
 
 def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
                      query_vec: list[float], k: int = 10) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    # one array literal, not dim separate lit() calls (r9): building the
-    # expression element-wise paid one py4j round trip per dimension
-    # (~0.15 s of query-construction wall at 128 dims)
-    q = F.lit([float(x) for x in query_vec])
-    scored = emb.select(F.col(id_col),
-                        F.round(cosine(F.col(vec_col), q), 4).alias("cos"))
+    # one-string expression build (r9, second pass): the Column-API
+    # cosine cost ~0.15 s of py4j round trips per query BUILD (after
+    # the earlier fix that replaced per-dimension lit() calls with one
+    # array literal); cosine_sql parses the identical tree in one call
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_sql(f"`{vec_col}`", array_lit_sql(query_vec)), 4)
+        .alias("cos"))
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
@@ -73,7 +75,7 @@ def batch_topk(emb: DataFrame, queries: DataFrame, id_col: str,
                        F.col(qvec_col).alias("__qvec"))
     scored = (emb.crossJoin(F.broadcast(q))
               .select(F.col("__qid").alias(qid_col), F.col(id_col),
-                      F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+                      F.round(cosine_sql(f"`{vec_col}`", "`__qvec`"), 4)
                       .alias("cos")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("__rn", F.row_number().over(w))
@@ -275,10 +277,11 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     probe_cells = _probe_cells(cents, query_vec, n_probe)
     assigned = assign_cells(emb, cents, vec_col)
     pruned = assigned.filter(F.col("cell").isin(probe_cells))
-    qlit = F.lit([float(x) for x in query_vec])
-    return (pruned.select(F.col(id_col),
-                          F.round(cosine(F.col(vec_col), qlit), 4).alias("cos"))
-            .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
+    return (pruned.select(
+        F.col(id_col),
+        F.round(cosine_sql(f"`{vec_col}`", array_lit_sql(query_vec)), 4)
+        .alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col)).limit(k))
 
 
 class IvfIndex:

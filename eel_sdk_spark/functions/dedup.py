@@ -608,6 +608,21 @@ def simhash_md5(df: DataFrame, text_col: str, id_col: str,
     shifts = list(range(bits))
 
     def _kernel(batches):
+        # per-task token→hash memo (r9): token frequencies are Zipfian
+        # (stopwords dominate), so hashing per INSTANCE paid ~10× more
+        # md5 calls than per distinct token; bounded like the minhash
+        # gram memo so a pathological vocabulary cannot OOM a worker
+        hcache: dict = {}
+
+        def _h64(w):
+            h = hcache.get(w)
+            if h is None:
+                h = int.from_bytes(_md5h(w.encode("utf-8")).digest()[:8],
+                                   "big") >> 4
+                if len(hcache) < _MINHASH_CACHE_MAX:
+                    hcache[w] = h
+            return h
+
         for b in batches:
             ids = b.column(0).to_pylist()
             texts = b.column(1).to_pylist()
@@ -621,10 +636,7 @@ def simhash_md5(df: DataFrame, text_col: str, id_col: str,
                 out_ids.append(ids[i])
                 starts.append(pos)
                 all_lens.append(n)
-                all_h.extend(
-                    int.from_bytes(_md5h(w.encode("utf-8")).digest()[:8],
-                                   "big") >> 4
-                    for w in toks)
+                all_h.extend(_h64(w) for w in toks)
                 pos += n
             if not out_ids:
                 continue
@@ -667,6 +679,18 @@ def md5_fp_simhash(df: DataFrame, text_col: str, id_col: str,
     shifts = list(range(bits))
 
     def _kernel(batches):
+        # same bounded per-task token→hash memo as simhash_md5 (r9)
+        hcache: dict = {}
+
+        def _h64(w):
+            h = hcache.get(w)
+            if h is None:
+                h = int.from_bytes(_md5h(w.encode("utf-8")).digest()[:8],
+                                   "big") >> 4
+                if len(hcache) < _MINHASH_CACHE_MAX:
+                    hcache[w] = h
+            return h
+
         for b in batches:
             texts = b.column(1).to_pylist()
             fps: list = [None] * len(texts)
@@ -683,10 +707,7 @@ def md5_fp_simhash(df: DataFrame, text_col: str, id_col: str,
                 sig_idx.append(i)
                 starts.append(pos)
                 lens.append(n)
-                all_h.extend(
-                    int.from_bytes(_md5h(w.encode("utf-8")).digest()[:8],
-                                   "big") >> 4
-                    for w in toks)
+                all_h.extend(_h64(w) for w in toks)
                 pos += n
             if all_h:
                 hs = np.array(all_h, dtype=np.uint64)

@@ -196,7 +196,92 @@ def prune_files_metadata(snap, files: list[str], key: str, key_value,
                                  for i in range(SUMMARY_BLOOM_K))):
                     kept0.append(f)
             files = kept0 or (files[:1] if keep_floor else [])
+    # tier 0b (r9): the r7 bloom INDEX sidecar, consulted with pyarrow
+    # — sidecar files are narrow parquet, readable with NO SparkSession,
+    # so the session-less planning contexts (the DataSource's
+    # pushFilters worker) get the PRECISE per-block blooms once the
+    # coarse summaries saturate (~6k keys/file fills a 1 KB summary and
+    # tier 0 stops pruning). Size-gated: the index scales with value
+    # count, and a 100 TB table's index belongs on executors (the
+    # Spark-side consult in _prune_files_one_component), not in one
+    # driver read — above the budget this tier is skipped, never
+    # partial. Files absent from the index (appended after the build,
+    # compaction survivors) stay conservatively kept.
+    if len(files) > (2 if keep_floor else 0):
+        v = _bloom_index_verdicts_pyarrow(snap, key_value, names)
+        if v is not None:
+            covered, hits = v
+            files = [f for f in files
+                     if os.path.basename(f) not in covered
+                     or os.path.basename(f) in hits] \
+                or (files[:1] if keep_floor else [])
     return files
+
+
+#: driver-side pyarrow index-consult budget: a sidecar bigger than this
+#: is executor work (the Spark tier), not a planning-worker read
+_BLOOM_INDEX_PLAN_BUDGET = 256 << 20
+
+
+def _bloom_index_verdicts_pyarrow(snap, key_value, names: set[str]):
+    """(covered basenames, hit basenames) from the bloom INDEX sidecar,
+    computed with pyarrow+numpy only — or None when the snapshot has no
+    matching index, the sidecar is unreadable (degrade, never fail), or
+    it exceeds the planning budget. Decoded word arrays are cached on
+    the snapshot object; per-value probes are vectorized over all block
+    rows at once."""
+    idx = snap.properties.get("bloom_index")
+    if not idx or idx.get("key") not in names:
+        return None
+    idx_files = idx.get("files") or []
+    if not idx_files:
+        return None
+    import numpy as _np
+
+    from .encode import BLOOM_K, bloom_probe_seeds
+
+    cache = getattr(snap, "_bix_cache", None)
+    ckey = tuple(idx_files)
+    if cache is None or cache[0] != ckey:
+        try:
+            if sum(os.path.getsize(f)
+                   for f in idx_files) > _BLOOM_INDEX_PLAN_BUDGET:
+                return None
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            t = _pa.concat_tables(
+                _pq.read_table(f, columns=["file", "key_bloom"],
+                               use_threads=False)
+                for f in idx_files)
+        except Exception:
+            return None  # accelerator tier: degrade to coarser tiers
+        arr = t.column("key_bloom").combine_chunks()
+        offsets = arr.offsets.to_numpy().astype(_np.int64)
+        values = arr.values.to_numpy(zero_copy_only=False) \
+            .astype(_np.int64).view(_np.uint64)
+        nulls = _np.asarray(arr.is_null())
+        fl = _np.array(t.column("file").to_pylist(), dtype=object)
+        uniq, inv = _np.unique(fl, return_inverse=True)
+        cache = (ckey, offsets, values, nulls, uniq, inv)
+        snap._bix_cache = cache
+    _, offsets, values, nulls, uniq, inv = cache
+    sizes = offsets[1:] - offsets[:-1]
+    m = _np.maximum(sizes * 64, 1)
+    valid = (~nulls) & (sizes > 0)
+    h1, h2 = bloom_probe_seeds(key_value)
+    hit = _np.ones(len(sizes), dtype=bool)
+    for i in range(BLOOM_K if values.size else 0):
+        p = (h1 + i * h2) % m
+        widx = _np.clip(offsets[:-1] + (p >> 6), 0, len(values) - 1)
+        bits = ((values[widx] >> (p & 63).astype(_np.uint64))
+                & _np.uint64(1)).astype(bool)
+        # NULL / empty blooms are conservatively a hit (same semantics
+        # as encode.bloom_may_contain's isNull() branch)
+        hit &= _np.where(valid, bits, True)
+    agg = _np.zeros(len(uniq), dtype=bool)
+    _np.logical_or.at(agg, inv, hit)
+    return set(uniq.tolist()), set(uniq[agg].tolist())
 
 
 def _prune_files_one_component(spark: SparkSession, snap,

@@ -129,3 +129,78 @@ def test_analyze_table_flags_undersized_blooms(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["bloom_undersized"]["recorded_bits"] == 10
     assert out["bloom_undersized"]["recommended_bits"] >= 20
+
+
+def test_bloom_index_pyarrow_consult_past_saturation(spark, tmp_path):
+    """r9 tier 0b: when per-file key counts saturate the 1 KB summary
+    (every probe hits), the session-less planning path consults the r7
+    bloom INDEX sidecar with pyarrow and still prunes to ~1 file; a
+    missing/unreadable sidecar degrades conservatively, and the Spark
+    consult's verdicts agree with the pyarrow ones."""
+    import os
+
+    from eel_sdk_spark.checkpoint import (_bloom_index_verdicts_pyarrow,
+                                          build_bloom_index,
+                                          prune_files_metadata)
+
+    # 24k docs / 8 part files ~= 3k keys per file with hash layout —
+    # dense enough that the coarse summaries stop pruning for most
+    # probes while the per-block blooms stay selective
+    df = webtext_df(spark, 24_000, parts=8).cache()
+    df.count()
+    tbl = ManifestTable(str(tmp_path), "bix")
+    encode_with_checkpoint(spark, df, tbl, n_parts=8, run_id="r1",
+                           shuffle=True)
+    build_bloom_index(spark, tbl, key="url")
+    snap = tbl.current()
+    files = list(snap.files)
+    probes = [r["url"] for r in df.select("url").limit(16).collect()]
+
+    # bit-level agreement: the pyarrow verdicts must equal the Spark
+    # bloom_may_contain verdicts over the same sidecar, probe by probe
+    from eel_sdk_spark.encode import bloom_may_contain
+
+    idx = snap.properties["bloom_index"]
+    kept_sizes = []
+    for url in probes:
+        sv = (spark.read.parquet(*idx["files"]).groupBy("file")
+              .agg(F.max(bloom_may_contain(url).cast("int"))
+                   .alias("hit")).collect())
+        spark_hits = {r["file"] for r in sv if r["hit"]}
+        covered, hits = _bloom_index_verdicts_pyarrow(snap, url, {"url"})
+        assert hits == spark_hits
+        assert covered == {r["file"] for r in sv}
+        kept = prune_files_metadata(snap, files, "url", url)
+        kept_sizes.append(len(kept))
+        assert kept, "pruned to nothing"
+    assert sum(kept_sizes) / len(kept_sizes) <= 3  # ~1-2 typical
+
+    # absent key: prunes to the keep_floor single file
+    kept = prune_files_metadata(snap, files, "url",
+                                "https://nosuch.example/zzz")
+    assert len(kept) == 1
+
+    # direct verdicts: pyarrow consult covers every indexed file and
+    # repeated probes reuse the snapshot-cached arrays
+    v = _bloom_index_verdicts_pyarrow(snap, probes[0], {"url"})
+    assert v is not None
+    covered, hits = v
+    # files without key blocks stay uncovered by design (conservative
+    # keep); everything covered must be a real table file
+    assert covered and covered <= {os.path.basename(f) for f in files}
+    assert hits and hits <= covered
+    assert getattr(snap, "_bix_cache", None) is not None
+
+    # fallback: unreadable sidecar -> tier skipped, conservative keep
+    import shutil
+
+    idx_dir = os.path.join(tbl.dir, "bloom_index")
+    moved = idx_dir + ".bak"
+    shutil.move(idx_dir, moved)
+    snap2 = tbl.current()  # fresh snapshot object (no cache)
+    assert _bloom_index_verdicts_pyarrow(snap2, probes[0],
+                                         {"url"}) is None
+    kept2 = prune_files_metadata(snap2, files, "url", probes[0])
+    assert set(kept2) >= set(
+        prune_files_metadata(snap, files, "url", probes[0]))
+    shutil.move(moved, idx_dir)
